@@ -1,0 +1,197 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import scala.collection.mutable
+
+/** One row of the engine's file manifest — the Spark-native equivalent of
+  * the reference's `FilePair` + SequenceFile manifests (reference:
+  * FilePair.java:17-27, DistExec.java:526-541,592-597). `length` is the
+  * split weight (0 for dirs, DistExec.java:592).
+  */
+final case class FileEntry(
+    path: String,
+    root: String,
+    relativeDst: String,
+    length: Long,
+    isDir: Boolean,
+    modificationTime: Long)
+
+final class DuplicationException(msg: String) extends RuntimeException(msg)
+
+/** Manifest builder: enumerate source trees into a `Dataset[FileEntry]`.
+  *
+  * Replaces the reference's driver-side SequenceFile manifest build
+  * (DistExec.java:471-644). The manifest is never materialized to disk —
+  * it IS the DataFrame; Catalyst plans over it directly.
+  */
+object Manifest {
+
+  /** Relative path of `path` under `root`: `"."` for the root itself,
+    * `None` when not under the root (reference: makeRelative,
+    * DistExec.java:388-410).
+    */
+  def makeRelative(root: String, path: String): Option[String] = {
+    val r = stripTrailingSlash(root)
+    val p = stripTrailingSlash(path)
+    if (p == r) Some(".")
+    else if (r == "/" && p.startsWith("/")) Some(p.substring(1))
+    else if (p.startsWith(r + "/")) Some(p.substring(r.length + 1))
+    else None
+  }
+
+  private def stripTrailingSlash(s: String): String =
+    if (s.length > 1 && s.endsWith("/")) s.dropRight(1) else s
+
+  /** Driver-side iterative DFS over one root (reference's explicit-stack
+    * walk, DistExec.java:549-609). Fine for moderate trees; use
+    * [[listDistributed]] when the fan-out is large.
+    */
+  def listRoot(conf: Configuration, root: String): Seq[FileEntry] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath))
+      throw new java.io.FileNotFoundException(s"source $root does not exist")
+    val rootStatus = fs.getFileStatus(rootPath)
+    val rootStr = rootStatus.getPath.toUri.getPath
+    val out = mutable.ArrayBuffer.empty[FileEntry]
+    val stack = mutable.Stack[FileStatus](rootStatus)
+    while (stack.nonEmpty) {
+      val st = stack.pop()
+      val p = st.getPath.toUri.getPath
+      val rel = makeRelative(rootStr, p).getOrElse(p)
+      out += toEntry(st, rootStr, rel)
+      if (st.isDirectory) fs.listStatus(st.getPath).foreach(stack.push)
+    }
+    out.toSeq
+  }
+
+  private def toEntry(st: FileStatus, root: String, rel: String): FileEntry =
+    FileEntry(
+      path = st.getPath.toUri.getPath,
+      root = root,
+      relativeDst = rel,
+      length = if (st.isDirectory) 0L else st.getLen,
+      isDir = st.isDirectory,
+      modificationTime = st.getModificationTime)
+
+  /** Build the manifest for several roots (multiple `<srcurl>` args are an
+    * implicit union — reference DistExec.java:549 loop). When a root is a
+    * single file its relative dst is its own name (DistExec.java:545
+    * `special` handling happens in the exec operator).
+    */
+  def build(spark: SparkSession, roots: Seq[String]): Dataset[FileEntry] = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = roots.flatMap { r =>
+      val es = listRoot(conf, r)
+      // A single-FILE root contributes itself under its file name.
+      es.map { e =>
+        if (e.relativeDst == "." && !e.isDir)
+          e.copy(relativeDst = new Path(e.path).getName)
+        else e
+      }
+    }
+    spark.createDataset(entries)
+  }
+
+  /** Distributed breadth-first listing: each wave lists its directories on
+    * executors. This removes the reference's driver-side listing
+    * bottleneck (single-threaded stack walk, DistExec.java:558-608) for
+    * 100 TB-scale trees with wide fan-out.
+    */
+  def listDistributed(spark: SparkSession, roots: Seq[String], maxWaves: Int = 64): Dataset[FileEntry] = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // Seed wave: the roots themselves (driver-side stat only, cheap).
+    var wave: Seq[(String, String)] = roots.map { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      (fs.getFileStatus(p).getPath.toUri.getPath, r)
+    }
+    val listed = mutable.Set.empty[(String, String)]
+    var acc = spark.emptyDataset[FileEntry]
+    var waves = 0
+    while (wave.nonEmpty && waves < maxWaves) {
+      listed ++= wave
+      val ds = spark
+        .createDataset(wave)
+        .repartition(math.max(1, math.min(wave.size, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { it =>
+          val c = new Configuration()
+          it.flatMap { case (dir, root) =>
+            val p = new Path(dir)
+            val fs = p.getFileSystem(c)
+            val rootStr = new Path(root).toUri.getPath
+            val self = fs.getFileStatus(p)
+            val selfEntry = toEntry(self, rootStr, makeRelative(rootStr, dir).getOrElse(dir))
+            if (!self.isDirectory) Iterator(selfEntry)
+            else Iterator(selfEntry) ++ fs.listStatus(p).iterator.map { st =>
+              val cp = st.getPath.toUri.getPath
+              toEntry(st, rootStr, makeRelative(rootStr, cp).getOrElse(cp))
+            }
+          }
+        }
+      val persisted = ds.persist()
+      acc = acc.union(persisted)
+      // Next wave: directories discovered this wave, one tree level deeper.
+      wave = persisted
+        .filter(_.isDir)
+        .map(e => (e.path, e.root))
+        .collect()
+        .toSeq
+        .filterNot(listed)
+      waves += 1
+    }
+    // Dirs appear both as a wave input and as their parent's child row.
+    acc.dropDuplicates("path", "root")
+  }
+
+  /** Duplicate-destination check: the reference sorts the dst manifest and
+    * compares adjacent keys (DistExec.java:647-673); in Spark a hash
+    * aggregation needs no sort. Throws [[DuplicationException]] listing
+    * offending destinations (exit −2 parity lives in the CLI).
+    */
+  def checkDuplication(manifest: Dataset[FileEntry]): Unit = {
+    val dups = manifest
+      .filter(!col("isDir"))
+      .groupBy(col("relativeDst"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("path"))).as("srcs"))
+      .filter(col("n") > 1)
+      .orderBy(col("relativeDst"))
+      .limit(20)
+      .collect()
+    if (dups.nonEmpty) {
+      val msg = dups
+        .map(r => s"${r.getString(0)} <- ${r.getSeq[String](2).mkString(", ")}")
+        .mkString("; ")
+      throw new DuplicationException(s"duplicate destination names: $msg")
+    }
+  }
+
+  /** Size-weighted bin packing: assign each file a split id via running
+    * byte sum / target — the reference's greedy `getSplits`
+    * (DistExec.java:132-177) as a window expression. Partitioned by root
+    * so the window parallelizes across roots (a single global ORDER BY
+    * window would serialize at 100 TB).
+    */
+  def binPack(manifest: Dataset[FileEntry], targetBytes: Long): Dataset[org.apache.spark.sql.Row] = {
+    val w = Window.partitionBy(col("root")).orderBy(col("path"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .filter(!col("isDir"))
+      .withColumn("cum", sum(col("length")).over(w))
+      .withColumn("bin", floor((col("cum") - col("length")) / lit(targetBytes)))
+  }
+
+  /** Map-count rule: `max(min(fileCount, cap), 1)` — file-count based, not
+    * byte-based, because process-spawn cost is per file (reference fork
+    * delta: DistExec.java:419-426 vs DistCp.java:933-941).
+    */
+  def mapCount(fileCount: Long, cap: Int): Int =
+    math.max(math.min(fileCount, cap.toLong).toInt, 1)
+}

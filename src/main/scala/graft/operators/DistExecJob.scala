@@ -1,0 +1,251 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, IOException, OutputStream}
+
+import graft.exec.{CommandLine, ExitPolicy, ProcessRunner}
+import graft.fs.{FileEntry, Manifest}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file execution outcome (reference's FAIL log rows + counters,
+  * ExecFilesMapper.java:27,184-187, re-expressed as a status Dataset).
+  */
+final case class ExecStatus(
+    relativeDst: String,
+    ok: Boolean,
+    exitCode: Int,
+    bytesIn: Long,
+    bytesOut: Long,
+    bytesErr: Long,
+    error: String)
+
+final case class ExecCounters(executed: Long, failed: Long, bytesExecuted: Long, bytesWritten: Long)
+
+final case class DistExecOptions(
+    maxMaps: Option[Int] = None,
+    redirectErrorToOut: Boolean = false,
+    acceptExitCodes: Set[Int] = Set(0),
+    targetBytesPerMap: Long = 256L * 1024 * 1024, // reference BYTES_PER_MAP, DistExec.java:75
+    defaultMapCap: Int = 20 * 32)                 // reference MAX_MAPS_PER_NODE × "nodes", DistExec.java:76
+
+/** The core operator: pipe every file of the source trees through a shell
+  * command, writing stdout (and a `.stderr` sidecar) to a mirrored path
+  * under `dst`.
+  *
+  * Spark-native redesign of the reference's map-only job
+  * (DistExec.java:318-339 + ExecFilesMapper.java:82-208): the manifest is
+  * a `Dataset[FileEntry]`, split planning is size-weighted binning +
+  * `repartition`, and the per-file exec runs inside `mapPartitions`
+  * (opaque to Catalyst by design — process spawn dominates cost, like
+  * `RDD.pipe` but per-file and binary-safe).
+  *
+  * Scale/durability deltas vs the reference:
+  *  - tmp paths are task-attempt-unique + atomic rename, so speculative
+  *    execution is SAFE here (the reference had to disable it,
+  *    DistExec.java:443-445);
+  *  - streams the source file through the child process (never
+  *    materializes it in memory — no `binaryFile` 2 GB limit);
+  *  - distributed listing available for wide trees
+  *    ([[Manifest.listDistributed]]).
+  */
+object DistExecJob {
+
+  def run(
+      spark: SparkSession,
+      srcs: Seq[String],
+      dst: String,
+      command: String,
+      options: DistExecOptions = DistExecOptions()): Dataset[ExecStatus] = {
+    import spark.implicits._
+    require(srcs.nonEmpty, "at least one source required")
+    CommandLine.translate(command) // fail fast on unbalanced quotes (R1/R11)
+
+    val manifest = Manifest.build(spark, srcs)
+    Manifest.checkDuplication(manifest)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstPath = new Path(dst)
+    val dstFs = dstPath.getFileSystem(conf)
+
+    val entries = manifest.collect().toSeq // manifest rows, small vs payload
+    val files = entries.filter(!_.isDir)
+    val dirs = entries.filter(e => e.isDir && e.relativeDst != ".")
+
+    // Reference "special" single-file case (DistExec.java:545,
+    // ExecFilesMapper.java:131-139): exactly one src file into a
+    // nonexistent/non-dir dst → dst itself is the output file.
+    val special = files.size == 1 && dirs.isEmpty &&
+      (!dstFs.exists(dstPath) || dstFs.getFileStatus(dstPath).isFile)
+
+    // Dest-dir semantics (DistExec.java:543-545,623-628): materialize the
+    // dst root when more than one source entry lands in it, then every
+    // manifest dir (preserving EMPTY dirs).
+    if (!special) dstFs.mkdirs(dstPath)
+    dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d.relativeDst)))
+
+    val jobId = java.lang.Long.toString(System.nanoTime(), 36)
+    val tmpRoot = new Path(if (special) dstPath.getParent else dstPath, s"_distexec_tmp_$jobId")
+
+    val numTasks = Manifest.mapCount(files.size.toLong, options.maxMaps.getOrElse(options.defaultMapCap))
+    val totalBytes = math.max(files.map(_.length).sum, 1L)
+    val target = math.max(totalBytes / numTasks, 1L)
+
+    val binned = Manifest
+      .binPack(spark.createDataset(files), target)
+      .repartition(numTasks, col("bin"))
+      .as[FileEntry](implicitly[org.apache.spark.sql.Encoder[FileEntry]])
+
+    val cmd = command
+    val redirect = options.redirectErrorToOut
+    val accept = options.acceptExitCodes
+    val tmpRootStr = tmpRoot.toString
+    val dstStr = dstPath.toString
+    val isSpecial = special
+
+    val statuses = binned.mapPartitions { it =>
+      val taskConf = new Configuration()
+      val attempt = TaskContext.get() match {
+        case null => "local"
+        case tc   => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"
+      }
+      it.map(e => executeOne(taskConf, e, dstStr, tmpRootStr, attempt, cmd, redirect, accept, isSpecial))
+    }
+
+    // Eager + lineage-truncated: re-running the returned Dataset must NOT
+    // re-execute child processes.
+    val out = statuses.localCheckpoint(true)
+    try dstFs.delete(tmpRoot, true) catch { case _: IOException => () }
+    out
+  }
+
+  /** Aggregate the reference's four counters (EXECUTED, FAIL,
+    * BYTESEXECUTED, BYTESWRITTEN) from a status Dataset.
+    */
+  def counters(status: Dataset[ExecStatus]): ExecCounters = {
+    val r = status.agg(
+      sum(when(col("ok"), 1L).otherwise(0L)),
+      sum(when(!col("ok"), 1L).otherwise(0L)),
+      sum(col("bytesIn")),
+      sum(col("bytesOut"))).head()
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    ExecCounters(l(0), l(1), l(2), l(3))
+  }
+
+  /** `-singleOut` (README-promised, never implemented in the reference —
+    * README.md:48, TODO at DistExec.java:453): combine all per-file stdout
+    * into ONE file under `dst`, each line prefixed with its source's
+    * relative name (the "single reducer prepending filename" design).
+    */
+  def singleOutMerge(spark: SparkSession, dst: String, status: Dataset[ExecStatus]): Path = {
+    import spark.implicits._
+    val produced = status.filter(s => s.ok && s.bytesOut > 0).collect().map(_.relativeDst).sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstPath = new Path(dst)
+    val fs = dstPath.getFileSystem(conf)
+    val outPath = new Path(dstPath, "_singleout")
+    val out = fs.create(outPath, true)
+    try {
+      produced.foreach { rel =>
+        val in = fs.open(new Path(dstPath, rel))
+        try {
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          var line = reader.readLine()
+          while (line != null) {
+            out.write(s"$rel:\t$line\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            line = reader.readLine()
+          }
+        } finally in.close()
+      }
+    } finally out.close()
+    outPath
+  }
+
+  // ---------------------------------------------------------------- task side
+
+  /** Lazily-created output: no file materializes unless the stream gets
+    * bytes — so empty stdout/stderr produces NO dst file (reference
+    * LazyCreateOutputStream, ExecFilesMapper.java:46-80).
+    */
+  private final class LazyOut(fs: FileSystem, path: Path) extends OutputStream {
+    private var out: OutputStream = _
+    private def ensure(): OutputStream = {
+      if (out == null) {
+        fs.mkdirs(path.getParent)
+        out = fs.create(path, true)
+      }
+      out
+    }
+    override def write(b: Int): Unit = ensure().write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = ensure().write(b, off, len)
+    override def flush(): Unit = if (out != null) out.flush()
+    override def close(): Unit = if (out != null) out.close()
+    def created: Boolean = out != null
+  }
+
+  private def executeOne(
+      conf: Configuration,
+      e: FileEntry,
+      dst: String,
+      tmpRoot: String,
+      attempt: String,
+      command: String,
+      redirectErrorToOut: Boolean,
+      acceptExitCodes: Set[Int],
+      special: Boolean): ExecStatus = {
+    val srcPath = new Path(e.path)
+    val dstFile =
+      if (special) new Path(dst)
+      else new Path(new Path(dst), e.relativeDst)
+    val tmpFile = new Path(new Path(tmpRoot, attempt), e.relativeDst)
+    val tmpErr = tmpFile.suffix(".stderr")
+    try {
+      val srcFs = srcPath.getFileSystem(conf)
+      val dstFs = dstFile.getFileSystem(conf)
+      // No .crc sidecars in the mirrored tree (local ChecksumFileSystem).
+      dstFs.setWriteChecksum(false)
+      val argv = CommandLine.translate(command)
+      val in = srcFs.open(srcPath)
+      val out = new LazyOut(dstFs, tmpFile)
+      val err = new LazyOut(dstFs, tmpErr)
+      val res =
+        try ProcessRunner.run(argv, in, out, err, redirectErrorToOut)
+        finally { try in.close() catch { case _: IOException => () }; out.close(); err.close() }
+      if (!ExitPolicy.accepts(argv, res.exitCode, acceptExitCodes))
+        throw new IOException(s"exit ${res.exitCode} from '$command' on ${e.path}")
+      // Atomic publish: delete-existing + rename tmp→dst, per stream
+      // (reference rename, ExecFilesMapper.java:156-170). No tmp ⇒ no file.
+      if (out.created) rename(dstFs, tmpFile, dstFile)
+      if (err.created) rename(dstFs, tmpErr, dstFile.suffix(".stderr"))
+      ExecStatus(e.relativeDst, ok = true, res.exitCode, res.bytesIn, res.bytesOut, res.bytesErr, null)
+    } catch {
+      case t: Throwable =>
+        // Per-record failure: log + continue; best-effort tmp cleanup with
+        // retries (reference: ExecFilesMapper.java:173-208).
+        val dstFs = dstFile.getFileSystem(conf)
+        var tries = 0
+        while (tries < 3 && (exists(dstFs, tmpFile) || exists(dstFs, tmpErr))) {
+          try { dstFs.delete(tmpFile, false); dstFs.delete(tmpErr, false) }
+          catch { case _: IOException => () }
+          tries += 1
+          if (tries < 3) Thread.sleep(100)
+        }
+        ExecStatus(e.relativeDst, ok = false, -1, 0L, 0L, 0L,
+          s"FAIL ${e.relativeDst} : ${t.getClass.getName}: ${t.getMessage}")
+    }
+  }
+
+  private def exists(fs: FileSystem, p: Path): Boolean =
+    try fs.exists(p) catch { case _: IOException => false }
+
+  private def rename(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst))
+      throw new IOException(s"failed to rename $tmp to $dst")
+  }
+}

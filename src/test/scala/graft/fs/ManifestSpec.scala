@@ -1,0 +1,91 @@
+package graft.fs
+
+import java.nio.file.{Files, Path => JPath}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class ManifestSpec extends AnyFunSuite with SparkSpec {
+
+  private def mkTree(): JPath = {
+    val root = Files.createTempDirectory("graft-manifest")
+    Files.writeString(root.resolve("a.txt"), "alpha\n")
+    Files.writeString(root.resolve("b.txt"), "bravo bravo\n")
+    val sub = Files.createDirectories(root.resolve("sub/deep"))
+    Files.writeString(sub.resolve("c.txt"), "charlie\n")
+    Files.createDirectories(root.resolve("empty"))
+    root
+  }
+
+  test("makeRelative: strip, dot-for-root, None outside root") {
+    assert(Manifest.makeRelative("/a/b", "/a/b/c/d.txt").contains("c/d.txt"))
+    assert(Manifest.makeRelative("/a/b", "/a/b").contains("."))
+    assert(Manifest.makeRelative("/a/b/", "/a/b").contains("."))
+    assert(Manifest.makeRelative("/a/b", "/a/bc/d").isEmpty)
+    assert(Manifest.makeRelative("/", "/x").contains("x"))
+  }
+
+  test("build enumerates recursively incl. empty dirs, lengths as weights") {
+    val root = mkTree()
+    val m = Manifest.build(spark, Seq(root.toString)).collect()
+    val byRel = m.map(e => e.relativeDst -> e).toMap
+    assert(byRel.contains("."))
+    assert(byRel("a.txt").length == 6)
+    assert(byRel("sub/deep/c.txt").length == 8)
+    assert(byRel("empty").isDir && byRel("empty").length == 0)
+    assert(m.count(!_.isDir) == 3)
+  }
+
+  test("single-file root lists under its own name") {
+    val root = mkTree()
+    val m = Manifest.build(spark, Seq(root.resolve("a.txt").toString)).collect()
+    assert(m.length == 1)
+    assert(m.head.relativeDst == "a.txt" && !m.head.isDir)
+  }
+
+  test("distributed listing matches driver-side listing") {
+    val root = mkTree()
+    val drv = Manifest.build(spark, Seq(root.toString)).collect().map(_.path).sorted
+    val dist = Manifest.listDistributed(spark, Seq(root.toString)).collect().map(_.path).sorted
+    assert(dist.toSeq == drv.toSeq)
+  }
+
+  test("duplicate destinations across roots raise DuplicationException") {
+    val r1 = mkTree()
+    val r2 = mkTree()
+    val m = Manifest.build(spark, Seq(r1.toString, r2.toString))
+    val ex = intercept[DuplicationException](Manifest.checkDuplication(m))
+    assert(ex.getMessage.contains("a.txt"))
+  }
+
+  test("no exception when destinations are unique") {
+    val root = mkTree()
+    Manifest.checkDuplication(Manifest.build(spark, Seq(root.toString)))
+  }
+
+  test("bin packing: bins bounded by target (unless single file) and bytes conserved") {
+    import spark.implicits._
+    val files = (1 to 100).map(i =>
+      FileEntry(s"/r/f$i", "/r", s"f$i", length = (i % 7 + 1) * 10L, isDir = false, 0L))
+    val target = 100L
+    val binned = Manifest.binPack(spark.createDataset(files), target)
+    val perBin = binned.groupBy($"bin")
+      .agg(sum($"length").as("bytes"), count(lit(1)).as("n"))
+      .collect()
+    val total = perBin.map(_.getLong(1)).sum
+    assert(total == files.map(_.length).sum)
+    // greedy start-offset rule: a bin only exceeds target via its last file
+    perBin.foreach { r =>
+      val bytes = r.getLong(1)
+      assert(bytes <= target + 80, s"bin ${r.get(0)} = $bytes")
+    }
+  }
+
+  test("map count rule: min(files, cap), at least 1") {
+    assert(Manifest.mapCount(0, 20) == 1)
+    assert(Manifest.mapCount(5, 20) == 5)
+    assert(Manifest.mapCount(500, 20) == 20)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.file.{Files, Path => JPath}
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class DistExecJobSpec extends AnyFunSuite with SparkSpec {
+
+  private def mkTree(): JPath = {
+    val root = Files.createTempDirectory("graft-exec-src")
+    Files.writeString(root.resolve("a.txt"), "alpha\nmatch me\n")
+    Files.writeString(root.resolve("b.txt"), "bravo\n")
+    val sub = Files.createDirectories(root.resolve("sub"))
+    Files.writeString(sub.resolve("c.txt"), "match too\ncharlie\n")
+    Files.createDirectories(root.resolve("emptydir"))
+    root
+  }
+
+  private def tmpDst(): JPath = {
+    val d = Files.createTempDirectory("graft-exec-dst")
+    Files.delete(d)
+    d
+  }
+
+  test("e2e cat: mirrored tree with identical content (README primary example)") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat")
+    val rows = status.collect()
+    assert(rows.forall(_.ok))
+    assert(rows.length == 3)
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha\nmatch me\n")
+    assert(Files.readString(dst.resolve("sub/c.txt")) == "match too\ncharlie\n")
+    assert(Files.isDirectory(dst.resolve("emptydir")), "empty dirs materialize")
+    assert(!Files.exists(dst.resolve("a.txt.stderr")), "no stderr file when stderr empty")
+    val c = DistExecJob.counters(status)
+    assert(c.executed == 3 && c.failed == 0)
+    assert(c.bytesExecuted == c.bytesWritten)
+    // tmp dir cleaned up
+    assert(!Files.list(dst).iterator().hasNext ||
+      Files.list(dst).toArray.map(_.toString).forall(p => !p.contains("_distexec_tmp_")))
+  }
+
+  test("grep: exit 1 on no-match accepted; empty stdout produces NO dst file") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "grep match")
+    val byRel = status.collect().map(s => s.relativeDst -> s).toMap
+    assert(byRel.values.forall(_.ok))
+    assert(Files.readString(dst.resolve("a.txt")) == "match me\n")
+    assert(Files.readString(dst.resolve("sub/c.txt")) == "match too\n")
+    assert(!Files.exists(dst.resolve("b.txt")), "no-match grep output file must not exist")
+    assert(byRel("b.txt").exitCode == 1 && byRel("b.txt").bytesOut == 0)
+  }
+
+  test("failing command: job continues, FAIL status rows, no output files") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "sh -c 'exit 7'")
+    val rows = status.collect()
+    assert(rows.forall(!_.ok))
+    assert(rows.forall(_.error.startsWith("FAIL ")))
+    assert(!Files.exists(dst.resolve("a.txt")))
+    val c = DistExecJob.counters(status)
+    assert(c.failed == 3 && c.executed == 0)
+  }
+
+  test("stderr sidecar: .stderr file written only when stderr non-empty") {
+    val src = mkTree()
+    val dst = tmpDst()
+    DistExecJob.run(spark, Seq(src.toString), dst.toString,
+      "sh -c 'cat; echo oops >&2'").collect()
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha\nmatch me\n")
+    assert(Files.readString(dst.resolve("a.txt.stderr")) == "oops\n")
+  }
+
+  test("redirectErrorToOut interleaves stderr into stdout (real, unlike reference)") {
+    val src = mkTree()
+    val dst = tmpDst()
+    DistExecJob.run(spark, Seq(src.toString), dst.toString,
+      "sh -c 'echo first; echo second >&2'",
+      DistExecOptions(redirectErrorToOut = true)).collect()
+    val out = Files.readString(dst.resolve("a.txt"))
+    assert(out.contains("first\n") && out.contains("second\n"))
+    assert(!Files.exists(dst.resolve("a.txt.stderr")))
+  }
+
+  test("single-file special case: dst itself becomes the output file") {
+    val src = mkTree()
+    val dst = tmpDst()
+    DistExecJob.run(spark, Seq(src.resolve("a.txt").toString), dst.toString, "cat").collect()
+    assert(Files.isRegularFile(dst), "dst must be the output FILE, not a dir")
+    assert(Files.readString(dst) == "alpha\nmatch me\n")
+  }
+
+  test("duplicate destinations abort before any execution") {
+    val r1 = mkTree()
+    val r2 = mkTree()
+    val dst = tmpDst()
+    intercept[graft.fs.DuplicationException] {
+      DistExecJob.run(spark, Seq(r1.toString, r2.toString), dst.toString, "cat")
+    }
+    assert(!Files.exists(dst.resolve("a.txt")))
+  }
+
+  test("multi-root union with unique names lands in one dst") {
+    val r1 = Files.createTempDirectory("graft-r1")
+    val r2 = Files.createTempDirectory("graft-r2")
+    Files.writeString(r1.resolve("one.txt"), "1\n")
+    Files.writeString(r2.resolve("two.txt"), "2\n")
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(r1.toString, r2.toString), dst.toString, "cat")
+    assert(status.collect().forall(_.ok))
+    assert(Files.readString(dst.resolve("one.txt")) == "1\n")
+    assert(Files.readString(dst.resolve("two.txt")) == "2\n")
+  }
+
+  test("singleOut merge: one combined file, lines prefixed with source name") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "grep match")
+    DistExecJob.singleOutMerge(spark, dst.toString, status)
+    val merged = Files.readString(dst.resolve("_singleout"))
+    assert(merged == "a.txt:\tmatch me\nsub/c.txt:\tmatch too\n")
+  }
+
+  test("overwrite semantics: rerun replaces existing dst files") {
+    val src = mkTree()
+    val dst = tmpDst()
+    DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat").collect()
+    DistExecJob.run(spark, Seq(src.toString), dst.toString, "tr a-z A-Z").collect()
+    assert(Files.readString(dst.resolve("a.txt")) == "ALPHA\nMATCH ME\n")
+  }
+}
