@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{ExtOps, GroupA, GroupB}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared query
+  * inventory. Group A re-expresses the reference's computations
+  * (dup-detection, metrics, bin packing, path rules — reference
+  * DistExec.java) as relational queries; Group B + ExtOps are the
+  * extension surface (TPC-H-shaped analytics, dedup, similarity search,
+  * text analysis, multimodal plumbing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
+    * join-heavy top-revenue query (B5).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("b5_top_revenue")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GroupA.queries ++ GroupB.queries ++ ExtOps.queries
+
+  /** DuckDB-runnable twin of each query (same column names — the driver
+    * sorts columns by name before hashing). Omitted keys get a weaker
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    GroupA.oracle ++ GroupB.oracle ++ ExtOps.oracle
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: language-ID heuristic,
+  * quality features, token counting (whitespace + BPE-ish subwords), and
+  * rolling-window document fingerprinting.
+  *
+  * Determinism: every per-language/per-source aggregate sums INTEGERS and
+  * divides once at the end — no double summation anywhere, so results
+  * are bit-identical to the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword-vote language-ID heuristic. Votes are counted per marker
+    * list; prediction is the argmax with a fixed precedence order
+    * (en > de > fr > es), 'und' when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(words: Seq[String]) =
+      sum(when(col("tok").isInCollection(words), 1L).otherwise(0L))
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val scored = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(hits(Seq("the", "a", "of", "and", "is")).as("en_hits"),
+        hits(Seq("der", "die", "das", "und", "ist")).as("de_hits"),
+        hits(Seq("le", "la", "et", "les", "est")).as("fr_hits"),
+        hits(Seq("el", "los", "las", "y", "es")).as("es_hits"))
+    val predicted = when(
+      col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+        col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+      .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+        col("de_hits") > 0, "de")
+      .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+      .when(col("es_hits") > 0, "es")
+      .otherwise("und")
+    scored.select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Quality features rolled up per lang: integer sums only, ratios
+    * derived once at the end.
+    */
+  def qualityByLang(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("lang"), col("n_chars"),
+      size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"),
+      when(col("n_chars") >= 250, 1L).otherwise(0L).as("is_long"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("is_long")).as("n_long"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        (col("total_chars").cast("double") / col("total_tokens")).as("avg_tok_len"),
+        (col("n_long").cast("double") / col("n_docs")).as("share_long"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token counting per lang: whitespace words plus a BPE-ish subword
+    * estimate (ceil(len/4) pieces per word — the "~4 chars per token"
+    * rule).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("(length(tok) + 3) div 4")).as("n_subwords"),
+        sum(length(col("tok")).cast("long")).as("n_word_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Rolling-window fingerprint: the min md5 over sliding 4-token
+    * shingles (winnowing-style), plus the doc's distinct-shingle count;
+    * groups sharing a fingerprint are near-dup candidates.
+    */
+  def fingerprintGroups(docs: DataFrame): DataFrame = {
+    val withToks = docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .filter(size(col("toks")) >= 4)
+    val shingles = withToks
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 3), i -> array_join(slice(toks, i, 4), ' '))")).as("sh"))
+    val fp = shingles.groupBy(col("doc_id"))
+      .agg(min(md5(col("sh").cast("binary"))).as("fingerprint"),
+        countDistinct(col("sh")).as("n_shingles"))
+    fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fingerprint"))
+  }
+}

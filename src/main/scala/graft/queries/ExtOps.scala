@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Extension operator queries (the LLM-data-pipeline surface): dedup
+  * suite, similarity search, text analysis, multimodal plumbing. Thin
+  * wrappers over graft.operators / graft.functions; every oracle below
+  * replays the operator's exact arithmetic in DuckDB.
+  */
+object ExtOps {
+  import Tables.load
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(load(s, dir, "documents"), 5)),
+    "c2_simhash_buckets" -> ((s, dir) => Dedup.simhashBuckets(load(s, dir, "documents"))),
+    "c3_shingle_jaccard" -> ((s, dir) => Dedup.shingleJaccard(load(s, dir, "documents"), 25)),
+    "c4_embed_neardup" -> ((s, dir) => Similarity.nearDupPairs(load(s, dir, "embeddings"), 0.42)),
+    "c5_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(load(s, dir, "embeddings"), 100, 5)),
+    "c6_ann_lsh" -> ((s, dir) => Similarity.lshTopK(load(s, dir, "embeddings"), 20, 3, 4)),
+    "c7_langid" -> ((s, dir) => TextAnalysis.langId(load(s, dir, "documents"))),
+    "c8_quality" -> ((s, dir) => TextAnalysis.qualityByLang(load(s, dir, "documents"))),
+    "c9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))),
+    "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
+    "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))))
+
+  private val minhashCols =
+    (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
+
+  private val simhashSums =
+    (1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n         ")
+
+  private val simhashBits =
+    (1 to 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "c1_minhash_lsh" ->
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+         |sigs AS (SELECT doc_id, $minhashCols FROM toks GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id, concat(m0, m1, m2, m3) AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, 1, concat(m4, m5, m6, m7) FROM sigs),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS shared_bands
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS inter FROM cand c
+         |  JOIN toks ta ON ta.doc_id = c.da
+         |  JOIN toks tb ON tb.doc_id = c.db AND ta.tok = tb.tok
+         |  GROUP BY c.da, c.db)
+         |SELECT c.da AS da, c.db AS db, c.shared_bands AS shared_bands,
+         |  CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+         |JOIN sizes sa ON sa.doc_id = c.da
+         |JOIN sizes sb ON sb.doc_id = c.db
+         |ORDER BY 4 DESC, 1, 2 LIMIT 50""".stripMargin,
+    "c2_simhash_buckets" ->
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+         |s AS (SELECT doc_id,
+         |         $simhashSums
+         |      FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM s)
+         |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+         |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "c3_shingle_jaccard" ->
+      """WITH raw AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS sh
+        |  FROM documents, range(1, 2048) t(i)
+        |  WHERE doc_id % 25 = 0 AND i <= length(text) - 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM raw),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.da, i.db,
+        |       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        |FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+        |             JOIN sizes sb ON i.db = sb.doc_id
+        |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin,
+    "c4_embed_neardup" ->
+      """WITH el AS (SELECT vec_id, label, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM el GROUP BY vec_id),
+        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+        |                CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+        |  FROM el a JOIN el b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT d.label, d.va, d.vb, d.dot / (na.nv * nb.nv) AS cos
+        |FROM dots d JOIN nrm na ON na.vec_id = d.va
+        |            JOIN nrm nb ON nb.vec_id = d.vb
+        |WHERE d.dot / (na.nv * nb.nv) > 0.42
+        |ORDER BY cos DESC, va, vb""".stripMargin,
+    "c5_ann_brute" ->
+      """WITH el AS (SELECT vec_id, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm FROM el GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, e.vec_id, CAST(sum(q.v * e.v) AS DOUBLE) AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.norm * nv.norm) AS cos
+        |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+        |              JOIN nrm nv ON nv.vec_id = d.vec_id)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT qid, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "c6_ann_lsh" ->
+      """WITH b AS (SELECT vec_id,
+        |    concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |el AS (SELECT e.vec_id, b.bucket, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id,
+        |       range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS norm FROM el GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, e.vec_id, CAST(sum(q.v * e.v) AS DOUBLE) AS dot
+        |  FROM el q JOIN el e ON q.bucket = e.bucket AND q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id % 20 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.norm * nv.norm) AS cos
+        |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+        |              JOIN nrm nv ON nv.vec_id = d.vec_id)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT qid, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM cos)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "c7_langid" ->
+      """WITH raw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT doc_id, lang, tok FROM raw WHERE tok <> ''),
+        |scored AS (SELECT doc_id, lang,
+        |  sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS en_hits,
+        |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de_hits,
+        |  sum(CASE WHEN tok IN ('le','la','et','les','est') THEN 1 ELSE 0 END) AS fr_hits,
+        |  sum(CASE WHEN tok IN ('el','los','las','y','es') THEN 1 ELSE 0 END) AS es_hits
+        |  FROM toks GROUP BY doc_id, lang),
+        |pred AS (SELECT lang,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+        |            AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "c8_quality" ->
+      """WITH perdoc AS (SELECT lang, n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS is_long
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS avg_tok_len,
+        |  CAST(sum(is_long) AS DOUBLE) / count(*) AS share_long
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c9_token_count" ->
+      """WITH raw AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT lang, tok FROM raw WHERE tok <> '')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum((length(tok) + 3) // 4) AS BIGINT) AS n_subwords,
+        |       CAST(sum(length(tok)) AS BIGINT) AS n_word_chars
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "c10_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t4 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+        |shing AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 2),
+        |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' '))) AS sh
+        |  FROM t4),
+        |fp AS (SELECT doc_id, min(md5(sh)) AS fingerprint FROM shing GROUP BY doc_id)
+        |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM fp GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin,
+    "c11_multimodal" ->
+      """WITH m AS (SELECT concat('img/', source) AS kind,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents),
+        |f AS (SELECT kind, n_bytes, n_bytes % 640 AS width, (n_bytes * 7) % 480 AS height,
+        |             n_bytes % 24 + 1 AS frames FROM m)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(width) AS BIGINT) AS sum_width,
+        |       CAST(sum(height) AS BIGINT) AS sum_height,
+        |       CAST(sum(frames) AS BIGINT) AS sum_frames,
+        |       CAST(sum(least(frames, 8)) AS BIGINT) AS sum_sampled
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
+}

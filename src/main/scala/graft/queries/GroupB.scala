@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group B — the extension query surface (SURVEY §2.3 Group B): TPC-H-ish
+  * analytics plus the first slice of the LLM-data-pipeline operators over
+  * `documents`. Every aggregate over the testdata's float64 measures goes
+  * through exact decimal arithmetic (see [[Tables.dec]]) so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning.
+  */
+object GroupB {
+  import Tables.{dec, load}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1 — exact dedup by full-content hash, reported per source: at 100 TB
+    // this is the hash-groupBy dedup pass (shuffle on a 16-byte hash, never
+    // on the text itself).
+    "b1_exact_dedup" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("source"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+        .orderBy(col("source"))
+    }),
+
+    // B1b — normalized (4-token-prefix) dedup: groups that collide after
+    // normalization, with exemplars. The listing twin of B1.
+    "b1b_prefix_dedup" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(slice(split(col("text"), " "), 1, 4), " ").cast("binary")).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar"),
+          concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("h"))
+    }),
+
+    // B2 — n-gram (token-set) Jaccard similarity, blocked by lang. The
+    // blocking key bounds the pair space; the token-postings self-join is
+    // the classic "similarity join via inverted index" shape that scales
+    // by shuffling on token, never materializing the full cross product.
+    "b2_jaccard_pairs" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = toks.select(col("lang"), col("doc_id").as("da"), col("tok"))
+      val b = toks.select(col("lang"), col("doc_id").as("db"), col("tok"))
+      val inter = a.join(b, Seq("lang", "tok")).filter(col("da") < col("db"))
+        .groupBy(col("lang"), col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .select(col("lang"), col("da"), col("db"),
+          (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("da"), col("db"))
+        .limit(20)
+    }),
+
+    // B3 — token frequency per lang, top-10 terms (text analysis).
+    "b3_token_freq" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val counts = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // B4 — pricing summary (TPC-H Q1 shape): decimal-exact sums; the
+    // map-side partial aggregation makes this one shuffle of 6 rows/task.
+    "b4_pricing_summary" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * dec(expr("(1 - l_discount) * (1 + l_tax)")))
+            .cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // B5 — shipping-priority revenue (TPC-H Q3 shape): customer and orders
+    // join down to lineitem; customer is broadcast-size at any SF where
+    // dims stay < ~1% of facts, and AQE handles it otherwise.
+    "b5_top_revenue" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+      val cust = load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = load(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val li = load(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      broadcast(cust)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        // Timestamps cross the engine boundary as strings: Spark parquet is
+        // UTC-adjusted, DuckDB naive — formatting removes the ambiguity.
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+    }),
+
+    // B6 — tumbling 1-hour event windows (batch twin; the streaming twin
+    // with watermarking lives in graft.streaming.EventStream).
+    "b6_hourly_events" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // B7 — as-of join: for each sampled anchor event, the user's latest
+    // strictly-earlier event. Window-deduped join, partitioned by user —
+    // the scale path is a range-bounded join on (user, ts-bucket), not a
+    // global sort.
+    "b7_asof_events" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val anchors = ev.filter(col("event_id") % 20 === 0)
+        .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("anchor_ts"))
+      val prior = ev.select(col("user_id"), col("event_id").as("prev_id"),
+        col("event_type").as("prev_type"), col("ts").as("prev_ts"))
+      val joined = anchors.join(prior, Seq("user_id"))
+        .filter(col("prev_ts") < col("anchor_ts"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("prev_ts").desc, col("prev_id").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor_id"), col("user_id"),
+          date_format(col("anchor_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor_ts"),
+          col("prev_id"), col("prev_type"),
+          date_format(col("prev_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_ts"))
+        .orderBy(col("anchor_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "b1_exact_dedup" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "b1b_prefix_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')) AS h
+        |  FROM documents)
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS exemplar,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+        |FROM h GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "b2_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang, tok
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id % 5 = 0)
+        |  WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.lang, a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.tok = b.tok
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.lang, a.doc_id, b.doc_id)
+        |SELECT i.lang, i.da, i.db,
+        |       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+        |FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+        |             JOIN sizes sb ON i.db = sb.doc_id
+        |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin,
+    "b3_token_freq" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks WHERE tok <> '' GROUP BY lang, tok)
+        |SELECT lang, tok, n, rn FROM (
+        |  SELECT lang, tok, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rn
+        |  FROM counts)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "b4_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b5_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "b6_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "b7_asof_events" ->
+      """WITH anchors AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+        |  FROM events WHERE event_id % 20 = 0),
+        |joined AS (
+        |  SELECT a.anchor_id, a.user_id, a.anchor_ts,
+        |         e.event_id AS prev_id, e.event_type AS prev_type, e.ts AS prev_ts,
+        |         row_number() OVER (PARTITION BY a.anchor_id
+        |           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM anchors a JOIN events e
+        |    ON a.user_id = e.user_id AND e.ts < a.anchor_ts)
+        |SELECT anchor_id, user_id,
+        |       strftime(anchor_ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts,
+        |       prev_id, prev_type,
+        |       strftime(prev_ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_ts
+        |FROM joined WHERE rn = 1 ORDER BY anchor_id""".stripMargin)
+}
