@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 /** Group B — the extension query surface (SURVEY §2.3 Group B): TPC-H-ish
   * analytics plus the first slice of the LLM-data-pipeline operators over
   * `documents`. Every aggregate over the testdata's float64 measures goes
-  * through exact decimal arithmetic (see [[Tables.dec]]) so results are
-  * bit-identical to the DuckDB oracle regardless of partitioning.
+  * through exact decimal arithmetic (see [[Tables.dec2]]/[[Tables.fac4]])
+  * so results are bit-identical to the DuckDB oracle regardless of
+  * partitioning.
   */
 object GroupB {
-  import Tables.{dec, load}
+  import Tables.{dec2, fac4, load}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1 — exact dedup by full-content hash, reported per source: at 100 TB
@@ -83,14 +84,14 @@ object GroupB {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount")))
             .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * dec(expr("(1 - l_discount) * (1 + l_tax)")))
+          sum(dec2(col("l_extendedprice")) * fac4(expr("(1 - l_discount) * (1 + l_tax)")))
             .cast("double").as("sum_charge"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -107,7 +108,7 @@ object GroupB {
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .agg(sum(dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -123,7 +124,7 @@ object GroupB {
     "b6_hourly_events" -> ((s, dir) => {
       load(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -196,14 +197,14 @@ object GroupB {
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
     "b4_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(10,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(10,4))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -211,8 +212,8 @@ object GroupB {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "b5_top_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -224,7 +225,7 @@ object GroupB {
     "b6_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "b7_asof_events" ->
       """WITH anchors AS (

@@ -26,16 +26,19 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Money/measure column → exact decimal for order-independent sums.
-    * Scale 6 > the data's 2 actual decimal digits, so the cast never
-    * rounds at a half boundary.
+  /** Money/measure column → exact decimal(18,2): the data carries exactly
+    * 2 decimal digits (verified), so this cast is lossless. Keeping the
+    * scale minimal matters: a SUM's scaled integer must stay below 2^53,
+    * where BOTH engines' decimal→double conversion is exactly rounded
+    * (DuckDB's int128→double path is not correctly rounded above that).
     */
-  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast(DecimalType(18, 6))
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
 
-  /** Embedding element → exact decimal. Floats are ~unit scale; 9
-    * fractional digits keeps products within decimal(38) in both engines.
+  /** Discount/tax factor → decimal(10,4): products of two 2-decimal
+    * factors are exactly 4-decimal, so this cast is lossless too; price ×
+    * factor sums then sit at scale 6 — still < 2^53 scaled at sf0.1.
     */
-  def vdec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast(DecimalType(12, 9))
+  def fac4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(10, 4))
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch B6 query (hourly event rollup,
+  * GroupB.b6_hourly_events): identical window expression, plus a
+  * watermark for state eviction — the batch/stream expressions stay in
+  * lock-step so backfill (batch) and live (stream) paths agree, the
+  * Kappa-architecture property the reference's batch-only design lacks.
+  *
+  * At scale: tumbling-window aggregation with a watermark keeps state
+  * bounded to (active windows × event types); shuffle is on the window
+  * key, partial aggregation runs map-side, and late events beyond the
+  * watermark are dropped deterministically.
+  */
+object EventStream {
+
+  /** The events schema as streamed (file sources need it declared). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared transform: tumbling 1-hour windows per event type. EXACTLY the
+    * batch B6 expression, applied to either a batch or streaming frame.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming source over a directory of JSON event files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 16)
+      .json(dir)
+
+  /** The streaming query: watermarked tumbling windows, update mode. */
+  def hourlyStream(events: DataFrame): DataFrame =
+    hourlyRollup(events.withWatermark("ts", "2 hours"))
+
+  /** Wire a streaming rollup to a sink (memory sink in tests; in
+    * production a kafka/parquet sink with checkpointing).
+    */
+  def start(events: DataFrame, checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    hourlyStream(events).writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+}

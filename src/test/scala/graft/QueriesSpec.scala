@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + determinism for the whole declared inventory at sf0.001: every
+  * query runs, and running it twice yields identical rows (catches
+  * accidental order- or partitioning-dependence — the determinism
+  * contract behind the DuckDB oracle).
+  */
+class QueriesSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and is deterministic at sf0.001") {
+      val r1 = fn(spark, dir).collect().map(_.toString).toSeq
+      val r2 = fn(spark, dir).collect().map(_.toString).toSeq
+      assert(r1 == r2, s"$name: two runs differ")
+    }
+  }
+}

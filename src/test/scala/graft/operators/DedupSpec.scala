@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("minhash LSH finds exact duplicates with jaccard 1.0") {
+    val d = docs(
+      0L -> "alpha beta gamma delta",
+      5L -> "alpha beta gamma delta", // exact dup of 0 (both % 5 == 0)
+      10L -> "completely different words here",
+      3L -> "ignored by sampling mod")
+    val out = Dedup.minhashLsh(d, 5).collect()
+    val pair = out.find(r => r.getLong(0) == 0L && r.getLong(1) == 5L)
+    assert(pair.isDefined, "exact dup pair (0,5) must be an LSH candidate")
+    assert(pair.get.getAs[Double]("jaccard") == 1.0)
+    assert(pair.get.getAs[Long]("shared_bands") == 2L)
+    // dissimilar docs share no band
+    assert(!out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 10L))
+  }
+
+  test("simhash: identical docs collide, fingerprint is 16-bit") {
+    val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
+      3L -> "unrelated content entirely")
+    val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < (1 << 16)))
+    val buckets = Dedup.simhashBuckets(d).collect()
+    assert(buckets.exists(_.getAs[String]("doc_ids") == "1,2"))
+  }
+
+  test("shingle jaccard: identical docs score 1.0, order deterministic") {
+    val d = docs(0L -> "abcdefghij", 25L -> "abcdefghij", 50L -> "zzzzzzzzzz")
+    val out = Dedup.shingleJaccard(d, 25).collect()
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 25L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("verifyJaccard handles disjoint candidate pair (coalesce path)") {
+    val postings = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "tok")
+    val pairs = Seq((1L, 2L, 1L)).toDF("da", "db", "shared_bands")
+    val out = Dedup.verifyJaccard(pairs, postings).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 0.0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*): DataFrame =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks an identical vector first") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // identical to query 0
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0), // close
+      (3L, Seq(0f, 1f, 0f, 0f), 0)) // orthogonal
+    val out = Similarity.bruteForceTopK(d, 100, 3).collect() // query = vec 0
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    val orth = out.find(_.getLong(1) == 3L).get.getAs[Double]("cos")
+    assert(math.abs(orth) < 1e-9)
+  }
+
+  test("sign-LSH buckets by leading-dimension signs and restricts search") {
+    val d = emb(
+      (0L, Seq(1f, 1f, -1f, 1f, 5f), 0),
+      (20L, Seq(2f, 1f, -2f, 1f, 4f), 0), // same bucket as 0: ++-+
+      (2L, Seq(-1f, 1f, 1f, 1f, 3f), 0)) // different bucket
+    val buckets = Similarity.signBucket(d, 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets(0L) == "1101" && buckets(20L) == "1101" && buckets(2L) == "0111")
+    val out = Similarity.lshTopK(d, 20, 3, 4).collect()
+    // queries 0 and 20 only see each other (vec 2 is in another bucket)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 20L), (20L, 0L)))
+  }
+
+  test("near-dup pairs: only same-label pairs above threshold") {
+    val d = emb(
+      (0L, Seq(1f, 2f, 3f, 4f), 7),
+      (1L, Seq(1f, 2f, 3f, 4f), 7), // dup, same label
+      (2L, Seq(1f, 2f, 3f, 4f), 8), // dup content, OTHER label: blocked out
+      (3L, Seq(-4f, 3f, -2f, 1f), 7)) // dissimilar
+    val out = Similarity.nearDupPairs(d, 0.99).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming hourly rollup matches the batch twin on the same data") {
+    val dir = Files.createTempDirectory("events-stream").toFile
+    val ckpt = Files.createTempDirectory("events-ckpt").toFile
+    val lines = Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:05:00.000Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2024-01-01T00:55:00.000Z","user_id":2,"event_type":"click","value":2.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T01:10:00.000Z","user_id":1,"event_type":"view","value":0.5,"props":"{}"}""",
+      """{"event_id":4,"ts":"2024-01-01T01:20:00.000Z","user_id":3,"event_type":"click","value":4.25,"props":"{}"}""")
+    Files.write(new java.io.File(dir, "part1.json").toPath, lines.take(2).mkString("\n").getBytes)
+    Files.write(new java.io.File(dir, "part2.json").toPath, lines.drop(2).mkString("\n").getBytes)
+
+    val stream = EventStream.readEventStream(spark, dir.getAbsolutePath)
+    assert(stream.isStreaming)
+    val q = EventStream.start(stream, ckpt.getAbsolutePath)
+      .format("memory").queryName("hourly_test").start()
+    q.awaitTermination()
+
+    val streamed = spark.table("hourly_test").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.hourlyRollup(
+      spark.read.schema(EventStream.eventSchema).json(dir.getAbsolutePath)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.5),
+      ("2024-01-01 01:00:00", "view", 1L, 0.5),
+      ("2024-01-01 01:00:00", "click", 1L, 4.25)))
+  }
+}
