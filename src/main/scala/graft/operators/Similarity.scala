@@ -1,59 +1,71 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Determinism: elements are quantized to decimal(12,4) and dot products /
   * norms accumulate in exact decimal — order-independent sums whose scaled
   * integer value stays < 2^53, so BOTH engines' decimal→double conversion
-  * is exact and results are bit-identical to the DuckDB oracle. (Scale 4
-  * shifts cosine by ~1e-4 vs float-exact — an explicit, documented
-  * quantization, applied identically in engine and oracle.) The final
-  * division/sqrt run in double, IEEE-identical on identical inputs.
+  * is exact and results are bit-identical to the DuckDB oracle (which
+  * replays the same arithmetic in exploded form — exact decimal makes the
+  * summation order irrelevant). Scale 4 shifts cosine by ~1e-4 vs
+  * float-exact: an explicit, documented quantization applied identically
+  * in engine and oracle. The final division/sqrt run in double,
+  * IEEE-identical on identical inputs.
   *
-  * Scale shapes: the position-exploded layout shuffles on the dimension
-  * index, so a query batch against N vectors is a hash join + partial
-  * aggregation — no driver-side loops, no cross product wider than
-  * |queries| × N. The LSH variant prunes that to same-bucket candidates.
+  * Scale shapes: dot products are per-row array folds (zip_with +
+  * aggregate) — NO position-explode, NO 64× shuffle amplification. The
+  * brute-force path broadcasts the (small) query batch and scans the
+  * vector table once; the LSH path joins on the sign-bucket key so each
+  * query only meets ~N/2^bits candidates; near-dup pairs join on the
+  * blocking label. Top-k is a per-query window over the candidate rows.
   */
 object Similarity {
 
-  private def vdec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 4))
-
-  /** (vec_id, label, i (1-based), v decimal) exploded layout. */
-  def elements(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("p", "vf")))
-      .select(col("vec_id"), col("label"), (col("p") + 1).as("i"), vdec(col("vf")).as("v"))
-
-  /** L2 norm per vector (double, from an exact decimal sum of squares). */
-  def norms(elems: DataFrame): DataFrame =
-    elems.groupBy(col("vec_id"))
-      .agg(sqrt(sum(col("v") * col("v")).cast("double")).as("norm"))
-
-  /** Brute-force cosine top-k: every `queryMod`-th vector against ALL
-    * vectors. The exact baseline an ANN index is judged against.
+  /** Quantized integer embedding: each element as round(x, 4) × 10⁴ — the
+    * decimal(12,4) quantization as an exact scaled long, so the fold runs
+    * in primitive long arithmetic instead of BigDecimal.
     */
-  def bruteForceTopK(emb: DataFrame, queryMod: Int, k: Int): DataFrame = {
-    val elems = elements(emb)
-    val nrm = norms(elems)
-    val qe = elems.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("i"), col("v").as("qv"))
-    val dots = qe.join(elems.select(col("vec_id"), col("i"), col("v")), "i")
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qv") * col("v")).cast("double").as("dot"))
-    val cos = dots
-      .join(nrm.select(col("vec_id").as("qid"), col("norm").as("qn")), "qid")
-      .join(nrm, "vec_id")
-      .select(col("qid"), col("vec_id"), (col("dot") / (col("qn") * col("norm"))).as("cos"))
+  private def scaled(a: String): String =
+    s"transform($a, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT))"
+
+  /** Exact dot product of two pre-scaled long-array columns: long fold
+    * (|sum| ≤ dims·(8·10⁴)² ≈ 4·10¹¹ — no overflow, < 2^53 so the final
+    * double conversion is exact), then unscale by 10⁸. Bit-identical to
+    * the oracle's decimal-sum formulation: both are the same rational.
+    */
+  private def dot(a: String, b: String): Column = expr(
+    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> x * y),
+       |  CAST(0 AS BIGINT), (acc, z) -> acc + z) AS DOUBLE)""".stripMargin) / 1.0e8
+
+  /** L2 norm of a pre-scaled long-array column. */
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  private def topK(cos: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cos.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Brute-force cosine top-k: every `queryMod`-th vector against ALL
+    * vectors — the exact baseline an ANN index is judged against. One scan
+    * of the vector table; the query batch rides along as a broadcast.
+    */
+  def bruteForceTopK(emb: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ie").as("qe"), col("nv").as("qn"))
+    val cos = base.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dot("ie", "qe") / (col("qn") * col("nv"))).as("cos"))
+    topK(cos, k)
   }
 
   /** Sign-LSH bucket: concatenated sign bits of the first `nBits`
@@ -67,47 +79,37 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: neighbors searched only within the query's sign
-    * bucket — the 100 TB path (bucket is the shuffle/partition key; each
-    * bucket's candidate set is ~N/2^bits).
+    * bucket — the 100 TB path (bucket is the join/partition key; each
+    * query meets ~N/2^bits candidates instead of N).
     */
   def lshTopK(emb: DataFrame, queryMod: Int, k: Int, nBits: Int = 4): DataFrame = {
-    val bucketed = signBucket(emb, nBits).select(col("vec_id"), col("bucket"))
-    val elems = elements(emb).join(bucketed, "vec_id")
-    val nrm = norms(elems)
-    val qe = elems.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("bucket"), col("i"), col("v").as("qv"))
-    val dots = qe.join(elems.select(col("vec_id"), col("bucket"), col("i"), col("v")),
-        Seq("bucket", "i"))
+    val base = signBucket(emb, nBits)
+      .select(col("vec_id"), col("bucket"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("bucket"),
+        col("ie").as("qe"), col("nv").as("qn"))
+    val cos = base.join(broadcast(queries), "bucket")
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qv") * col("v")).cast("double").as("dot"))
-    val cos = dots
-      .join(nrm.select(col("vec_id").as("qid"), col("norm").as("qn")), "qid")
-      .join(nrm, "vec_id")
-      .select(col("qid"), col("vec_id"), (col("dot") / (col("qn") * col("norm"))).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cos.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .orderBy(col("qid"), col("rn"))
+      .select(col("qid"), col("vec_id"),
+        (dot("ie", "qe") / (col("qn") * col("nv"))).as("cos"))
+    topK(cos, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * label (the blocking key bounds the pair space like `lang` does for
-    * text).
+    * text). Pair rows carry whole arrays; the dot is a per-pair fold.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val elems = elements(emb)
-    val nrm = norms(elems)
-    val a = elems.select(col("label"), col("vec_id").as("va"), col("i"), col("v").as("xa"))
-    val b = elems.select(col("label"), col("vec_id").as("vb"), col("i"), col("v").as("xb"))
-    val dots = a.join(b, Seq("label", "i")).filter(col("va") < col("vb"))
-      .groupBy(col("label"), col("va"), col("vb"))
-      .agg(sum(col("xa") * col("xb")).cast("double").as("dot"))
-    dots
-      .join(nrm.select(col("vec_id").as("va"), col("norm").as("na")), "va")
-      .join(nrm.select(col("vec_id").as("vb"), col("norm").as("nb")), "vb")
+    val base = emb.select(col("label"), col("vec_id"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val a = base.select(col("label"), col("vec_id").as("va"),
+      col("ie").as("ea"), col("nv").as("na"))
+    val b = base.select(col("label"), col("vec_id").as("vb"),
+      col("ie").as("eb"), col("nv").as("nb"))
+    a.join(b, "label").filter(col("va") < col("vb"))
       .select(col("label"), col("va"), col("vb"),
-        (col("dot") / (col("na") * col("nb"))).as("cos"))
+        (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") > threshold)
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }
