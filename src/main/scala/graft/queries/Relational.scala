@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Additional relational-operator coverage (SURVEY §2.2 categories beyond
+  * the §2.3 list): semi-structured extraction, ROLLUP, pivot-style
+  * conditional aggregation, and sessionization (lag + gap windows). Same
+  * determinism contract as GroupB.
+  */
+object Relational {
+  import Tables.{dec2, load}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // d1 — semi-structured extraction: events.props is a JSON-ish string
+    // {"k": N}; extract N with a regex (portable across engines, no JSON
+    // extension needed) and aggregate per event type.
+    "d1_props_extract" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // d2 — ROLLUP aggregation (hierarchical subtotals). Group markers are
+    // coalesced to 'ALL' so the null-ordering difference between engines
+    // (Spark: NULLS FIRST, DuckDB: NULLS LAST) never matters.
+    "d2_rollup_pricing" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_price"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // d3 — pivot-style conditional aggregation: event counts per user
+    // bucket spread across type columns (the portable formulation of
+    // PIVOT — one pass, map-side partials).
+    "d3_pivot_events" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+      ev.groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(cnt("click"), cnt("view"), cnt("error"), cnt("purchase"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("user_bucket"))
+    }),
+
+    // d4 — sessionization: a session break is a >30-minute gap between a
+    // user's consecutive events; session ids are a running sum of breaks
+    // (lag + cumulative window — the batch formulation of what
+    // session_window does in streaming). Output: per-user session stats.
+    "d4_sessionize" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "d1_props_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+        |         / count(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d2_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "d3_pivot_events" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |       CAST(count(*) AS BIGINT) AS n_total
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "d4_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE user_id % 10 = 0),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM sessioned GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}
