@@ -77,21 +77,30 @@ object GroupB {
         .orderBy(col("lang"), col("rn"))
     }),
 
-    // B4 — pricing summary (TPC-H Q1 shape): decimal-exact sums; the
-    // map-side partial aggregation makes this one shuffle of 6 rows/task.
+    // B4 — pricing summary (TPC-H Q1 shape). Sums run over exactly-scaled
+    // LONGS (cents / 1e4-scaled factors): same rational values as the
+    // oracle's decimal formulation — scaled totals stay < 2^53, so both
+    // engines' int→double conversions are exact — but the hash aggregate
+    // accumulates primitive longs inside whole-stage codegen instead of
+    // BigDecimal. One shuffle of 6 rows/task (map-side partials).
     "b4_pricing_summary" -> ((s, dir) => {
+      val qtyC = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val priceC = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val discF = expr("CAST(CAST(1 - l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT)")
+      val chargeF = expr(
+        "CAST(CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(10,4)) * 10000 AS BIGINT)")
       load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .select(col("l_returnflag"), col("l_linestatus"), qtyC.as("q"), priceC.as("p"),
+          (priceC * discF).as("pd"), (priceC * chargeF).as("pc"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount")))
-            .cast("double").as("sum_disc_price"),
-          sum(dec2(col("l_extendedprice")) * fac4(expr("(1 - l_discount) * (1 + l_tax)")))
-            .cast("double").as("sum_charge"),
-          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("q")).cast("double") / 100.0).as("sum_qty"),
+          (sum(col("p")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(col("pd")).cast("double") / 1.0e6).as("sum_disc_price"),
+          (sum(col("pc")).cast("double") / 1.0e6).as("sum_charge"),
+          (sum(col("q")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+          (sum(col("p")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),

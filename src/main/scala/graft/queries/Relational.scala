@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * determinism contract as GroupB.
   */
 object Relational {
-  import Tables.{dec2, load}
+  import Tables.load
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1 — semi-structured extraction: events.props is a JSON-ish string
@@ -32,8 +32,11 @@ object Relational {
     "d2_rollup_pricing" -> ((s, dir) => {
       load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        // cents-scaled long sum: same exact value as the oracle's decimal
+        // sum (scaled total < 2^53), primitive-speed aggregation (cf. b4)
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          (sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100.0).as("sum_price"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("sum_price"))
