@@ -67,7 +67,12 @@ object Dedup {
           (col("sa") + col("sb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
-  /** Full MinHash→LSH→verify pipeline over `documents`. */
+  /** Full MinHash→LSH→verify pipeline over `documents`. The postings
+    * relation feeds three consumers (signatures, sizes, intersection);
+    * recomputing it is cheaper than caching at these sizes (measured), and
+    * at 100 TB the materialize-the-inverted-index decision belongs to the
+    * caller (write postings to parquet once, feed many dedup runs).
+    */
   def minhashLsh(docs: DataFrame, sampleMod: Int): DataFrame = {
     val postings = tokenPostings(docs, sampleMod)
     val cands = lshCandidates(minhashSignatures(postings))
