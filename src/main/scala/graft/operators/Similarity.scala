@@ -96,6 +96,38 @@ object Similarity {
     topK(cos, k)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the nearest of
+    * `nCells` centroids (deterministically chosen as the lowest-id
+    * vectors — a stand-in for k-means at this scale); queries search only
+    * their own cell. The centroid table is tiny and broadcast twice
+    * (assignment, then probe); the cell id is the partition key, so at
+    * 100 TB each query touches ~N/nCells vectors and one partition.
+    *
+    * Assignment maximizes cosine against each centroid (ties → lowest
+    * centroid id), making it exactly replayable by the oracle.
+    */
+  def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val centroids = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("ie"), col("nv"), col("cid"),
+        (dot("ie", "ce") / (col("nv") * col("cn"))).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("ie"), col("nv"), col("cid").as("cell"))
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("cell"), col("ie").as("qe"), col("nv").as("qn"))
+    val cos = assigned.join(broadcast(queries), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dot("ie", "qe") / (col("qn") * col("nv"))).as("cos"))
+    topK(cos, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
     * label (the blocking key bounds the pair space like `lang` does for
     * text). Pair rows carry whole arrays; the dot is a per-pair fold.

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. AQE's skew-join handling covers joins; this
+  * covers the aggregation side: a heavy-hitter key (one user producing a
+  * large share of 100 TB of events) funnels its whole group through one
+  * reducer in a naive groupBy.
+  *
+  * [[saltedSum]] runs the classic two-phase shape: phase 1 groups by
+  * (key, salt) — spreading a hot key over `salts` reducers — and phase 2
+  * merges the partials by key. Identical results to a direct groupBy
+  * (sums are associative), bounded per-reducer load.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: counts plus any number of SUM columns.
+    * `sums` maps output column name → summand expression.
+    */
+  def saltedSum(
+      df: DataFrame,
+      key: Column,
+      sums: Map[String, Column],
+      salts: Int = 16): DataFrame = {
+    val partialAggs = sums.toSeq.map { case (name, c) => sum(c).as(name) } :+
+      count(lit(1)).as("__n")
+    val partial = df
+      .groupBy(key.as("__key"), pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sums.keys.toSeq.map(n => sum(col(n)).as(n)) :+
+      sum(col("__n")).as("n")
+    partial.groupBy(col("__key"))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+      .withColumnRenamed("__key", "key")
+  }
+}

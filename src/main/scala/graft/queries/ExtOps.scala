@@ -24,7 +24,8 @@ object ExtOps {
     "c8_quality" -> ((s, dir) => TextAnalysis.qualityByLang(load(s, dir, "documents"))),
     "c9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))),
     "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
-    "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))))
+    "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
+    "c12_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8)))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -131,6 +132,36 @@ object ExtOps {
         |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.norm * nv.norm) AS cos
         |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
         |              JOIN nrm nv ON nv.vec_id = d.vec_id)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT qid, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM cos)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "c12_ann_ivf" ->
+      """WITH el AS (SELECT vec_id, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM el GROUP BY vec_id),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cid, CAST(sum(a.v * c.v) AS DOUBLE) AS cdot
+        |  FROM el a JOIN el c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1, 2),
+        |ccos AS (SELECT cd.vec_id, cd.cid, cd.cdot / (na.nv * nc.nv) AS ccos
+        |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id
+        |          JOIN nrm nc ON nc.vec_id = cd.cid),
+        |assigned AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |  FROM ccos) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id
+        |  FROM assigned q JOIN assigned e
+        |    ON q.cell = e.cell AND e.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |dots AS (SELECT p.qid, p.vec_id, CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+        |  FROM pairs p JOIN el a ON a.vec_id = p.qid
+        |               JOIN el b ON b.vec_id = p.vec_id AND a.i = b.i
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.nv * nv2.nv) AS cos
+        |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+        |              JOIN nrm nv2 ON nv2.vec_id = d.vec_id)
         |SELECT qid, vec_id, cos, rn FROM (
         |  SELECT qid, vec_id, cos,
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
