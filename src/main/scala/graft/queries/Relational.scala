@@ -55,6 +55,22 @@ object Relational {
         .orderBy(col("user_bucket"))
     }),
 
+    // d5 — set operations: customers that ordered in both eras
+    // (INTERSECT), and early-era customers that never returned (EXCEPT).
+    // Hash-partitioned set semantics — no sort needed at any scale.
+    "d5_set_ops" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val ord = load(s, dir, "orders")
+      val early = ord.filter(col("o_orderdate") < cut).select(col("o_custkey"))
+      val late = ord.filter(col("o_orderdate") >= cut).select(col("o_custkey"))
+      val both = early.intersect(late).withColumn("cohort", lit("both_eras"))
+      val lapsed = early.except(late).withColumn("cohort", lit("lapsed"))
+      both.unionByName(lapsed)
+        .groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"),
+          min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+        .orderBy(col("cohort"))
+    }),
+
     // d4 — sessionization: a session break is a >30-minute gap between a
     // user's consecutive events; session ids are a running sum of breaks
     // (lag + cumulative window — the batch formulation of what
@@ -102,6 +118,18 @@ object Relational {
         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |       CAST(count(*) AS BIGINT) AS n_total
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "d5_set_ops" ->
+      """WITH early AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'),
+        |late AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'),
+        |cohorts AS (
+        |  SELECT o_custkey, 'both_eras' AS cohort FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+        |  UNION ALL
+        |  SELECT o_custkey, 'lapsed' AS cohort FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late))
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers,
+        |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
+        |FROM cohorts GROUP BY cohort ORDER BY cohort""".stripMargin,
     "d4_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts FROM events WHERE user_id % 10 = 0),
