@@ -30,12 +30,18 @@ object Bench {
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).collect()
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir).collect(); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $n FAILED: ${t.getMessage}")
+            false
+        }
+      // A failed query must not masquerade as a fast one: report -1.
+      (n, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

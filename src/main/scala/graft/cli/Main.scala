@@ -98,6 +98,10 @@ object Main {
         System.err.println(e.getMessage); spark.stop(); sys.exit(-2)
       case e: java.io.FileNotFoundException =>
         System.err.println(e.getMessage); spark.stop(); sys.exit(-3)
+      // Reference catch-all: any other failure → -999 (DistExec.java:350-374).
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"distexec failed: ${e.getMessage}")
+        spark.stop(); sys.exit(-999)
     }
   }
 }

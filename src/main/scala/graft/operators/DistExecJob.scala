@@ -105,9 +105,13 @@ object DistExecJob {
     val tmpRootStr = tmpRoot.toString
     val dstStr = dstPath.toString
     val isSpecial = special
+    // Ship the driver's effective Hadoop config (credentials, defaultFS,
+    // spark.hadoop.* overrides) — a bare `new Configuration()` on the
+    // executor would see classpath defaults only.
+    val confEntries = Manifest.hadoopConfEntries(conf)
 
     val statuses = binned.mapPartitions { it =>
-      val taskConf = new Configuration()
+      val taskConf = Manifest.restoreConf(confEntries)
       val attempt = TaskContext.get() match {
         case null => "local"
         case tc   => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"

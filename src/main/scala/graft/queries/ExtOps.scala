@@ -74,7 +74,7 @@ object ExtOps {
     "c3_shingle_jaccard" ->
       """WITH raw AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS sh
         |  FROM documents, range(1, 2048) t(i)
-        |  WHERE doc_id % 25 = 0 AND i <= length(text) - 2),
+        |  WHERE doc_id % 25 = 0 AND length(text) >= 3 AND i <= length(text) - 2),
         |sh AS (SELECT DISTINCT doc_id, sh FROM raw),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter

@@ -128,14 +128,10 @@ object GroupB {
           col("o_orderpriority"), col("revenue"))
     }),
 
-    // B6 — tumbling 1-hour event windows (batch twin; the streaming twin
-    // with watermarking lives in graft.streaming.EventStream).
+    // B6 — tumbling 1-hour event windows. The expression IS the streaming
+    // twin's (one definition — backfill and live paths cannot drift).
     "b6_hourly_events" -> ((s, dir) => {
-      load(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n"), col("sum_value"))
+      graft.streaming.EventStream.hourlyRollup(load(s, dir, "events"))
         .orderBy(col("hour_start"), col("event_type"))
     }),
 

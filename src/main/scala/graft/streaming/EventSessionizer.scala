@@ -12,7 +12,11 @@ final case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timest
   def tsMicros: Long = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 }
 
-/** Per-user open-session state kept between micro-batches. */
+/** Per-user session state kept between micro-batches. `nEvents == 0`
+  * marks an IDLE user: no open session, but `sessionId` preserves the
+  * next session number so ids stay unique per user across timeouts
+  * (matching the batch d4 numbering).
+  */
 final case class SessionState(
     sessionId: Long,
     startMicros: Long,
@@ -53,6 +57,8 @@ object EventSessionizer {
     sorted.foldLeft((state, List.empty[ClosedSession])) {
       case ((None, closed), e) =>
         (Some(SessionState(1L, e.tsMicros, e.tsMicros, 1L)), closed)
+      case ((Some(st), closed), e) if st.nEvents == 0 => // idle: resume numbering
+        (Some(SessionState(st.sessionId, e.tsMicros, e.tsMicros, 1L)), closed)
       case ((Some(st), closed), e) if e.tsMicros - st.lastMicros > GapMicros =>
         val done = ClosedSession(user, st.sessionId, st.nEvents, st.startMicros, st.lastMicros)
         (Some(SessionState(st.sessionId + 1, e.tsMicros, e.tsMicros, 1L)), closed :+ done)
@@ -66,16 +72,21 @@ object EventSessionizer {
       events: Iterator[SessionEvent],
       state: GroupState[SessionState]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
-      // Watermark passed last-event + gap: the open session is closed.
+      // Watermark passed last-event + gap: the open session closes. Keep
+      // an IDLE marker carrying the next session number, so the user's
+      // later sessions never reuse an emitted (user_id, session_id) key
+      // (the batch d4 twin numbers sessions 1..n per user). The marker is
+      // a few dozen bytes per ever-seen user — the price of stable ids.
       val st = state.get
-      state.remove()
+      state.update(SessionState(st.sessionId + 1, 0L, 0L, 0L))
       return Iterator(ClosedSession(user, st.sessionId, st.nEvents, st.startMicros, st.lastMicros))
     }
     val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
     val (next, closed) = advance(user, state.getOption, sorted)
     next.foreach { st =>
       state.update(st)
-      state.setTimeoutTimestamp((st.lastMicros + GapMicros) / 1000 + 1)
+      if (st.nEvents > 0)
+        state.setTimeoutTimestamp((st.lastMicros + GapMicros) / 1000 + 1)
     }
     closed.iterator
   }

@@ -18,6 +18,12 @@ class EventSessionizerSpec extends AnyFunSuite with SparkSpec {
     // resuming from state: event inside gap extends, none closed
     val (st2, closed2) = EventSessionizer.advance(7L, st, Seq(ev(4, 140)))
     assert(closed2.isEmpty && st2.get.nEvents == 2L)
+    // resuming from an IDLE marker (post-timeout): session numbering
+    // continues — no (user, session_id) reuse vs the batch twin
+    val idle = Some(SessionState(3L, 0L, 0L, 0L))
+    val (st3, closed3) = EventSessionizer.advance(7L, idle, Seq(ev(9, 300)))
+    assert(closed3.isEmpty)
+    assert(st3.contains(SessionState(3L, 300L * 60 * 1000000, 300L * 60 * 1000000, 1L)))
   }
 
   test("streaming sessionization emits gap-closed sessions (file source)") {
