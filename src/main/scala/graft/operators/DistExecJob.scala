@@ -60,42 +60,69 @@ object DistExecJob {
       dst: String,
       command: String,
       options: DistExecOptions = DistExecOptions()): Dataset[ExecStatus] = {
-    import spark.implicits._
     require(srcs.nonEmpty, "at least one source required")
+    runManifest(spark, Manifest.build(spark, srcs), dst, command, options)
+  }
+
+  /** Run over a pre-built manifest — pass [[Manifest.listDistributed]]'s
+    * output here when the tree is too wide for driver-side listing.
+    */
+  def runManifest(
+      spark: SparkSession,
+      manifest: Dataset[FileEntry],
+      dst: String,
+      command: String,
+      options: DistExecOptions = DistExecOptions()): Dataset[ExecStatus] = {
+    import spark.implicits._
     CommandLine.translate(command) // fail fast on unbalanced quotes (R1/R11)
 
-    val manifest = Manifest.build(spark, srcs)
     Manifest.checkDuplication(manifest)
 
     val conf = spark.sparkContext.hadoopConfiguration
     val dstPath = new Path(dst)
     val dstFs = dstPath.getFileSystem(conf)
 
-    val entries = manifest.collect().toSeq // manifest rows, small vs payload
-    val files = entries.filter(!_.isDir)
-    val dirs = entries.filter(e => e.isDir && e.relativeDst != ".")
+    // Planning stats WITHOUT collecting the manifest: at 100 TB the
+    // manifest is millions of rows — it must stay a Dataset end to end
+    // (SURVEY R5). The driver only ever sees three numbers.
+    val files = manifest.filter(!col("isDir"))
+    val dirs = manifest.filter(col("isDir") && col("relativeDst") =!= ".")
+    val statsRow = manifest.agg(
+      sum(when(!col("isDir"), 1L).otherwise(0L)),
+      sum(when(!col("isDir"), col("length")).otherwise(0L)),
+      sum(when(col("isDir") && col("relativeDst") =!= ".", 1L).otherwise(0L))).head()
+    val fileCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val totalBytes = math.max(if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1), 1L)
+    val dirCount = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
 
     // Reference "special" single-file case (DistExec.java:545,
     // ExecFilesMapper.java:131-139): exactly one src file into a
     // nonexistent/non-dir dst → dst itself is the output file.
-    val special = files.size == 1 && dirs.isEmpty &&
+    val special = fileCount == 1 && dirCount == 0 &&
       (!dstFs.exists(dstPath) || dstFs.getFileStatus(dstPath).isFile)
 
+    val confEntriesForDirs = Manifest.hadoopConfEntries(conf)
+    val dstStrForDirs = dstPath.toString
     // Dest-dir semantics (DistExec.java:543-545,623-628): materialize the
     // dst root when more than one source entry lands in it, then every
-    // manifest dir (preserving EMPTY dirs).
+    // manifest dir (preserving EMPTY dirs) — created from executors, so a
+    // million-directory tree never funnels through the driver.
     if (!special) dstFs.mkdirs(dstPath)
-    dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d.relativeDst)))
+    dirs.foreachPartition { (it: Iterator[FileEntry]) =>
+      val c = Manifest.restoreConf(confEntriesForDirs)
+      val root = new Path(dstStrForDirs)
+      val fs = root.getFileSystem(c)
+      it.foreach(d => fs.mkdirs(new Path(root, d.relativeDst)))
+    }
 
     val jobId = java.lang.Long.toString(System.nanoTime(), 36)
     val tmpRoot = new Path(if (special) dstPath.getParent else dstPath, s"_distexec_tmp_$jobId")
 
-    val numTasks = Manifest.mapCount(files.size.toLong, options.maxMaps.getOrElse(options.defaultMapCap))
-    val totalBytes = math.max(files.map(_.length).sum, 1L)
+    val numTasks = Manifest.mapCount(fileCount, options.maxMaps.getOrElse(options.defaultMapCap))
     val target = math.max(totalBytes / numTasks, 1L)
 
     val binned = Manifest
-      .binPack(spark.createDataset(files), target)
+      .binPack(files, target)
       .repartition(numTasks, col("bin"))
       .as[FileEntry](implicitly[org.apache.spark.sql.Encoder[FileEntry]])
 
