@@ -25,6 +25,10 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       val r1 = fn(spark, dir).collect().map(_.toString).toSeq
       val r2 = fn(spark, dir).collect().map(_.toString).toSeq
       assert(r1 == r2, s"$name: two runs differ")
+      // Every declared query is substantive at every SF (verified): an
+      // empty result would still "hash-match" an empty oracle — guard
+      // against silently gutting the gate.
+      assert(r1.nonEmpty, s"$name: empty result")
     }
   }
 }
