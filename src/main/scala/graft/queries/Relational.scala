@@ -71,6 +71,34 @@ object Relational {
         .orderBy(col("cohort"))
     }),
 
+    // d6 — histogram: integer bucketing of event values per type (floor
+    // division of identical doubles is engine-identical; counts are
+    // exact). The workhorse distribution profile at any scale.
+    "d6_value_histogram" -> ((s, dir) => {
+      load(s, dir, "events")
+        .select(col("event_type"), floor(col("value") / 5.0).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // d7 — edit-distance fuzzy dedup: Levenshtein over 40-char prefixes
+    // of sampled docs, blocked by lang (integer DP — portable bit-exact).
+    // The typo-tolerant complement to token/shingle Jaccard.
+    "d7_edit_distance" -> ((s, dir) => {
+      val p = load(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("lang"), col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      val a = p.select(col("lang"), col("doc_id").as("da"), col("prefix").as("pa"))
+      val b = p.select(col("lang"), col("doc_id").as("db"), col("prefix").as("pb"))
+      a.join(b, "lang").filter(col("da") < col("db"))
+        .select(col("lang"), col("da"), col("db"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .filter(col("dist") <= 26)
+        .orderBy(col("dist"), col("da"), col("db"))
+        .limit(30)
+    }),
+
     // d4 — sessionization: a session break is a >30-minute gap between a
     // user's consecutive events; session ids are a running sum of breaks
     // (lag + cumulative window — the batch formulation of what
@@ -118,6 +146,19 @@ object Relational {
         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |       CAST(count(*) AS BIGINT) AS n_total
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "d6_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "d7_edit_distance" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id, substr(text, 1, 40) AS prefix
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 26
+        |ORDER BY dist, da, db LIMIT 30""".stripMargin,
     "d5_set_ops" ->
       """WITH early AS (
         |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'),
