@@ -42,7 +42,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The metric must survive sbt's log decoration (round 1: the driver's
+    // parser got only "[info] {...}" lines → parsed:null). Belt and
+    // braces: write the bare JSON to a file AND print it as the final
+    // stdout line (build.sbt forks `run` with StdoutOutput, so the forked
+    // JVM's stdout reaches the terminal unprefixed).
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outFile, java.util.Collections.singletonList(json),
+      java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * in engine and oracle. The final division/sqrt run in double,
   * IEEE-identical on identical inputs.
   *
-  * Scale shapes: dot products are per-row array folds (zip_with +
-  * aggregate) — NO position-explode, NO 64× shuffle amplification. The
-  * brute-force path broadcasts the (small) query batch and scans the
-  * vector table once; the LSH path joins on the sign-bucket key so each
-  * query only meets ~N/2^bits candidates; near-dup pairs join on the
-  * blocking label. Top-k is a per-query window over the candidate rows.
+  * Scale shapes: dot products are flat codegen'd 64-term sums — NO
+  * position-explode, NO 64× shuffle amplification, NO interpreted
+  * higher-order functions on the pair path. The brute-force path
+  * broadcasts the (small) query batch and scans the vector table once;
+  * the LSH path joins on the sign-bucket key so each query only meets
+  * ~N/2^bits candidates; near-dup pairs run banded candidate generation
+  * then verify (see [[nearDupPairs]]). Top-k is a per-query window over
+  * the candidate rows.
   */
 object Similarity {
+
+  /** Embedding dimensionality (the synthetic tables are all 64-dim; the
+    * oracle's `range(1, 65)` hardcodes the same).
+    */
+  val Dims = 64
 
   /** Quantized integer embedding: each element as round(x, 4) × 10⁴ — the
     * decimal(12,4) quantization as an exact scaled long, so the fold runs
@@ -32,14 +39,21 @@ object Similarity {
   private def scaled(a: String): String =
     s"transform($a, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT))"
 
-  /** Exact dot product of two pre-scaled long-array columns: long fold
-    * (|sum| ≤ dims·(8·10⁴)² ≈ 4·10¹¹ — no overflow, < 2^53 so the final
-    * double conversion is exact), then unscale by 10⁸. Bit-identical to
-    * the oracle's decimal-sum formulation: both are the same rational.
+  /** Exact dot product of two pre-scaled long-array columns (|sum| ≤
+    * dims·(10⁵)² < 2^53, so the double conversion is exact), unscaled by
+    * 10⁸. Bit-identical to the oracle's decimal-sum formulation: both are
+    * the same rational. Runs as the custom [[graft.functions.LongArrayDot]]
+    * codegen loop — `aggregate(zip_with(...))` is CodegenFallback (~100
+    * µs/pair boxed) and a flat 64-term `element_at` sum exceeds HotSpot's
+    * huge-method JIT limit (~25 µs/pair interpreted); the loop is ~100
+    * ns/pair and keeps the pair join inside whole-stage codegen.
     */
-  private def dot(a: String, b: String): Column = expr(
-    s"""CAST(aggregate(zip_with($a, $b, (x, y) -> x * y),
-       |  CAST(0 AS BIGINT), (acc, z) -> acc + z) AS DOUBLE)""".stripMargin) / 1.0e8
+  private def dot(a: String, b: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.LongArrayDot(
+      GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
+      .cast("double") / 1.0e8
+  }
 
   /** L2 norm of a pre-scaled long-array column. */
   private def norm(a: String): Column = sqrt(dot(a, a))
@@ -128,18 +142,54 @@ object Similarity {
     topK(cos, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by
-    * label (the blocking key bounds the pair space like `lang` does for
-    * text). Pair rows carry whole arrays; the dot is a per-pair fold.
+  /** Sign-LSH bands: `nBands` rows per vector, each a 4-bit integer from
+    * the sign bits of 4 consecutive dimensions (band b covers dims
+    * 4b+1..4b+4). Two vectors are near-dup CANDIDATES iff they agree on
+    * at least one whole band — the banding trick from MinHash LSH applied
+    * to random-projection signs, so candidate generation is a join on
+    * (label, band_id, band_value), never an all-pairs product.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val base = emb.select(col("label"), col("vec_id"), expr(scaled("embedding")).as("ie"))
+  def signBands(emb: DataFrame, nBands: Int): DataFrame = {
+    val bandRows = (0 until nBands).map { b =>
+      // try_element_at: out-of-range dims → null → ELSE 0, matching the
+      // oracle's `embedding[i]` NULL semantics (and ANSI-safe for
+      // shorter-than-64-dim inputs).
+      val bv = (1 to 4).map { k =>
+        when(expr(s"try_element_at(embedding, ${4 * b + k})") >= 0, lit(1 << (4 - k)))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_id"), bv.as("bv"))
+    }
+    emb.select(col("label"), col("vec_id"), explode(array(bandRows: _*)).as("band"))
+      .select(col("label"), col("vec_id"), col("band.band_id"), col("band.bv"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`: LSH-banded
+    * candidate generation (within the `label` blocking key), then exact
+    * cosine verification ONLY on candidates — the same
+    * candidates-then-verify shape MinHash LSH uses for text (Dedup.scala).
+    *
+    * At 100 TB the all-pairs-within-label join is O(n²/L) and was the
+    * measured bench bottleneck; here each of the `nBands` band joins
+    * meets only same-bucket rows, and the verify pass is bounded by the
+    * candidate count. Recall is tunable via nBands (more bands = higher
+    * recall, more candidates); 16 bands of 4 bits recalls 53/54 of the
+    * all-pairs result on the synthetic data (threshold 0.42 sits barely
+    * above the within-label background similarity — a hard LSH regime).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, nBands: Int = 16): DataFrame = {
+    val bands = signBands(emb, nBands)
+    val cands = bands.select(col("label"), col("band_id"), col("bv"), col("vec_id").as("va"))
+      .join(bands.select(col("label"), col("band_id"), col("bv"), col("vec_id").as("vb")),
+        Seq("label", "band_id", "bv"))
+      .filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"))
+      .distinct()
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
-    val a = base.select(col("label"), col("vec_id").as("va"),
-      col("ie").as("ea"), col("nv").as("na"))
-    val b = base.select(col("label"), col("vec_id").as("vb"),
-      col("ie").as("eb"), col("nv").as("nb"))
-    a.join(b, "label").filter(col("va") < col("vb"))
+    cands
+      .join(base.select(col("vec_id").as("va"), col("ie").as("ea"), col("nv").as("na")), "va")
+      .join(base.select(col("vec_id").as("vb"), col("ie").as("eb"), col("nv").as("nb")), "vb")
       .select(col("label"), col("va"), col("vb"),
         (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") > threshold)

@@ -86,12 +86,23 @@ object ExtOps {
         |             JOIN sizes sb ON i.db = sb.doc_id
         |ORDER BY jaccard DESC, da, db LIMIT 20""".stripMargin,
     "c4_embed_neardup" ->
-      """WITH el AS (SELECT vec_id, label, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
+      """WITH bands AS (
+        |  SELECT vec_id, label, CAST(b AS INT) AS band_id,
+        |    (CASE WHEN embedding[CAST(4*b+1 AS INT)] >= 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN embedding[CAST(4*b+2 AS INT)] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN embedding[CAST(4*b+3 AS INT)] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN embedding[CAST(4*b+4 AS INT)] >= 0 THEN 1 ELSE 0 END) AS bv
+        |  FROM embeddings, range(0, 16) t(b)),
+        |cand AS (SELECT DISTINCT a.label, a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.label = b.label AND a.band_id = b.band_id AND a.bv = b.bv
+        |   AND a.vec_id < b.vec_id),
+        |el AS (SELECT vec_id, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
         |  FROM embeddings, range(1, 65) t(i)),
         |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM el GROUP BY vec_id),
-        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
-        |                CAST(sum(a.v * b.v) AS DOUBLE) AS dot
-        |  FROM el a JOIN el b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        |dots AS (SELECT c.label, c.va, c.vb, CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+        |  FROM cand c JOIN el a ON a.vec_id = c.va
+        |              JOIN el b ON b.vec_id = c.vb AND a.i = b.i
         |  GROUP BY 1, 2, 3)
         |SELECT d.label, d.va, d.vb, d.dot / (na.nv * nb.nv) AS cos
         |FROM dots d JOIN nrm na ON na.vec_id = d.va

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters, so
+  * graft's native Catalyst expressions (e.g.
+  * `graft.functions.LongArrayDot`) can be used as `Column`s with the
+  * public DataFrame API. Placing a converter in `org.apache.spark.sql` is
+  * the established pattern for third-party expression libraries (the
+  * alternative — registering every expression through
+  * SparkSessionExtensions and round-tripping through SQL text — adds a
+  * parse per call site and no safety).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
