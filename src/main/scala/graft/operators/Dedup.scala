@@ -81,24 +81,44 @@ object Dedup {
       .limit(50)
   }
 
-  /** 16-bit SimHash per doc: bit j is the sign of the sum over token
-    * instances of ±1 by the j-th hex digit's high bit of md5(tok).
+  /** Per-doc signed bit sums for a 64-bit SimHash: s_j (j = 1..64) is the
+    * sum over token instances of ±1 by bit j of the first 16 hex digits
+    * of md5(tok) (digit p = hex char p; bit j sits in digit (j−1)/4+1 at
+    * weight 8 >> ((j−1)%4)). Digits are decoded once per token row, then
+    * 64 conditional sums — one scan, map-side partials.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  private def simhashSums(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val sums = (1 to 16).map { j =>
-      sum(when(expr(s"substring(h, $j, 1)") >= lit("8"), 1).otherwise(-1)).as(s"s$j")
+    val digits = (1 to 16).map { p =>
+      expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1").as(s"d$p")
     }
-    val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val fp: Column = (1 to 16)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
+    val decoded = toks.select(col("doc_id") +: digits: _*)
+    val sums = (1 to 64).map { j =>
+      val p = (j - 1) / 4 + 1
+      val mask = 8 >> ((j - 1) % 4)
+      sum(when(expr(s"((d$p div $mask) % 2) = 1"), 1).otherwise(-1)).as(s"s$j")
+    }
+    decoded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
   }
 
-  /** SimHash collision buckets (Hamming distance 0): near-dup groups. */
+  /** 64-bit SimHash fingerprint per doc: bit j set iff s_j > 0. Bit 64 is
+    * the sign bit (2^63 wraps to Long.MinValue — added LAST so partial
+    * sums never overflow; the oracle mirrors the same term order).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val fp: Column = (1 to 64)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    simhashSums(docs).select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash collision buckets (Hamming distance 0): near-dup groups.
+    * At 64 bits only true near-dups collide — 2^64 buckets discriminate
+    * at corpus scale (the 16-bit version saturated at 65k buckets);
+    * Hamming>0 neighborhoods are [[simhashNearDup]]'s banded join.
+    */
   def simhashBuckets(docs: DataFrame): DataFrame =
     simhash(docs)
       .groupBy(col("simhash"))
@@ -106,6 +126,50 @@ object Dedup {
         concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
       .filter(col("n_docs") > 1)
       .orderBy(col("simhash"))
+
+  /** The 4 × 16-bit bands of the 64-bit SimHash (band k covers bits
+    * 16k+1..16k+16, each band a non-negative int < 2^16 — no sign-bit
+    * arithmetic anywhere near the band values).
+    */
+  def simhashBands(docs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { k =>
+      (1 to 16).map { q =>
+        val j = 16 * k + q
+        when(col(s"s$j") > 0, lit(1L << (q - 1))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$k")
+    }
+    simhashSums(docs).select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`:
+    * candidates share at least one whole 16-bit band (by pigeonhole, any
+    * pair within Hamming ≤ 3 agrees on ≥1 of 4 bands — FULL recall up to
+    * 3), verified with an exact per-band popcount on candidates only.
+    * The band join shuffles (band_id, value) keys — the pair space is
+    * bounded by band-bucket sizes, never O(n²).
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = simhashBands(docs)
+    val banded = bands.selectExpr("doc_id",
+      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+    val cand = banded.select(col("band_id"), col("bv"), col("doc_id").as("da"))
+      .join(banded.select(col("band_id"), col("bv"), col("doc_id").as("db")),
+        Seq("band_id", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+      .distinct()
+    val ham: Column = (0 until 4)
+      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
+      .reduce(_ + _)
+    val left = bands.select(col("doc_id").as("da"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = bands.select(col("doc_id").as("db"), col("b0").as("e0"),
+      col("b1").as("e1"), col("b2").as("e2"), col("b3").as("e3"))
+    cand.join(left, "da").join(right, "db")
+      .select(col("da"), col("db"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("da"), col("db"))
+  }
 
   /** Character-shingle (3-gram) Jaccard over sampled docs — the n-gram
     * flavor of near-dup detection; pair space bounded by the sample.

@@ -17,6 +17,16 @@ object Skew {
 
   /** Two-phase salted aggregation: counts plus any number of SUM columns.
     * `sums` maps output column name → summand expression.
+    *
+    * The salt is derived from ROW CONTENT (xxhash64 over all columns),
+    * never from `spark_partition_id`/`monotonically_increasing_id`: those
+    * are nondeterministic across task retries, so a recomputed map stage
+    * after a shuffle-fetch failure could re-salt rows differently while
+    * reducers keep partially-fetched data — double-counting or dropping
+    * rows. A content hash re-salts identically on every replay.
+    * (Identical rows share a salt, which only shifts load if one exact
+    * row dominates a hot key — then bump `salts` or add a distinguishing
+    * column upstream.)
     */
   def saltedSum(
       df: DataFrame,
@@ -25,8 +35,9 @@ object Skew {
       salts: Int = 16): DataFrame = {
     val partialAggs = sums.toSeq.map { case (name, c) => sum(c).as(name) } :+
       count(lit(1)).as("__n")
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
     val partial = df
-      .groupBy(key.as("__key"), pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("__salt"))
+      .groupBy(key.as("__key"), salt.as("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
     val finalAggs = sums.keys.toSeq.map(n => sum(col(n)).as(n)) :+
       sum(col("__n")).as("n")

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Extension operator queries (the LLM-data-pipeline surface): dedup
   * suite, similarity search, text analysis, multimodal plumbing. Thin
@@ -25,17 +26,50 @@ object ExtOps {
     "c9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))),
     "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
     "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
-    "c12_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8)))
+    "c12_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8)),
+    // c13 — the salted two-phase aggregation, declared so the one
+    // previously oracle-uncovered operator gets a correctness row: the
+    // oracle is the DIRECT group-by, proving salted == direct (sums are
+    // associative; value sums ride the b4 scaled-long contract).
+    "c13_salted_agg" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .withColumn("v", expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+      Skew.saltedSum(ev, col("event_type"), Map("sv" -> col("v")), 16)
+        .select(col("key").as("event_type"),
+          (col("sv").cast("double") / 1.0e6).as("sum_value"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+    // c14 — SimHash near-dup pairs: banded candidate generation (4 × 16
+    // bits; pigeonhole guarantees full recall at Hamming ≤ 3), Hamming
+    // verify on candidates only.
+    "c14_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(load(s, dir, "documents"), 3)))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
 
-  private val simhashSums =
-    (1 to 16).map(j => s"sum(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
-      .mkString(",\n         ")
+  // 64-bit SimHash replay: decode the 16 hex digits once, 64 signed bit
+  // sums, then the fingerprint (bit 64 = sign bit: Long.MinValue added
+  // LAST so partial sums never overflow — same term order as the Spark
+  // side).
+  private val shDigits =
+    (1 to 16).map(p => s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1) AS d$p")
+      .mkString(", ")
 
-  private val simhashBits =
-    (1 to 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+  private val shSums = (1 to 64).map { j =>
+    val p = (j - 1) / 4 + 1
+    val mask = 8 >> ((j - 1) % 4)
+    s"sum(CASE WHEN ((d$p // $mask) % 2) = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n         ")
+
+  private val shBits = (1 to 64).map { j =>
+    if (j == 64) "(CASE WHEN s64 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    else s"(CASE WHEN s$j > 0 THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private def shBand(k: Int) = (1 to 16).map { q =>
+    val j = 16 * k + q
+    s"(CASE WHEN s$j > 0 THEN CAST(${1L << (q - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
 
   def oracle: Map[String, String] = Map(
     "c1_minhash_lsh" ->
@@ -64,13 +98,44 @@ object ExtOps {
     "c2_simhash_buckets" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+         |dg AS (SELECT doc_id, $shDigits FROM h),
          |s AS (SELECT doc_id,
-         |         $simhashSums
-         |      FROM h GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM s)
+         |         $shSums
+         |      FROM dg GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $shBits AS simhash FROM s)
          |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
          |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
          |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "c13_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c14_simhash_neardup" ->
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+         |dg AS (SELECT doc_id, $shDigits FROM h),
+         |s AS (SELECT doc_id,
+         |         $shSums
+         |      FROM dg GROUP BY doc_id),
+         |bands AS (SELECT doc_id, ${shBand(0)} AS b0, ${shBand(1)} AS b1,
+         |                 ${shBand(2)} AS b2, ${shBand(3)} AS b3 FROM s),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id, b0 AS bv FROM bands
+         |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT c.da, c.db,
+         |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+         |FROM cand c JOIN bands x ON x.doc_id = c.da
+         |            JOIN bands y ON y.doc_id = c.db
+         |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+         |ORDER BY hamming, da, db""".stripMargin,
     "c3_shingle_jaccard" ->
       """WITH raw AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS sh
         |  FROM documents, range(1, 2048) t(i)

@@ -26,14 +26,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 10L))
   }
 
-  test("simhash: identical docs collide, fingerprint is 16-bit") {
+  test("simhash: identical docs collide; 64-bit fingerprint uses all digit bits") {
     val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
       3L -> "unrelated content entirely")
     val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L))
-    assert(fps.values.forall(v => v >= 0 && v < (1 << 16)))
+    assert(fps(1L) != fps(3L)) // 64 bits: unrelated docs do not collide
     val buckets = Dedup.simhashBuckets(d).collect()
     assert(buckets.exists(_.getAs[String]("doc_ids") == "1,2"))
+  }
+
+  test("simhash near-dup: banded candidates find hamming<=3 pairs, full recall") {
+    val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
+      3L -> "unrelated content entirely", 4L -> "spark shuffles data fast quickly")
+    val out = Dedup.simhashNearDup(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical docs at hamming 0; doc 3 must not pair with anything
+    assert(out.contains((1L, 2L, 0L)))
+    assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
+    // brute-force check: every hamming<=3 pair is found (pigeonhole recall)
+    val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = fps.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b) if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3 =>
+        (a, b, java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong)
+    }.toSet
+    assert(out.toSet == expected)
   }
 
   test("shingle jaccard: identical docs score 1.0, order deterministic") {
