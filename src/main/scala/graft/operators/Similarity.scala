@@ -110,29 +110,64 @@ object Similarity {
     topK(cos, k)
   }
 
-  /** IVF (inverted-file) ANN: vectors are assigned to the nearest of
-    * `nCells` centroids (deterministically chosen as the lowest-id
-    * vectors — a stand-in for k-means at this scale); queries search only
-    * their own cell. The centroid table is tiny and broadcast twice
-    * (assignment, then probe); the cell id is the partition key, so at
-    * 100 TB each query touches ~N/nCells vectors and one partition.
-    *
-    * Assignment maximizes cosine against each centroid (ties → lowest
-    * centroid id), making it exactly replayable by the oracle.
+  /** Assign every vector of `base(vec_id, ie, nv)` to the max-cosine
+    * centroid of `centroids(cid, ce, cn)` (ties → lowest cid).
     */
-  def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8): DataFrame = {
-    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
-      .withColumn("nv", norm("ie"))
-    val centroids = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
+  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = base.crossJoin(broadcast(centroids))
+    base.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("ie"), col("nv"), col("cid"),
         (dot("ie", "ce") / (col("nv") * col("cn"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("ie"), col("nv"), col("cid").as("cell"))
+  }
+
+  /** Elementwise-mean centroids of an assignment, quantized back to the
+    * scaled-long domain so one arithmetic (and one oracle formulation)
+    * covers vectors and centroids alike: per cell and dimension,
+    * `round_half_away(Σ ie_j / n)` via a double→decimal(16,0) cast (both
+    * engines round half away from zero; Σ < 2^53 so the double is
+    * exact). 64 tiny sum aggregates — map-side partials, nCells×64 longs
+    * of state, no position-explode of the vector table.
+    */
+  private def meanCentroids(assigned: DataFrame): DataFrame = {
+    val sums = (1 to Dims).map(j =>
+      sum(expr(s"try_element_at(ie, $j)")).as(s"s$j")) :+ count(lit(1)).as("cnt")
+    val meanCols = (1 to Dims).map { j =>
+      coalesce(
+        expr(s"CAST(CAST(CAST(s$j AS DOUBLE) / cnt AS DECIMAL(16,0)) AS BIGINT)"),
+        lit(0L))
+    }
+    assigned.groupBy(col("cell"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("cell").as("cid"), array(meanCols: _*).as("ce"))
+      .withColumn("cn", norm("ce"))
+  }
+
+  /** IVF (inverted-file) ANN: k-means cells + same-cell probing. Seeding
+    * is deterministic (the `nCells` lowest-id vectors), then `lloydIters`
+    * Lloyd iterations (assign to max-cosine centroid → recompute
+    * quantized-mean centroids — empty cells drop out), then the final
+    * assignment; queries search only their own cell. Every step is exact
+    * scaled-long arithmetic, so the DuckDB oracle replays the training
+    * loop bit-for-bit. The centroid table is tiny and broadcast at each
+    * step; the cell id is the join key, so at 100 TB each query touches
+    * ~N/nCells vectors — and better-centered cells (vs the round-1
+    * lowest-id stand-ins) mean the same-cell probe actually contains the
+    * true neighbors (recall measured in SimilaritySpec).
+    */
+  def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
+      lloydIters: Int = 2): DataFrame = {
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val seed = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
+    val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
+      meanCentroids(assignCells(base, c))
+    }
+    val assigned = assignCells(base, centroids)
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("cell"), col("ie").as("qe"), col("nv").as("qn"))
     val cos = assigned.join(broadcast(queries), "cell")

@@ -71,6 +71,59 @@ object ExtOps {
     s"(CASE WHEN s$j > 0 THEN CAST(${1L << (q - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
+  /** c12 oracle: replays the IVF k-means training loop (seed → `iters`
+    * Lloyd iterations → final assignment → same-cell probe) in the exact
+    * scaled-long domain Spark uses: sv = round(x,4)·10⁴ as BIGINT, dots
+    * as integer sums / 10⁸, centroid update = half-away-rounded mean via
+    * double→DECIMAL(16,0) (both engines round half away from zero; all
+    * scaled sums < 2^53 so every double conversion is exact).
+    */
+  private def ivfOracle(nCells: Int, queryMod: Int, k: Int, iters: Int): String = {
+    def assign(n: Int, c: String, cn: String) =
+      s"""d$n AS (SELECT e.vec_id, c.cid, CAST(sum(e.sv * c.cv) AS DOUBLE) / 1e8 AS dot
+         |  FROM el e JOIN $c c ON e.i = c.i GROUP BY 1, 2),
+         |a$n AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT d.vec_id, d.cid,
+         |         row_number() OVER (PARTITION BY d.vec_id
+         |                            ORDER BY d.dot / (n.nv * cn.cn) DESC, d.cid) AS rn
+         |  FROM d$n d JOIN nrm n ON n.vec_id = d.vec_id JOIN $cn cn ON cn.cid = d.cid)
+         | WHERE rn = 1)""".stripMargin
+    def update(n: Int) =
+      s"""sz$n AS (SELECT cell, count(*) AS cnt FROM a$n GROUP BY cell),
+         |c$n AS (SELECT a.cell AS cid, e.i,
+         |        CAST(CAST(CAST(sum(e.sv) AS DOUBLE) / max(s.cnt) AS DECIMAL(16,0)) AS BIGINT) AS cv
+         |  FROM a$n a JOIN el e ON e.vec_id = a.vec_id JOIN sz$n s ON s.cell = a.cell
+         |  GROUP BY 1, 2),
+         |cn$n AS (SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / 1e8) AS cn FROM c$n GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).map(n =>
+      assign(n, s"c${n - 1}", s"cn${n - 1}") + ",\n" + update(n)).mkString(",\n")
+    val fin = iters + 1
+    s"""WITH el AS (SELECT vec_id, i,
+       |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000 AS BIGINT) AS sv
+       |  FROM embeddings, range(1, 65) t(i)),
+       |nrm AS (SELECT vec_id, sqrt(CAST(sum(sv * sv) AS DOUBLE) / 1e8) AS nv FROM el GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cid, i, sv AS cv FROM el WHERE vec_id < $nCells),
+       |cn0 AS (SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / 1e8) AS cn FROM c0 GROUP BY cid),
+       |$steps,
+       |${assign(fin, s"c$iters", s"cn$iters")},
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, e.vec_id
+       |  FROM a$fin q JOIN a$fin e ON q.cell = e.cell AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $queryMod = 0),
+       |dots AS (SELECT p.qid, p.vec_id, CAST(sum(a.sv * b.sv) AS DOUBLE) / 1e8 AS dot
+       |  FROM pairs p JOIN el a ON a.vec_id = p.qid
+       |               JOIN el b ON b.vec_id = p.vec_id AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.nv * nv2.nv) AS cos
+       |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+       |              JOIN nrm nv2 ON nv2.vec_id = d.vec_id)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT qid, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM cos)
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "c1_minhash_lsh" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -213,36 +266,7 @@ object ExtOps {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
         |  FROM cos)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-    "c12_ann_ivf" ->
-      """WITH el AS (SELECT vec_id, i, CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) AS v
-        |  FROM embeddings, range(1, 65) t(i)),
-        |nrm AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM el GROUP BY vec_id),
-        |cd AS (SELECT a.vec_id, c.vec_id AS cid, CAST(sum(a.v * c.v) AS DOUBLE) AS cdot
-        |  FROM el a JOIN el c ON a.i = c.i AND c.vec_id < 8 GROUP BY 1, 2),
-        |ccos AS (SELECT cd.vec_id, cd.cid, cd.cdot / (na.nv * nc.nv) AS ccos
-        |  FROM cd JOIN nrm na ON na.vec_id = cd.vec_id
-        |          JOIN nrm nc ON nc.vec_id = cd.cid),
-        |assigned AS (SELECT vec_id, cid AS cell FROM (
-        |  SELECT vec_id, cid,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-        |  FROM ccos) WHERE rn = 1),
-        |pairs AS (
-        |  SELECT q.vec_id AS qid, e.vec_id
-        |  FROM assigned q JOIN assigned e
-        |    ON q.cell = e.cell AND e.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 50 = 0),
-        |dots AS (SELECT p.qid, p.vec_id, CAST(sum(a.v * b.v) AS DOUBLE) AS dot
-        |  FROM pairs p JOIN el a ON a.vec_id = p.qid
-        |               JOIN el b ON b.vec_id = p.vec_id AND a.i = b.i
-        |  GROUP BY 1, 2),
-        |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.nv * nv2.nv) AS cos
-        |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
-        |              JOIN nrm nv2 ON nv2.vec_id = d.vec_id)
-        |SELECT qid, vec_id, cos, rn FROM (
-        |  SELECT qid, vec_id, cos,
-        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-        |  FROM cos)
-        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2),
     "c7_langid" ->
       """WITH raw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT doc_id, lang, tok FROM raw WHERE tok <> ''),

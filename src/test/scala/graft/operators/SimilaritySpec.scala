@@ -37,6 +37,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 20L), (20L, 0L)))
   }
 
+  test("IVF k-means centroids beat lowest-id stand-ins on recall@k vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def recall(lloydIters: Int): Double = {
+      val brute = Similarity.bruteForceTopK(emb, 50, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.ivfTopK(emb, 50, 3, 8, lloydIters).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val standIn = recall(0)
+    val kmeans = recall(2)
+    info(f"recall@3: stand-in centroids $standIn%.3f, k-means $kmeans%.3f")
+    assert(kmeans >= standIn)
+    assert(kmeans > 0.2) // same-cell probe finds a real share of true neighbors
+  }
+
   test("near-dup pairs: only same-label pairs above threshold") {
     val d = emb(
       (0L, Seq(1f, 2f, 3f, 4f), 7),
