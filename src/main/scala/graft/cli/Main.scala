@@ -23,7 +23,9 @@ object Main {
       |OPTIONS:
       |-m <num_maps>        Maximum number of simultaneous executions
       |-redirectErrorToOut  Redirect command stderr into stdout
-      |-singleOut           Combine all output to a single file""".stripMargin
+      |-singleOut           Combine all output to a single file
+      |-D <key=value>       Set a Hadoop configuration property
+      |-conf <file>         Add a Hadoop configuration resource file""".stripMargin
 
   final case class Arguments(
       srcs: Seq[String],
@@ -31,16 +33,29 @@ object Main {
       command: String,
       maxMaps: Option[Int],
       redirectErrorToOut: Boolean,
-      singleOut: Boolean)
+      singleOut: Boolean,
+      confProps: Seq[(String, String)] = Nil,
+      confFiles: Seq[String] = Nil)
 
   /** Positional grammar: last arg = command, second-to-last = dst, rest =
-    * srcs; flags may appear anywhere before them.
+    * srcs; flags may appear anywhere before them. `-D`/`-conf` mirror the
+    * reference's `ToolRunner`/GenericOptionsParser passthrough
+    * (DistExec.java:376-381): both `-D key=value` and `-Dkey=value`
+    * forms, resources first and `-D` keys winning (GenericOptionsParser
+    * order).
     */
   def parse(args: Seq[String]): Arguments = {
     var maxMaps: Option[Int] = None
     var redirect = false
     var single = false
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
     val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    def addProp(kv: String): Unit = {
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"-D requires key=value, got '$kv'")
+      props += ((kv.substring(0, eq), kv.substring(eq + 1)))
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -49,7 +64,14 @@ object Main {
           maxMaps = Some(args(i + 1).toInt); i += 1
         case "-redirectErrorToOut" => redirect = true
         case "-singleOut"          => single = true
-        case p                     => positional += p
+        case "-D" =>
+          require(i + 1 < args.length, "-D requires key=value")
+          addProp(args(i + 1)); i += 1
+        case d if d.startsWith("-D") && d.length > 2 => addProp(d.substring(2))
+        case "-conf" =>
+          require(i + 1 < args.length, "-conf requires a file")
+          files += args(i + 1); i += 1
+        case p => positional += p
       }
       i += 1
     }
@@ -60,7 +82,15 @@ object Main {
       command = positional.last,
       maxMaps = maxMaps,
       redirectErrorToOut = redirect,
-      singleOut = single)
+      singleOut = single,
+      confProps = props.toSeq,
+      confFiles = files.toSeq)
+  }
+
+  /** Apply `-conf` resources then `-D` overrides to a Hadoop config. */
+  def applyConf(conf: org.apache.hadoop.conf.Configuration, parsed: Arguments): Unit = {
+    parsed.confFiles.foreach(f => conf.addResource(new org.apache.hadoop.fs.Path(f)))
+    parsed.confProps.foreach { case (k, v) => conf.set(k, v) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,6 +108,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    applyConf(spark.sparkContext.hadoopConfiguration, parsed)
     try {
       val status = DistExecJob.run(
         spark, parsed.srcs, parsed.dst, parsed.command,
@@ -90,7 +121,12 @@ object Main {
       // Reference logs human-readable totals (DistExec.java:637-639).
       println(s"EXECUTED=${c.executed} FAIL=${c.failed} " +
         s"BYTESEXECUTED=${c.bytesExecuted} BYTESWRITTEN=${c.bytesWritten}")
-      status.filter(!_.ok).collect().foreach(s => System.err.println(s.error))
+      // FAIL rows land in a _distexec_logs_<id> dir (reference parity,
+      // DistExec.java:507-521) and echo to stderr for interactive runs.
+      val logPath = DistExecJob.writeFailureLog(spark, parsed.dst, status)
+      val failures = status.filter(!_.ok).collect()
+      failures.foreach(s => System.err.println(s.error))
+      if (failures.nonEmpty) System.err.println(s"failure log: $logPath")
       spark.stop()
       if (c.failed > 0) sys.exit(1)
     } catch {

@@ -83,22 +83,46 @@ object Manifest {
       isDir = st.isDirectory,
       modificationTime = st.getModificationTime)
 
-  /** Build the manifest for several roots (multiple `<srcurl>` args are an
-    * implicit union — reference DistExec.java:549 loop). When a root is a
-    * single file its relative dst is its own name (DistExec.java:545
-    * `special` handling happens in the exec operator).
+  /** Rewrite a root's entries so the tree mirrors under the SOURCE'S OWN
+    * NAME (the reference's non-special root choice: `root =
+    * src.getParent()`, DistExec.java:553 — each of several sources lands
+    * at `dst/<srcname>/...`, and a rerun into an existing dst nests
+    * rather than merging namespaces). A single-file root becomes its file
+    * name either way.
     */
-  def build(spark: SparkSession, roots: Seq[String]): Dataset[FileEntry] = {
+  private def underSourceNameEntry(e: FileEntry): FileEntry = {
+    val name = new Path(e.root).getName
+    if (name.isEmpty) e // root is "/" — nothing to nest under
+    else if (e.relativeDst == ".") e.copy(relativeDst = name)
+    else e.copy(relativeDst = s"$name/${e.relativeDst}")
+  }
+
+  private def underSourceName(es: Seq[FileEntry]): Seq[FileEntry] =
+    es.map(underSourceNameEntry)
+
+  /** Build the manifest for several roots (multiple `<srcurl>` args are an
+    * implicit union — reference DistExec.java:549 loop).
+    *
+    * Root choice mirrors the reference (DistExec.java:546-553): in the
+    * `special` case (exactly one source into a nonexistent dst) a
+    * directory source's CONTENTS land in dst directly; otherwise each
+    * source is relativized against its parent, i.e. mirrors under
+    * `dst/<srcname>/...`. A single-file root contributes its file name in
+    * both modes.
+    */
+  def build(spark: SparkSession, roots: Seq[String], special: Boolean = true): Dataset[FileEntry] = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = roots.flatMap { r =>
       val es = listRoot(conf, r)
-      // A single-FILE root contributes itself under its file name.
-      es.map { e =>
-        if (e.relativeDst == "." && !e.isDir)
-          e.copy(relativeDst = new Path(e.path).getName)
-        else e
-      }
+      if (!special) underSourceName(es)
+      else
+        // A single-FILE root contributes itself under its file name.
+        es.map { e =>
+          if (e.relativeDst == "." && !e.isDir)
+            e.copy(relativeDst = new Path(e.path).getName)
+          else e
+        }
     }
     spark.createDataset(entries)
   }
@@ -108,7 +132,8 @@ object Manifest {
     * bottleneck (single-threaded stack walk, DistExec.java:558-608) for
     * 100 TB-scale trees with wide fan-out.
     */
-  def listDistributed(spark: SparkSession, roots: Seq[String], maxWaves: Int = 64): Dataset[FileEntry] = {
+  def listDistributed(spark: SparkSession, roots: Seq[String], maxWaves: Int = 64,
+      special: Boolean = true): Dataset[FileEntry] = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     // Executors must see the driver's effective Hadoop config (FS
@@ -162,9 +187,19 @@ object Manifest {
     if (wave.nonEmpty)
       throw new IllegalStateException(
         s"tree deeper than maxWaves=$maxWaves; ${wave.size} director(ies) unlisted — raise maxWaves")
+    // Same root-choice semantics as [[build]]: nest under the source name
+    // unless this is the special single-src-into-new-dst job; a
+    // single-FILE root contributes its file name either way.
+    val isSpecial = special
+    val fixed = acc.map { e =>
+      if (!isSpecial) underSourceNameEntry(e)
+      else if (e.relativeDst == "." && !e.isDir)
+        e.copy(relativeDst = new Path(e.path).getName)
+      else e
+    }
     // Dirs appear both as a wave input and as their parent's child row.
     // Materialize (lineage-truncated), then release the per-wave caches.
-    val result = acc.dropDuplicates("path", "root").localCheckpoint(true)
+    val result = fixed.dropDuplicates("path", "root").localCheckpoint(true)
     persistedWaves.foreach(_.unpersist())
     result
   }

@@ -61,7 +61,15 @@ object DistExecJob {
       command: String,
       options: DistExecOptions = DistExecOptions()): Dataset[ExecStatus] = {
     require(srcs.nonEmpty, "at least one source required")
-    runManifest(spark, Manifest.build(spark, srcs), dst, command, options)
+    // Reference root choice (DistExec.java:546-553): only the special
+    // single-src-into-nonexistent-dst job spills a directory's CONTENTS
+    // into dst; otherwise every source mirrors under dst/<srcname>/...,
+    // so multiple sources (or a rerun into an existing dst) keep disjoint
+    // namespaces.
+    val dstPath = new Path(dst)
+    val dstFs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestSpecial = srcs.size == 1 && !dstFs.exists(dstPath)
+    runManifest(spark, Manifest.build(spark, srcs, manifestSpecial), dst, command, options)
   }
 
   /** Run over a pre-built manifest — pass [[Manifest.listDistributed]]'s
@@ -143,7 +151,20 @@ object DistExecJob {
         case null => "local"
         case tc   => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"
       }
-      it.map(e => executeOne(taskConf, e, dstStr, tmpRootStr, attempt, cmd, redirect, accept, isSpecial))
+      // Task-private dst FileSystem: checksum writing is disabled for the
+      // mirrored tree (no .crc sidecars), and that flag must NOT leak into
+      // the JVM-wide FileSystem.get cache shared by every other user of
+      // this filesystem on the executor — so newInstance, closed with the
+      // task.
+      val dstFsTask = FileSystem.newInstance(new Path(dstStr).toUri, taskConf)
+      dstFsTask.setWriteChecksum(false)
+      TaskContext.get() match {
+        case null => ()
+        case tc => tc.addTaskCompletionListener[Unit] { _ =>
+          try dstFsTask.close() catch { case _: IOException => () }
+        }
+      }
+      it.map(e => executeOne(taskConf, dstFsTask, e, dstStr, tmpRootStr, attempt, cmd, redirect, accept, isSpecial))
     }
 
     // Eager + lineage-truncated: re-running the returned Dataset must NOT
@@ -170,30 +191,92 @@ object DistExecJob {
     * README.md:48, TODO at DistExec.java:453): combine all per-file stdout
     * into ONE file under `dst`, each line prefixed with its source's
     * relative name (the "single reducer prepending filename" design).
+    *
+    * The concatenation is inherently serial (one output file) but runs as
+    * a SINGLE EXECUTOR TASK (repartition(1) + mapPartitions + tmp-rename
+    * publish), not on the driver: the driver never opens data streams.
+    * The sorted name list lives in that task's memory — bounded by the
+    * premise that the merged result is one reasonable file.
+    *
+    * Special single-file jobs (dst itself IS the one output file) are
+    * already a single output: returned as-is, no merge, no prefix —
+    * there is nothing to distinguish.
     */
   def singleOutMerge(spark: SparkSession, dst: String, status: Dataset[ExecStatus]): Path = {
     import spark.implicits._
-    val produced = status.filter(s => s.ok && s.bytesOut > 0).collect().map(_.relativeDst).sorted
     val conf = spark.sparkContext.hadoopConfiguration
     val dstPath = new Path(dst)
     val fs = dstPath.getFileSystem(conf)
+    if (fs.exists(dstPath) && fs.getFileStatus(dstPath).isFile) return dstPath
+    val confEntries = Manifest.hadoopConfEntries(conf)
+    val dstStr = dstPath.toString
     val outPath = new Path(dstPath, "_singleout")
-    val out = fs.create(outPath, true)
-    try {
-      produced.foreach { rel =>
-        val in = fs.open(new Path(dstPath, rel))
-        try {
-          val reader = new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-          var line = reader.readLine()
-          while (line != null) {
-            out.write(s"$rel:\t$line\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            line = reader.readLine()
+    status.filter(s => s.ok && s.bytesOut > 0).map(_.relativeDst)
+      .repartition(1)
+      .mapPartitions { it =>
+        val c = Manifest.restoreConf(confEntries)
+        val root = new Path(dstStr)
+        // Task-private instance: no .crc sidecar for the merged file, and
+        // no mutation of the executor's cached FileSystem.
+        val taskFs = FileSystem.newInstance(root.toUri, c)
+        taskFs.setWriteChecksum(false)
+        TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit] { _ =>
+            try taskFs.close() catch { case _: IOException => () }
           }
-        } finally in.close()
+        }
+        val attempt = TaskContext.get() match {
+          case null => "local"
+          case tc   => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}"
+        }
+        val tmp = new Path(root, s"_singleout_tmp_$attempt")
+        val out = taskFs.create(tmp, true)
+        try {
+          it.toArray.sorted.foreach { rel =>
+            val in = taskFs.open(new Path(root, rel))
+            try {
+              val reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+              var line = reader.readLine()
+              while (line != null) {
+                out.write(s"$rel:\t$line\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                line = reader.readLine()
+              }
+            } finally in.close()
+          }
+        } finally out.close()
+        // Atomic publish, same pattern as executeOne: attempt-unique tmp
+        // then rename, so a speculative/retried merge task never
+        // interleaves with a competing writer.
+        val target = new Path(root, "_singleout")
+        if (taskFs.exists(target)) taskFs.delete(target, false)
+        if (!taskFs.rename(tmp, target))
+          throw new IOException(s"failed to rename $tmp to $target")
+        Iterator(target.toString)
       }
-    } finally out.close()
+      .collect() // force the single merge task
     outPath
+  }
+
+  /** Failure-log sink (reference parity: FAIL rows land in a
+    * `_distexec_logs_<id>` directory, DistExec.java:507-521 — inside dst
+    * when dst is an existing directory, beside it otherwise). Returns the
+    * log path; written even when there are no failures (the reference's
+    * job-output dir always exists).
+    */
+  def writeFailureLog(spark: SparkSession, dst: String, status: Dataset[ExecStatus]): Path = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstPath = new Path(dst)
+    val fs = dstPath.getFileSystem(conf)
+    val name = s"_distexec_logs_${java.lang.Long.toString(System.nanoTime(), 36)}"
+    val logPath =
+      if (fs.exists(dstPath) && fs.getFileStatus(dstPath).isDirectory) new Path(dstPath, name)
+      else new Path(dstPath.getParent, name)
+    status.filter(s => !s.ok).map(_.error)
+      .write.mode("overwrite").text(logPath.toString)
+    logPath
   }
 
   // ---------------------------------------------------------------- task side
@@ -220,6 +303,7 @@ object DistExecJob {
 
   private def executeOne(
       conf: Configuration,
+      dstFs: FileSystem,
       e: FileEntry,
       dst: String,
       tmpRoot: String,
@@ -236,9 +320,6 @@ object DistExecJob {
     val tmpErr = tmpFile.suffix(".stderr")
     try {
       val srcFs = srcPath.getFileSystem(conf)
-      val dstFs = dstFile.getFileSystem(conf)
-      // No .crc sidecars in the mirrored tree (local ChecksumFileSystem).
-      dstFs.setWriteChecksum(false)
       val argv = CommandLine.translate(command)
       val in = srcFs.open(srcPath)
       val out = new LazyOut(dstFs, tmpFile)
@@ -257,7 +338,6 @@ object DistExecJob {
       case t: Throwable =>
         // Per-record failure: log + continue; best-effort tmp cleanup with
         // retries (reference: ExecFilesMapper.java:173-208).
-        val dstFs = dstFile.getFileSystem(conf)
         var tries = 0
         while (tries < 3 && (exists(dstFs, tmpFile) || exists(dstFs, tmpErr))) {
           try { dstFs.delete(tmpFile, false); dstFs.delete(tmpErr, false) }

@@ -94,26 +94,35 @@ class DistExecJobSpec extends AnyFunSuite with SparkSpec {
     assert(Files.readString(dst) == "alpha\nmatch me\n")
   }
 
-  test("duplicate destinations abort before any execution") {
-    val r1 = mkTree()
-    val r2 = mkTree()
+  test("duplicate destinations abort before any execution (same-NAMED sources)") {
+    // Two sources with the SAME final name mirror to the same
+    // dst/<srcname>/... namespace — the reference aborts here too.
+    val p1 = Files.createTempDirectory("graft-dup1")
+    val p2 = Files.createTempDirectory("graft-dup2")
+    val r1 = Files.createDirectories(p1.resolve("data"))
+    val r2 = Files.createDirectories(p2.resolve("data"))
+    Files.writeString(r1.resolve("a.txt"), "1\n")
+    Files.writeString(r2.resolve("a.txt"), "2\n")
     val dst = tmpDst()
     intercept[graft.fs.DuplicationException] {
       DistExecJob.run(spark, Seq(r1.toString, r2.toString), dst.toString, "cat")
     }
-    assert(!Files.exists(dst.resolve("a.txt")))
+    assert(!Files.exists(dst.resolve("data/a.txt")))
   }
 
-  test("multi-root union with unique names lands in one dst") {
+  test("multi-root: each source mirrors under dst/<srcname>/ (reference root choice)") {
+    // Non-special (2 srcs): relativized against each source's PARENT
+    // (DistExec.java:553), so same-named files in different trees don't
+    // collide.
     val r1 = Files.createTempDirectory("graft-r1")
     val r2 = Files.createTempDirectory("graft-r2")
     Files.writeString(r1.resolve("one.txt"), "1\n")
-    Files.writeString(r2.resolve("two.txt"), "2\n")
+    Files.writeString(r2.resolve("one.txt"), "2\n")
     val dst = tmpDst()
     val status = DistExecJob.run(spark, Seq(r1.toString, r2.toString), dst.toString, "cat")
     assert(status.collect().forall(_.ok))
-    assert(Files.readString(dst.resolve("one.txt")) == "1\n")
-    assert(Files.readString(dst.resolve("two.txt")) == "2\n")
+    assert(Files.readString(dst.resolve(s"${r1.getFileName}/one.txt")) == "1\n")
+    assert(Files.readString(dst.resolve(s"${r2.getFileName}/one.txt")) == "2\n")
   }
 
   test("singleOut merge: one combined file, lines prefixed with source name") {
@@ -125,11 +134,45 @@ class DistExecJobSpec extends AnyFunSuite with SparkSpec {
     assert(merged == "a.txt:\tmatch me\nsub/c.txt:\tmatch too\n")
   }
 
-  test("overwrite semantics: rerun replaces existing dst files") {
+  test("rerun into an existing dst nests under the source name (reference root choice)") {
     val src = mkTree()
     val dst = tmpDst()
+    // First run: special (dst does not exist) → contents land in dst.
+    DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat").collect()
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha\nmatch me\n")
+    // Second run: dst exists → non-special → tree nests under <srcname>.
+    DistExecJob.run(spark, Seq(src.toString), dst.toString, "tr a-z A-Z").collect()
+    assert(Files.readString(dst.resolve(s"${src.getFileName}/a.txt")) == "ALPHA\nMATCH ME\n")
+    assert(Files.readString(dst.resolve("a.txt")) == "alpha\nmatch me\n",
+      "first run's files are untouched")
+  }
+
+  test("overwrite semantics: rerun with the same layout replaces dst files") {
+    val src = mkTree()
+    val dst = tmpDst()
+    Files.createDirectories(dst) // dst exists for BOTH runs → same nested layout
     DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat").collect()
     DistExecJob.run(spark, Seq(src.toString), dst.toString, "tr a-z A-Z").collect()
-    assert(Files.readString(dst.resolve("a.txt")) == "ALPHA\nMATCH ME\n")
+    assert(Files.readString(dst.resolve(s"${src.getFileName}/a.txt")) == "ALPHA\nMATCH ME\n")
+  }
+
+  test("singleOut on the single-file special case returns dst itself (no merge)") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.resolve("a.txt").toString), dst.toString, "cat")
+    val merged = DistExecJob.singleOutMerge(spark, dst.toString, status)
+    assert(merged.toString == new org.apache.hadoop.fs.Path(dst.toString).toString)
+    assert(Files.readString(dst) == "alpha\nmatch me\n", "dst is already the single output")
+  }
+
+  test("failure log dir: FAIL rows land in _distexec_logs_<id> (inside dst dir)") {
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "sh -c 'exit 7'")
+    val logPath = DistExecJob.writeFailureLog(spark, dst.toString, status)
+    assert(logPath.getName.startsWith("_distexec_logs_"))
+    assert(logPath.getParent.toUri.getPath == dst.toString, "log dir sits inside the dst dir")
+    val lines = spark.read.textFile(logPath.toString).collect()
+    assert(lines.length == 3 && lines.forall(_.startsWith("FAIL ")))
   }
 }
