@@ -149,7 +149,11 @@ object Dedup {
     * bounded by band-bucket sizes, never O(n²).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = simhashBands(docs)
+    // The bands table is consumed three times (band explosion + both
+    // sides of the verify join-back); without materialization each use
+    // recomputes the full token scan + 64-sum aggregation. The table is
+    // tiny (one row of 5 longs per doc) — checkpoint it once.
+    val bands = simhashBands(docs).localCheckpoint(true)
     val banded = bands.selectExpr("doc_id",
       "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
     val cand = banded.select(col("band_id"), col("bv"), col("doc_id").as("da"))

@@ -164,8 +164,12 @@ object Similarity {
       .withColumn("nv", norm("ie"))
     val seed = base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
+    // Each round's centroid table is nCells tiny rows but its lineage
+    // contains the previous round's crossjoin+window — checkpoint per
+    // round so round N never recomputes rounds 1..N−1 (and the broadcast
+    // of the centroid table ships 8 rows, not a plan).
     val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
-      meanCentroids(assignCells(base, c))
+      meanCentroids(assignCells(base, c)).localCheckpoint(true)
     }
     val assigned = assignCells(base, centroids)
     val queries = assigned.filter(col("vec_id") % queryMod === 0)

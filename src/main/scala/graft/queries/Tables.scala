@@ -16,15 +16,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
 
+  // Memoized source DataFrames per (session, dir, table): a bench/verify
+  // run touches the same handful of parquet tables from 36 queries, and
+  // every spark.read.parquet re-lists the path and re-reads footers for
+  // schema. The cached object is just the unresolved plan — no data is
+  // pinned (this is NOT .cache()) — so reuse only skips redundant
+  // planning I/O. Keyed by session too: plans are session-bound.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which Spark
-      // rejects natively: read nanos as long, truncate to micros — the same
-      // truncation DuckDB applies converting ns→us.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    loaded.computeIfAbsent((spark, dir, name), { case (s, d, n) =>
+      if (n == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which Spark
+        // rejects natively: read nanos as long, truncate to micros — the same
+        // truncation DuckDB applies converting ns→us.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/$n.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else s.read.parquet(s"$d/$n.parquet")
+    })
 
   /** Money/measure column → exact decimal(18,2): the data carries exactly
     * 2 decimal digits (verified), so this cast is lossless. Keeping the
