@@ -131,6 +131,14 @@ object Manifest {
     * executors. This removes the reference's driver-side listing
     * bottleneck (single-threaded stack walk, DistExec.java:558-608) for
     * 100 TB-scale trees with wide fan-out.
+    *
+    * The directory frontier stays a DATASET between waves — the driver
+    * never sees path strings, only one count per wave (a tree with
+    * millions of directories per level would otherwise funnel every path
+    * through the driver between waves). Each wave's output is
+    * checkpointed, so wave N's lineage does not replay waves 1..N−1, and
+    * the frontier repartitions by path so listing fan-out spreads across
+    * executors regardless of which wave produced the paths.
     */
   def listDistributed(spark: SparkSession, roots: Seq[String], maxWaves: Int = 64,
       special: Boolean = true): Dataset[FileEntry] = {
@@ -140,53 +148,57 @@ object Manifest {
     // credentials, defaultFS, spark.hadoop.* overrides) — a bare
     // `new Configuration()` would load classpath defaults only.
     val confEntries = hadoopConfEntries(conf)
-    // Seed wave: the roots themselves (driver-side stat only, cheap).
-    var wave: Seq[(String, String)] = roots.map { r =>
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    def listWave(frontier: Dataset[(String, String)]): Dataset[FileEntry] = frontier
+      .repartition(parallelism, col("_1"))
+      .mapPartitions { it =>
+        val c = restoreConf(confEntries)
+        it.flatMap { case (dir, root) =>
+          val p = new Path(dir)
+          val fs = p.getFileSystem(c)
+          val self = fs.getFileStatus(p)
+          val selfEntry = toEntry(self, root, makeRelative(root, dir).getOrElse(dir))
+          if (!self.isDirectory) Iterator(selfEntry)
+          else Iterator(selfEntry) ++ fs.listStatus(p).iterator.map { st =>
+            val cp = st.getPath.toString
+            toEntry(st, root, makeRelative(root, cp).getOrElse(cp))
+          }
+        }
+      }
+    // Seed frontier: the roots themselves (driver-side stat only, cheap).
+    val seed: Seq[(String, String)] = roots.map { r =>
       val p = new Path(r)
       val fs = p.getFileSystem(conf)
       val q = fs.getFileStatus(p).getPath.toString
       (q, q)
     }
-    val listed = mutable.Set.empty[(String, String)]
+    var frontier = spark.createDataset(seed)
+    var frontierSize = seed.size.toLong
     var acc = spark.emptyDataset[FileEntry]
-    val persistedWaves = mutable.ArrayBuffer.empty[Dataset[FileEntry]]
+    val intermediates = mutable.ArrayBuffer.empty[Dataset[_]]
     var waves = 0
-    while (wave.nonEmpty && waves < maxWaves) {
-      listed ++= wave
-      val ds = spark
-        .createDataset(wave)
-        .repartition(math.max(1, math.min(wave.size, spark.sparkContext.defaultParallelism)))
-        .mapPartitions { it =>
-          val c = restoreConf(confEntries)
-          it.flatMap { case (dir, root) =>
-            val p = new Path(dir)
-            val fs = p.getFileSystem(c)
-            val self = fs.getFileStatus(p)
-            val selfEntry = toEntry(self, root, makeRelative(root, dir).getOrElse(dir))
-            if (!self.isDirectory) Iterator(selfEntry)
-            else Iterator(selfEntry) ++ fs.listStatus(p).iterator.map { st =>
-              val cp = st.getPath.toString
-              toEntry(st, root, makeRelative(root, cp).getOrElse(cp))
-            }
-          }
-        }
-      val persisted = ds.persist()
-      persistedWaves += persisted
+    while (frontierSize > 0 && waves < maxWaves) {
+      val persisted = listWave(frontier).localCheckpoint(true)
+      intermediates += persisted
       acc = acc.union(persisted)
-      // Next wave: directories discovered this wave, one tree level deeper.
-      wave = persisted
-        .filter(_.isDir)
+      // Next frontier: directories DISCOVERED this wave (children only —
+      // a wave's own input dirs re-appear as selfEntry rows, subtracted
+      // by the except; a child dir enters the frontier exactly once
+      // since trees have no cycles).
+      frontier = persisted
+        .filter(e => e.isDir)
         .map(e => (e.path, e.root))
-        .collect()
-        .toSeq
-        .filterNot(listed)
+        .except(frontier)
+        .localCheckpoint(true)
+      intermediates += frontier
+      frontierSize = frontier.count() // ONE number to the driver per wave
       waves += 1
     }
     // Truncation must be LOUD: files below the depth cap would silently
     // vanish from the manifest (and the exec job) otherwise.
-    if (wave.nonEmpty)
+    if (frontierSize > 0)
       throw new IllegalStateException(
-        s"tree deeper than maxWaves=$maxWaves; ${wave.size} director(ies) unlisted — raise maxWaves")
+        s"tree deeper than maxWaves=$maxWaves; $frontierSize director(ies) unlisted — raise maxWaves")
     // Same root-choice semantics as [[build]]: nest under the source name
     // unless this is the special single-src-into-new-dst job; a
     // single-FILE root contributes its file name either way.
@@ -198,9 +210,9 @@ object Manifest {
       else e
     }
     // Dirs appear both as a wave input and as their parent's child row.
-    // Materialize (lineage-truncated), then release the per-wave caches.
+    // Materialize (lineage-truncated), then release the per-wave blocks.
     val result = fixed.dropDuplicates("path", "root").localCheckpoint(true)
-    persistedWaves.foreach(_.unpersist())
+    intermediates.foreach(_.unpersist())
     result
   }
 

@@ -67,18 +67,72 @@ object Dedup {
           (col("sa") + col("sb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
-  /** Full MinHash→LSH→verify pipeline over `documents`. The postings
-    * relation feeds three consumers (signatures, sizes, intersection);
-    * recomputing it is cheaper than caching at these sizes (measured), and
-    * at 100 TB the materialize-the-inverted-index decision belongs to the
-    * caller (write postings to parquet once, feed many dedup runs).
+  /** MinHash→LSH→verify: every candidate pair with its exact Jaccard.
+    * The postings relation feeds three consumers (signatures, sizes,
+    * intersection); recomputing it is cheaper than caching at these
+    * sizes (measured), and at 100 TB the materialize-the-inverted-index
+    * decision belongs to the caller (write postings to parquet once,
+    * feed many dedup runs).
     */
-  def minhashLsh(docs: DataFrame, sampleMod: Int): DataFrame = {
+  def minhashVerified(docs: DataFrame, sampleMod: Int): DataFrame = {
     val postings = tokenPostings(docs, sampleMod)
     val cands = lshCandidates(minhashSignatures(postings))
     verifyJaccard(cands, postings)
+  }
+
+  /** Top-50 most similar pairs (the c1 declared query). */
+  def minhashLsh(docs: DataFrame, sampleMod: Int): DataFrame =
+    minhashVerified(docs, sampleMod)
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(50)
+
+  /** Near-duplicate GROUPS: connected components over the verified
+    * near-dup edges (Jaccard ≥ `minJaccard`), labeled by the component's
+    * minimum doc_id. This is the step that turns pairwise similarity
+    * into the keep-one-per-group decision an LLM-data dedup pipeline
+    * actually needs.
+    *
+    * Implementation is iterative min-label propagation (the pregel-style
+    * formulation: each round every node takes the min of its own and its
+    * neighbors' labels) run to FIXPOINT, with per-round checkpointing and
+    * a single changed-row count to the driver per round. Rounds needed =
+    * component diameter; the label table shuffles on doc_id each round —
+    * the 100 TB shape (no driver-side union-find, no edge collection).
+    * The DuckDB oracle reaches the same fixpoint by recursive transitive
+    * closure — min-label CC is iteration-order independent, so the two
+    * formulations provably agree.
+    */
+  def dedupGroups(docs: DataFrame, sampleMod: Int, minJaccard: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nodes = tokenPostings(docs, sampleMod).select(col("doc_id")).distinct()
+    val edges = minhashVerified(docs, sampleMod)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"))
+      .localCheckpoint(true)
+    val nbrs = edges.select(col("da").as("doc_id"), col("db").as("nbr"))
+      .union(edges.select(col("db").as("doc_id"), col("da").as("nbr")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = nbrs
+        .join(labels.select(col("doc_id").as("nbr"), col("label").as("nl")), "nbr")
+        .groupBy(col("doc_id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("component"))
   }
 
   /** Per-doc signed bit sums for a 64-bit SimHash: s_j (j = 1..64) is the

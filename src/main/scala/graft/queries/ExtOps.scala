@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity, Skew}
-import org.apache.spark.sql.functions.{col, expr}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
 
 /** Extension operator queries (the LLM-data-pipeline surface): dedup
   * suite, similarity search, text analysis, multimodal plumbing. Thin
@@ -42,7 +42,25 @@ object ExtOps {
     // c14 — SimHash near-dup pairs: banded candidate generation (4 × 16
     // bits; pigeonhole guarantees full recall at Hamming ≤ 3), Hamming
     // verify on candidates only.
-    "c14_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(load(s, dir, "documents"), 3)))
+    "c14_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(load(s, dir, "documents"), 3)),
+    // c15 — near-dup GROUPS: connected components over verified MinHash
+    // edges (Jaccard ≥ 0.98) — the keep-one-per-group step of a dedup
+    // pipeline. Spark runs pregel-style min-label propagation to
+    // fixpoint; the oracle reaches the same fixpoint by recursive
+    // closure.
+    "c15_dedup_groups" -> ((s, dir) => Dedup.dedupGroups(load(s, dir, "documents"), 5, 0.98)),
+    // c16 — deterministic stratified sampling: content-hash gate, exact
+    // per-lang thresholds out of 256 (en 32 ≈ 12.5%, de 64 ≈ 25%, rest
+    // 128 ≈ 50%) — replayable row-level sampling decisions.
+    "c16_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(load(s, dir, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 32, "de" -> 64), 128)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -159,6 +177,49 @@ object ExtOps {
          |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
          |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
          |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
+    "c15_dedup_groups" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+         |sigs AS (SELECT doc_id, $minhashCols FROM toks GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id, concat(m0, m1, m2, m3) AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, 1, concat(m4, m5, m6, m7) FROM sigs),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+         |  JOIN toks ta ON ta.doc_id = c.da
+         |  JOIN toks tb ON tb.doc_id = c.db AND ta.tok = tb.tok
+         |  GROUP BY c.da, c.db),
+         |edges AS (SELECT c.da, c.db
+         |  FROM cand c LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+         |  JOIN sizes sa ON sa.doc_id = c.da
+         |  JOIN sizes sb ON sb.doc_id = c.db
+         |  WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.98),
+         |sym AS (SELECT da AS x, db AS y FROM edges UNION ALL SELECT db AS x, da AS y FROM edges),
+         |nodes AS (SELECT DISTINCT doc_id FROM toks),
+         |reach AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.y FROM reach r JOIN sym e ON r.b = e.x),
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+         |FROM comp GROUP BY component HAVING count(*) > 1 ORDER BY component""".stripMargin,
+    "c16_stratified_sample" ->
+      """WITH g AS (SELECT lang, doc_id, n_chars,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS gate
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM g
+        |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "c13_salted_agg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

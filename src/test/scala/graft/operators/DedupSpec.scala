@@ -53,6 +53,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet == expected)
   }
 
+  test("dedupGroups: transitively connected near-dups form one component labeled by min id") {
+    // 0-5-10 form a chain of identical docs (transitivity must merge
+    // them); 15+20 identical pair; 25 unrelated singleton (excluded).
+    val d = docs(
+      0L -> "spark shuffles data fast tonight",
+      5L -> "spark shuffles data fast tonight",
+      10L -> "spark shuffles data fast tonight",
+      15L -> "completely different words here",
+      20L -> "completely different words here",
+      25L -> "unrelated lone document text")
+    val groups = Dedup.dedupGroups(d, 5, 0.98).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(groups.toSeq == Seq((0L, 3L, "0,10,5"), (15L, 2L, "15,20")))
+  }
+
   test("shingle jaccard: identical docs score 1.0, order deterministic") {
     val d = docs(0L -> "abcdefghij", 25L -> "abcdefghij", 50L -> "zzzzzzzzzz")
     val out = Dedup.shingleJaccard(d, 25).collect()
