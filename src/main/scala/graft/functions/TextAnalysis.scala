@@ -75,6 +75,44 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Keep/drop curation decision per document with the FIRST matching
+    * drop reason (too_short → too_long → low_alpha → repetitive → keep),
+    * rolled up per (lang, reason). Every predicate compares INTEGERS
+    * (ratios as cross-multiplied int comparisons, e.g. `alpha·10 <
+    * chars·6` for "alpha share < 60%"), so the decision is bit-exact
+    * across engines — a filter that flaps between runs re-shuffles the
+    * training corpus.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val feat = docs.select(col("lang"), col("n_chars"),
+      size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"),
+      size(array_distinct(expr("filter(split(text, ' '), t -> t <> '')")))
+        .cast("long").as("n_distinct"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"))
+    val reason = when(col("n_chars") < 50, "too_short")
+      .when(col("n_chars") > 5000, "too_long")
+      .when(col("n_alpha") * 10 < col("n_chars") * 6, "low_alpha")
+      .when(col("n_distinct") * 10 < col("n_tokens") * 3, "repetitive")
+      .otherwise("keep")
+    feat.select(col("lang"), reason.as("reason"))
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("reason"))
+  }
+
+  /** Redaction accounting: how many characters a scrub pattern removes
+    * per group — the audit trail a PII-scrub pass must emit (counting is
+    * exact; the redacted text itself is `regexp_replace(text, pattern,
+    * replacement)` applied the same way).
+    */
+  def redactionStats(df: DataFrame, group: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, pattern: String): DataFrame =
+    df.select(group.as("grp"),
+      (length(text) - length(regexp_replace(text, pattern, ""))).cast("long").as("removed"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("removed")).as("n_chars_redacted"))
+      .orderBy(col("grp"))
+
   /** Rolling-window fingerprint: the min md5 over sliding 4-token
     * shingles (winnowing-style); groups sharing a fingerprint are
     * near-dup candidates.

@@ -60,7 +60,17 @@ object ExtOps {
           sum(col("n_chars").cast("long")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
-    }))
+    }),
+    // c17 — curation decisions per (lang, reason): first-match drop
+    // reason, integer-exact thresholds.
+    "c17_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(load(s, dir, "documents"))),
+    // c18 — redaction accounting: characters a digit-scrub removes from
+    // event props per event type (the audit a PII pass must emit).
+    "c18_redact_stats" -> ((s, dir) =>
+      TextAnalysis.redactionStats(load(s, dir, "events"),
+          col("event_type"), col("props"), "[0-9]")
+        .withColumnRenamed("grp", "event_type")))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -220,6 +230,26 @@ object ExtOps {
         |FROM g
         |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c17_quality_filter" ->
+      """WITH feat AS (SELECT lang, n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |  CASE WHEN n_chars < 50 THEN 'too_short'
+        |       WHEN n_chars > 5000 THEN 'too_long'
+        |       WHEN n_alpha * 10 < n_chars * 6 THEN 'low_alpha'
+        |       WHEN n_distinct * 10 < n_tokens * 3 THEN 'repetitive'
+        |       ELSE 'keep' END AS reason
+        |  FROM feat)
+        |SELECT lang, reason, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM r GROUP BY lang, reason ORDER BY lang, reason""".stripMargin,
+    "c18_redact_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
+        |         AS n_chars_redacted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "c13_salted_agg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties PERF.md claims are
+  * asserted here against the actual physical plans, so a refactor that
+  * silently loses a pushdown, broadcasts the wrong side, or reintroduces
+  * an all-pairs join fails CI instead of only showing up in the bench.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("b4 pricing: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan("b4_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "shipdate predicate must be pushed to the scan")
+    assert(!p.contains("l_comment"), "untouched wide columns must not be read")
+  }
+
+  test("b5 top revenue: broadcast join + TakeOrderedAndProject, no global sort") {
+    val p = plan("b5_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimension side must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+  }
+
+  test("c4 near-dup: banded candidate join, no cartesian/nested-loop product") {
+    val p = plan("c4_embed_neardup")
+    assert(!p.contains("CartesianProduct"), "all-pairs join must not come back")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must join on band keys, not a nested-loop filter")
+  }
+
+  test("c5 brute force is the one sanctioned cross join (documented exact baseline)") {
+    val p = plan("c5_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      "c5 IS the intentional exact baseline — if this changed, update PERF.md")
+  }
+
+  test("d7 edit distance: inverted-index blocking, no all-pairs join on lang alone") {
+    val p = plan("d7_edit_distance")
+    // the candidate join must carry the token key, not just lang
+    assert(p.contains("tok"), "blocking token must be a join key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("similarity dot products stay native (no interpreted higher-order functions)") {
+    val p = plan("c4_embed_neardup") + plan("c5_ann_brute") + plan("c6_ann_lsh")
+    assert(p.contains("long_array_dot"), "LongArrayDot must power the dot products")
+    assert(!p.toLowerCase.contains("zip_with"),
+      "zip_with on the pair path = CodegenFallback regression")
+  }
+
+  test("b1 exact dedup: aggregation is partial (map-side combine) on the hash") {
+    val p = plan("b1_exact_dedup")
+    assert(p.contains("HashAggregate"), "dedup must hash-aggregate, not sort")
+  }
+}
