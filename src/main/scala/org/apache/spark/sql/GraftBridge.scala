@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an ALREADY-RUNNING session (the
+    * extensions class only applies at session build; a REPL or notebook
+    * that already has a session uses this instead).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val (id, _, builder) = graft.plans.GraftExtensions.longArrayDot
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+  }
 }

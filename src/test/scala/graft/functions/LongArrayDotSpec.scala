@@ -40,6 +40,14 @@ class LongArrayDotSpec extends AnyFunSuite with SparkSpec {
     assert(d.select(dotCol).collect().forall(_.isNullAt(0)))
   }
 
+  test("SQL registration: long_array_dot callable from SQL text") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val out = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].collect()
+    assert(out.toSeq == Seq(32L))
+  }
+
   test("interpreted eval matches codegen") {
     val e = LongArrayDot(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
