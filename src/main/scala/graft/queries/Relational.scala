@@ -114,6 +114,38 @@ object Relational {
         .limit(30)
     }),
 
+    // d8 — exact interpolated percentiles per group: both engines
+    // implement the standard (n−1)·p rank + linear interpolation
+    // definition over the SAME double values, so results hash-match
+    // (approx_percentile/t-digest would not). At 100 TB exact
+    // percentiles are a sort-per-group; the approximate path is a knob
+    // swap, traded here for oracle-checkable exactness.
+    "d8_percentiles" -> ((s, dir) => {
+      load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // d9 — latest-per-key dedup (the "current state" query): keep each
+    // user's most recent event per type; ties broken by event_id.
+    // Window row_number over (user, type) — the canonical
+    // keep-newest-version shape for mutable-entity snapshots.
+    "d9_latest_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      load(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // d4 — sessionization: a session break is a >30-minute gap between a
     // user's consecutive events; session ids are a running sum of breaks
     // (lag + cumulative window — the batch formulation of what
@@ -194,6 +226,22 @@ object Relational {
         |SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM cohorts GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d8_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95,
+        |       quantile_cont(value, 0.99) AS p99,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d9_latest_event" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 100 = 0)
+        |SELECT user_id, event_type, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d4_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts FROM events WHERE user_id % 10 = 0),
