@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew}
-import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Extension operator queries (the LLM-data-pipeline surface): dedup
   * suite, similarity search, text analysis, multimodal plumbing. Thin
@@ -70,7 +71,49 @@ object ExtOps {
     "c18_redact_stats" -> ((s, dir) =>
       TextAnalysis.redactionStats(load(s, dir, "events"),
           col("event_type"), col("props"), "[0-9]")
-        .withColumnRenamed("grp", "event_type")))
+        .withColumnRenamed("grp", "event_type")),
+    // c19 — TF-IDF without ln(): score = tf·N/df as one double division
+    // of exact integers (log-free so both engines' libm never enters;
+    // the ORDERING matches classic tf-idf for fixed tf because N/df is
+    // monotone in 1/df). Top-5 terms per lang.
+    "c19_tfidf_terms" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val nDf = toks.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_total")) // stays lazy: rides along as a broadcast
+      val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(nDf))
+        .select(col("lang"), col("tok"),
+          ((col("tf") * col("n_total")).cast("double") / col("df")).as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("tok"), col("score"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+    // c20 — context-window packing plan: assign docs to training packs
+    // by running token count per lang (window cumsum div capacity — the
+    // a3 bin-pack shape applied to sequence packing), then per-pack
+    // stats. Deterministic packing = reproducible training batches.
+    "c20_pack_plan" -> ((s, dir) => {
+      val cap = 8192L
+      val docs = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - n_tokens) div $cap"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("pack_id"))
+    }))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -230,6 +273,34 @@ object ExtOps {
         |FROM g
         |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c19_tfidf_terms" ->
+      """WITH raw AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM toks),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |s AS (SELECT tf.lang, tf.tok,
+        |             CAST(tf.tf * n.n_total AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT lang, tok, score, rn FROM (
+        |  SELECT lang, tok, score,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS BIGINT) AS rn
+        |  FROM s)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "c20_pack_plan" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |p AS (SELECT lang, doc_id, n_tokens, (cum - n_tokens) // 8192 AS pack_id FROM c)
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "c17_quality_filter" ->
       """WITH feat AS (SELECT lang, n_chars,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
