@@ -255,17 +255,38 @@ object Manifest {
 
   /** Size-weighted bin packing: assign each file a split id via running
     * byte sum / target — the reference's greedy `getSplits`
-    * (DistExec.java:132-177) as a window expression. Partitioned by root
-    * so the window parallelizes across roots (a single global ORDER BY
-    * window would serialize at 100 TB).
+    * (DistExec.java:132-177) as window expressions.
+    *
+    * Two-level distributed prefix sum, NOT a single per-root window: a
+    * single `partitionBy(root)` window puts a whole source tree on one
+    * task, which serializes exactly when it matters (one 100 TB root).
+    * Instead: (1) bucket each file by the first character of its
+    * path-after-root — buckets are CONTIGUOUS in path order, so per-
+    * (root, bucket) local running sums + (2) a tiny per-root window over
+    * bucket byte totals (≤ 257 rows per root) recompose the EXACT global
+    * running sum: `cum = local_cum + offset(previous buckets)`. Bit-
+    * identical bins to the serial formulation (asserted in
+    * ManifestSpec), with per-bucket parallelism.
     */
   def binPack(manifest: Dataset[FileEntry], targetBytes: Long): Dataset[org.apache.spark.sql.Row] = {
-    val w = Window.partitionBy(col("root")).orderBy(col("path"))
+    val files = manifest.filter(!col("isDir"))
+      // First char of the path below the root ('' for a root that is
+      // itself a file — sorts before every child, its own bucket).
+      .withColumn("bkt", expr("substring(path, length(root) + 2, 1)"))
+    val wLocal = Window.partitionBy(col("root"), col("bkt")).orderBy(col("path"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    manifest
-      .filter(!col("isDir"))
-      .withColumn("cum", sum(col("length")).over(w))
+    val wOffset = Window.partitionBy(col("root")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = files.groupBy(col("root"), col("bkt"))
+      .agg(sum(col("length")).as("bkt_bytes"))
+      .withColumn("off", coalesce(sum(col("bkt_bytes")).over(wOffset), lit(0L)))
+      .select(col("root"), col("bkt"), col("off"))
+    files
+      .withColumn("lcum", sum(col("length")).over(wLocal))
+      .join(offsets, Seq("root", "bkt"))
+      .withColumn("cum", col("lcum") + col("off"))
       .withColumn("bin", floor((col("cum") - col("length")) / lit(targetBytes)))
+      .drop("bkt", "lcum", "off")
   }
 
   /** Map-count rule: `max(min(fileCount, cap), 1)` — file-count based, not

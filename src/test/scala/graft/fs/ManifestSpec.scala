@@ -83,6 +83,30 @@ class ManifestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bin packing: two-level prefix sum equals the serial per-root window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Mixed-prefix tree: several first-char buckets per root + a file root
+    val files = (
+      (1 to 40).map(i => FileEntry(s"/r/a$i", "/r", s"a$i", (i % 5 + 1) * 7L, isDir = false, 0L)) ++
+      (1 to 40).map(i => FileEntry(s"/r/m$i", "/r", s"m$i", (i % 3 + 1) * 11L, isDir = false, 0L)) ++
+      (1 to 40).map(i => FileEntry(s"/r/z$i", "/r", s"z$i", (i % 7 + 1) * 5L, isDir = false, 0L)) ++
+      Seq(FileEntry("/single.bin", "/single.bin", "single.bin", 42L, isDir = false, 0L)))
+    val ds = spark.createDataset(files)
+    val twoLevel = Manifest.binPack(ds, 50L)
+      .select($"path", $"cum", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val wSerial = Window.partitionBy($"root").orderBy($"path")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val serial = ds.filter(!$"isDir")
+      .withColumn("cum", sum($"length").over(wSerial))
+      .withColumn("bin", floor(($"cum" - $"length") / lit(50L)))
+      .select($"path", $"cum", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoLevel == serial)
+  }
+
   test("map count rule: min(files, cap), at least 1") {
     assert(Manifest.mapCount(0, 20) == 1)
     assert(Manifest.mapCount(5, 20) == 5)
