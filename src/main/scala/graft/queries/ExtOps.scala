@@ -95,6 +95,22 @@ object ExtOps {
         .select(col("lang"), col("tok"), col("score"), col("rn"))
         .orderBy(col("lang"), col("rn"))
     }),
+    // c21 — incremental dedup: a NEW batch (odd doc_ids) against the
+    // EXISTING corpus (even doc_ids) — left-anti join on the content
+    // hash, so only never-seen documents survive ingest. The shape every
+    // periodically-refreshed corpus needs; the corpus side shuffles
+    // 16-byte hashes, never text.
+    "c21_incremental_dedup" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .withColumn("h", md5(col("text").cast("binary")))
+      val kept = batch.join(corpus, Seq("h"), "left_anti")
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (window cumsum div capacity — the
     // a3 bin-pack shape applied to sequence packing), then per-pack
@@ -273,6 +289,12 @@ object ExtOps {
         |FROM g
         |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c21_incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+        |kept AS (SELECT b.lang, b.doc_id FROM batch b ANTI JOIN corpus c ON b.h = c.h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS min_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "c19_tfidf_terms" ->
       """WITH raw AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),
