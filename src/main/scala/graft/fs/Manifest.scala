@@ -271,8 +271,12 @@ object Manifest {
   def binPack(manifest: Dataset[FileEntry], targetBytes: Long): Dataset[org.apache.spark.sql.Row] = {
     val files = manifest.filter(!col("isDir"))
       // First char of the path below the root ('' for a root that is
-      // itself a file — sorts before every child, its own bucket).
-      .withColumn("bkt", expr("substring(path, length(root) + 2, 1)"))
+      // itself a file — sorts before every child, its own bucket). The
+      // trailing-slash trim matters for filesystem roots ('file:/',
+      // 's3a://bucket/'): without it the bucket is the child's SECOND
+      // character and bucket order no longer matches path order.
+      .withColumn("bkt",
+        expr("substring(path, length(trim(TRAILING '/' FROM root)) + 2, 1)"))
     val wLocal = Window.partitionBy(col("root"), col("bkt")).orderBy(col("path"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOffset = Window.partitionBy(col("root")).orderBy(col("bkt"))

@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Semantics (must stay bit-identical to the DuckDB oracle's decimal-sum
   * formulation): primitive long multiply-add over pre-scaled (×10⁴)
   * embedding elements; |sum| ≤ 64·(10⁵)² < 2^53, so no overflow and the
-  * eventual double conversion is exact. A null array or null element
-  * yields null (matching `element_at` + `*` null propagation). Arrays
-  * must be equal length (embeddings are fixed 64-dim); the shorter length
-  * is used, matching `zip_with`'s truncating behavior for equal-length
-  * inputs.
+  * eventual double conversion is exact. A null array or null ELEMENT
+  * yields null. Ragged (unequal-length) inputs sum over the common
+  * prefix — the same positional-intersection the oracle's `JOIN … ON
+  * a.i = b.i` computes (note this differs from `zip_with`, which would
+  * null-pad the shorter side and poison the sum; embeddings are fixed
+  * 64-dim, so the case is defensive only).
   */
 final case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {

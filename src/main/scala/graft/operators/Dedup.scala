@@ -118,14 +118,17 @@ object Dedup {
       val nbrMin = nbrs
         .join(labels.select(col("doc_id").as("nbr"), col("label").as("nl")), "nbr")
         .groupBy(col("doc_id")).agg(min(col("nl")).as("nbr_min"))
+      // The convergence flag rides along in the same pass (no extra
+      // old-vs-new join): a row changed iff a neighbor's label undercut
+      // its own.
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("chg")
     }
     labels
       .groupBy(col("label").as("component"))
@@ -203,6 +206,11 @@ object Dedup {
     * bounded by band-bucket sizes, never O(n²).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // 4 bands guarantee a shared band only up to Hamming 3 (pigeonhole);
+    // beyond that the candidate set would be silently incomplete.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (max 3); " +
+        "use more/narrower bands for larger radii")
     // The bands table is consumed three times (band explosion + both
     // sides of the verify join-back); without materialization each use
     // recomputes the full token scan + 64-sum aggregation. The table is

@@ -66,14 +66,27 @@ object DistExecJob {
     // into dst; otherwise every source mirrors under dst/<srcname>/...,
     // so multiple sources (or a rerun into an existing dst) keep disjoint
     // namespaces.
+    runManifest(spark, Manifest.build(spark, srcs, manifestSpecial(spark, srcs, dst)),
+      dst, command, options)
+  }
+
+  /** The reference's job-level `special` flag (DistExec.java:546):
+    * exactly one source into a dst that does not exist yet. Use this for
+    * the `special` argument of [[Manifest.build]]/[[Manifest.listDistributed]]
+    * when building a manifest for [[runManifest]] yourself.
+    */
+  def manifestSpecial(spark: SparkSession, srcs: Seq[String], dst: String): Boolean = {
     val dstPath = new Path(dst)
     val dstFs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifestSpecial = srcs.size == 1 && !dstFs.exists(dstPath)
-    runManifest(spark, Manifest.build(spark, srcs, manifestSpecial), dst, command, options)
+    srcs.size == 1 && !dstFs.exists(dstPath)
   }
 
   /** Run over a pre-built manifest — pass [[Manifest.listDistributed]]'s
     * output here when the tree is too wide for driver-side listing.
+    * IMPORTANT: build the manifest with the SAME `special` value
+    * [[run]] would compute ([[manifestSpecial]]) or the root-choice
+    * semantics (nest under dst/<srcname> vs contents-into-dst) will not
+    * match the reference's.
     */
   def runManifest(
       spark: SparkSession,

@@ -171,7 +171,9 @@ object Similarity {
     val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
       meanCentroids(assignCells(base, c)).localCheckpoint(true)
     }
-    val assigned = assignCells(base, centroids)
+    // Consumed twice (query batch + probe side) — checkpoint so the
+    // crossjoin+window assignment, the query's dominant stage, runs once.
+    val assigned = assignCells(base, centroids).localCheckpoint(true)
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("cell"), col("ie").as("qe"), col("nv").as("qn"))
     val cos = assigned.join(broadcast(queries), "cell")

@@ -16,26 +16,46 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
 
-  // Memoized source DataFrames per (session, dir, table): a bench/verify
-  // run touches the same handful of parquet tables from 36 queries, and
-  // every spark.read.parquet re-lists the path and re-reads footers for
-  // schema. The cached object is just the unresolved plan — no data is
-  // pinned (this is NOT .cache()) — so reuse only skips redundant
-  // planning I/O. Keyed by session too: plans are session-bound.
+  // Memoized source DataFrames per (session → (dir, table)): a
+  // bench/verify run touches the same handful of parquet tables from 45
+  // queries, and every spark.read.parquet re-lists the path and re-reads
+  // footers for schema. The cached object is just the analyzed plan — no
+  // data is pinned (this is NOT .cache()) — so reuse only skips
+  // redundant planning I/O. The outer map holds sessions WEAKLY so a
+  // stopped session's plans become collectable; the cached plan freezes
+  // the file LISTING, so a caller that rewrites an input path must call
+  // [[invalidate]] (the driver's testdata is immutable — this is for
+  // library reuse).
   private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.computeIfAbsent((spark, dir, name), { case (s, d, n) =>
+  /** Drop memoized plans (all sessions) — call after rewriting a source
+    * path that was previously loaded.
+    */
+  def invalidate(): Unit = loaded.synchronized(loaded.clear())
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loaded.synchronized {
+      var m = loaded.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+        loaded.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), { case (d, n) =>
       if (n == "events") {
         // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which Spark
         // rejects natively: read nanos as long, truncate to micros — the same
         // truncation DuckDB applies converting ns→us.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$d/$n.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$d/$n.parquet")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else s.read.parquet(s"$d/$n.parquet")
+      } else spark.read.parquet(s"$d/$n.parquet")
     })
+  }
 
   /** Money/measure column → exact decimal(18,2): the data carries exactly
     * 2 decimal digits (verified), so this cast is lossless. Keeping the
