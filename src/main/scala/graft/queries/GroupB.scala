@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
 object GroupB {
   import Tables.{dec2, fac4, load}
 
+  /** b2's document-frequency cap: tokens posting in more docs than this
+    * are treated as stop words (dropped from the token universe). An
+    * ABSOLUTE cap — not a fraction of N — is what bounds the inverted-
+    * index self-join at scale: pairs ≤ vocab × CAP² no matter the corpus
+    * size. 256 is a no-op at sf ≤ 0.01 (max df 34) and trims the hottest
+    * ~10% of the synthetic vocab at sf0.1 (max df 325).
+    */
+  val B2_DF_CAP = 256
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1 — exact dedup by full-content hash, reported per source: at 100 TB
     // this is the hash-groupBy dedup pass (shuffle on a 16-byte hash, never
@@ -45,12 +54,27 @@ object GroupB {
     // blocking key bounds the pair space; the token-postings self-join is
     // the classic "similarity join via inverted index" shape that scales
     // by shuffling on token, never materializing the full cross product.
+    //
+    // DOCUMENT-FREQUENCY CAP: the self-join is quadratic in each token's
+    // posting list, and a stop-word ("the") posts in nearly every doc —
+    // at corpus scale one hot token contributes ~N²/L pairs. Tokens with
+    // df > B2_DF_CAP are dropped from the token UNIVERSE (stop-word
+    // removal: sizes and intersections both run over the capped set), so
+    // every posting list is ≤ CAP and total pairs are ≤ V·CAP² — linear
+    // in vocabulary, independent of corpus size. Semantics: Jaccard over
+    // informative tokens; a ubiquitous token carries no dedup signal
+    // anyway. The oracle applies the identical cap.
     "b2_jaccard_pairs" -> ((s, dir) => {
-      val toks = load(s, dir, "documents")
+      val toks0 = load(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .distinct()
+      val dfCap = toks0.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= GroupB.B2_DF_CAP)
+        .select(col("lang"), col("tok"))
+      val toks = toks0.join(dfCap, Seq("lang", "tok"))
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = toks.select(col("lang"), col("doc_id").as("da"), col("tok"))
       val b = toks.select(col("lang"), col("doc_id").as("db"), col("tok"))
@@ -173,11 +197,15 @@ object GroupB {
         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         |FROM h GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "b2_jaccard_pairs" ->
-      """WITH toks AS (
+      s"""WITH toks0 AS (
         |  SELECT DISTINCT doc_id, lang, tok
         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         |        FROM documents WHERE doc_id % 5 = 0)
         |  WHERE tok <> ''),
+        |df AS (SELECT lang, tok FROM toks0 GROUP BY lang, tok
+        |       HAVING count(*) <= ${GroupB.B2_DF_CAP}),
+        |toks AS (SELECT t.doc_id, t.lang, t.tok
+        |         FROM toks0 t JOIN df ON t.lang = df.lang AND t.tok = df.tok),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |inter AS (
         |  SELECT a.lang, a.doc_id AS da, b.doc_id AS db, count(*) AS inter

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
 object Relational {
   import Tables.load
 
+  /** d7's blocking-token document-frequency cap (see the d7 comment):
+    * bounds every candidate block to ≤ CAP docs. No-op on the synthetic
+    * data (max blocking df 31); the guard is for corpus scale.
+    */
+  val D7_DF_CAP = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1 — semi-structured extraction: events.props is a JSON-ish string
     // {"k": N}; extract N with a regex (portable across engines, no JSON
@@ -96,9 +102,22 @@ object Relational {
       val p = load(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select(col("lang"), col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-      val tk = p.select(col("lang"), col("doc_id"),
+      val tk0 = p.select(col("lang"), col("doc_id"),
           explode(slice(split(col("prefix"), " "), 1, 3)).as("tok"))
         .filter(col("tok") =!= "")
+      // Document-frequency cap on the BLOCKING tokens: a hot first token
+      // ("the …") otherwise builds one giant block whose self-join is
+      // quadratic in its posting list. Dropping blocks with df >
+      // D7_DF_CAP bounds every block to ≤ CAP docs (pairs ≤ V·CAP²);
+      // only pairs sharing NOTHING but hot tokens are lost — the
+      // operator's documented recall trade, replayed by the oracle.
+      // (64 is a no-op on the synthetic data — max blocking df is 31 at
+      // sf0.1 — the filter is the 100 TB guard.)
+      val tk = tk0.join(
+        tk0.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= Relational.D7_DF_CAP)
+          .select(col("lang"), col("tok")),
+        Seq("lang", "tok"))
       val cand = tk.select(col("lang"), col("tok"), col("doc_id").as("da"))
         .join(tk.select(col("lang"), col("tok"), col("doc_id").as("db")), Seq("lang", "tok"))
         .filter(col("da") < col("db"))
@@ -198,13 +217,17 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "d7_edit_distance" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT lang, doc_id, substr(text, 1, 40) AS prefix
         |  FROM documents WHERE doc_id % 10 = 0),
         |tk AS (
         |  SELECT lang, doc_id, unnest(list_slice(string_split(prefix, ' '), 1, 3)) AS tok
         |  FROM p),
-        |tkf AS (SELECT lang, doc_id, tok FROM tk WHERE tok <> ''),
+        |tkf0 AS (SELECT lang, doc_id, tok FROM tk WHERE tok <> ''),
+        |blockdf AS (SELECT lang, tok FROM tkf0 GROUP BY lang, tok
+        |            HAVING count(*) <= ${Relational.D7_DF_CAP}),
+        |tkf AS (SELECT t.lang, t.doc_id, t.tok
+        |        FROM tkf0 t JOIN blockdf b ON t.lang = b.lang AND t.tok = b.tok),
         |cand AS (
         |  SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db
         |  FROM tkf a JOIN tkf b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id)

@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("b2 jaccard: document-frequency cap filters the posting lists") {
+    val p = plan("b2_jaccard_pairs")
+    assert(p.contains(s"<= ${queries.GroupB.B2_DF_CAP}"),
+      "df cap must bound every token's posting list (stop-word quadratic blow-up)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d7 edit distance: blocking tokens are df-capped") {
+    val p = plan("d7_edit_distance")
+    assert(p.contains(s"<= ${queries.Relational.D7_DF_CAP}"),
+      "hot blocking tokens must be dropped, else one block is quadratic")
+  }
+
   test("similarity dot products stay native (no interpreted higher-order functions)") {
     val p = plan("c4_embed_neardup") + plan("c5_ann_brute") + plan("c6_ann_lsh")
     assert(p.contains("long_array_dot"), "LongArrayDot must power the dot products")
