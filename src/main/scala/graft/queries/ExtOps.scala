@@ -112,18 +112,39 @@ object ExtOps {
         .orderBy(col("lang"))
     }),
     // c20 — context-window packing plan: assign docs to training packs
-    // by running token count per lang (window cumsum div capacity — the
-    // a3 bin-pack shape applied to sequence packing), then per-pack
-    // stats. Deterministic packing = reproducible training batches.
+    // by running token count per lang (cumsum div capacity — the a3
+    // bin-pack shape applied to sequence packing), then per-pack stats.
+    // Deterministic packing = reproducible training batches.
+    //
+    // The running sum is a TWO-LEVEL DISTRIBUTED PREFIX SUM (the
+    // Manifest.binPack shape), not a per-lang window: lang has a handful
+    // of values, so `Window.partitionBy(lang)` funnels the whole corpus
+    // through ~4 tasks — billions of rows per task at 100 TB. Instead
+    // (1) bucket by doc_id range (buckets are contiguous in doc_id
+    // order), local running sums per (lang, bucket); (2) a tiny per-lang
+    // window over bucket token totals (≤ max_doc_id/BKT rows) provides
+    // each bucket's offset. `cum = local_cum + offset` is bit-identical
+    // to the serial formulation — the unchanged oracle proves it — with
+    // per-bucket parallelism.
     "c20_pack_plan" -> ((s, dir) => {
       val cap = 8192L
+      val bktW = 1024L // docs per bucket; at real scale pick ~N/(10·cores)
       val docs = load(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .withColumn("bkt", expr(s"doc_id div $bktW"))
+      val wLocal = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOffset = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("lang"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("off", coalesce(sum(col("bkt_tokens")).over(wOffset), lit(0L)))
+        .select(col("lang"), col("bkt"), col("off"))
       docs
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+        .join(offsets, Seq("lang", "bkt"))
+        .withColumn("cum", col("lcum") + col("off"))
         .withColumn("pack_id", expr(s"(cum - n_tokens) div $cap"))
         .groupBy(col("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),

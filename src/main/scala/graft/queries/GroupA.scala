@@ -124,12 +124,16 @@ object GroupA {
     // event_type as the status column.
     "a7_status_rollup" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
-      val total = Window.partitionBy()
-      ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
+      val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      // Grand total as a broadcast 1-row join, not an unpartitioned
+      // window: same values (sum of the same counts), but no
+      // everything-to-one-task WindowExec (and no per-run warning).
+      val total = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(total))
         // No round(): double division of identical operands is bit-identical
         // across engines; round() implementations are not.
-        .withColumn("pct", col("n") * 100.0 / sum(col("n")).over(total))
+        .withColumn("pct", col("n") * 100.0 / col("tot"))
+        .drop("tot")
         .orderBy(col("event_type"))
     }))
 

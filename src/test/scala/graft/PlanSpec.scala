@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("c20 packing: running sum is bucketed, no full-corpus per-lang window") {
+    // sparkPlan, not executedPlan: the AdaptiveSparkPlanExec wrapper
+    // hides the tree from collect() until execution.
+    val p = SparkEntry.queries("c20_pack_plan")(spark, dir)
+      .queryExecution.sparkPlan
+    // every Window over the full docs relation must carry the bucket key;
+    // a lang-only partition spec is allowed only on the tiny bucket-total
+    // (offset) window, whose child aggregates to ≤ max_doc_id/1024 rows.
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "the prefix sum must still be a window")
+    val fullScanWindows = windows.filterNot(
+      _.child.toString.contains("HashAggregate"))
+    assert(fullScanWindows.forall(_.partitionSpec.exists(_.toString.contains("bkt"))),
+      "full-corpus window must partition by (lang, bkt), not lang alone")
+  }
+
   test("d7 edit distance: blocking tokens are df-capped") {
     val p = plan("d7_edit_distance")
     assert(p.contains(s"<= ${queries.Relational.D7_DF_CAP}"),
