@@ -110,19 +110,25 @@ object Similarity {
     topK(cos, k)
   }
 
-  /** Assign every vector of `base(vec_id, ie, nv)` to the max-cosine
-    * centroid of `centroids(cid, ce, cn)` (ties → lowest cid).
+  /** Rank `centroids(cid, ce, cn)` per vector of `base(vec_id, ie, nv)`
+    * by cosine (ties → lowest cid), keeping ranks 1..`maxRank`. Rank 1 is
+    * the cell ASSIGNMENT; ranks 2..P are the extra cells a multi-probe
+    * query searches.
     */
-  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame = {
+  private def rankCells(base: DataFrame, centroids: DataFrame, maxRank: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     base.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("ie"), col("nv"), col("cid"),
         (dot("ie", "ce") / (col("nv") * col("cn"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("ie"), col("nv"), col("cid").as("cell"))
+      .filter(col("arn") <= maxRank)
+      .select(col("vec_id"), col("ie"), col("nv"), col("cid").as("cell"), col("arn"))
   }
+
+  /** Assign every vector to its max-cosine centroid (rank-1 cell). */
+  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame =
+    rankCells(base, centroids, 1).drop("arn")
 
   /** Elementwise-mean centroids of an assignment, quantized back to the
     * scaled-long domain so one arithmetic (and one oracle formulation)
@@ -146,20 +152,22 @@ object Similarity {
       .withColumn("cn", norm("ce"))
   }
 
-  /** IVF (inverted-file) ANN: k-means cells + same-cell probing. Seeding
+  /** IVF (inverted-file) ANN: k-means cells + multi-probe search. Seeding
     * is deterministic (the `nCells` lowest-id vectors), then `lloydIters`
     * Lloyd iterations (assign to max-cosine centroid → recompute
     * quantized-mean centroids — empty cells drop out), then the final
-    * assignment; queries search only their own cell. Every step is exact
-    * scaled-long arithmetic, so the DuckDB oracle replays the training
-    * loop bit-for-bit. The centroid table is tiny and broadcast at each
-    * step; the cell id is the join key, so at 100 TB each query touches
-    * ~N/nCells vectors — and better-centered cells (vs the round-1
-    * lowest-id stand-ins) mean the same-cell probe actually contains the
-    * true neighbors (recall measured in SimilaritySpec).
+    * assignment; each query searches its `nProbe` closest cells (its own
+    * plus the next nProbe−1 by centroid cosine — single-probe missed
+    * ~70% of true neighbors on the synthetic data because near-boundary
+    * neighbors land one cell over). Every step is exact scaled-long
+    * arithmetic, so the DuckDB oracle replays the training loop
+    * bit-for-bit. The centroid table is tiny and broadcast at each step;
+    * the cell id is the join key, so at 100 TB each query touches
+    * ~nProbe·N/nCells vectors — the recall/cost dial every IVF index
+    * exposes (recall floor asserted in SimilaritySpec).
     */
   def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2, nProbe: Int = 3): DataFrame = {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
     val seed = base.filter(col("vec_id") < nCells)
@@ -172,9 +180,12 @@ object Similarity {
       meanCentroids(assignCells(base, c)).localCheckpoint(true)
     }
     // Consumed twice (query batch + probe side) — checkpoint so the
-    // crossjoin+window assignment, the query's dominant stage, runs once.
-    val assigned = assignCells(base, centroids).localCheckpoint(true)
-    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+    // crossjoin+window ranking, the query's dominant stage, runs once.
+    val ranked = rankCells(base, centroids, nProbe).localCheckpoint(true)
+    val assigned = ranked.filter(col("arn") === 1)
+    // One row per (query, probed cell): rank ≤ nProbe. A neighbor appears
+    // at most once per query — it lives in exactly one rank-1 cell.
+    val queries = ranked.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("cell"), col("ie").as("qe"), col("nv").as("qn"))
     val cos = assigned.join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("vec_id"))

@@ -186,16 +186,19 @@ object ExtOps {
     * double→DECIMAL(16,0) (both engines round half away from zero; all
     * scaled sums < 2^53 so every double conversion is exact).
     */
-  private def ivfOracle(nCells: Int, queryMod: Int, k: Int, iters: Int): String = {
-    def assign(n: Int, c: String, cn: String) =
+  private def ivfOracle(nCells: Int, queryMod: Int, k: Int, iters: Int,
+      nProbe: Int): String = {
+    // `probe` keeps centroid ranks 1..probe: 1 for training rounds (the
+    // assignment) and nProbe for the final round (multi-probe search).
+    def assign(n: Int, c: String, cn: String, probe: Int = 1) =
       s"""d$n AS (SELECT e.vec_id, c.cid, CAST(sum(e.sv * c.cv) AS DOUBLE) / 1e8 AS dot
          |  FROM el e JOIN $c c ON e.i = c.i GROUP BY 1, 2),
-         |a$n AS (SELECT vec_id, cid AS cell FROM (
+         |a$n AS (SELECT vec_id, cid AS cell, rn FROM (
          |  SELECT d.vec_id, d.cid,
          |         row_number() OVER (PARTITION BY d.vec_id
          |                            ORDER BY d.dot / (n.nv * cn.cn) DESC, d.cid) AS rn
          |  FROM d$n d JOIN nrm n ON n.vec_id = d.vec_id JOIN $cn cn ON cn.cid = d.cid)
-         | WHERE rn = 1)""".stripMargin
+         | WHERE rn <= $probe)""".stripMargin
     def update(n: Int) =
       s"""sz$n AS (SELECT cell, count(*) AS cnt FROM a$n GROUP BY cell),
          |c$n AS (SELECT a.cell AS cid, e.i,
@@ -213,10 +216,11 @@ object ExtOps {
        |c0 AS (SELECT vec_id AS cid, i, sv AS cv FROM el WHERE vec_id < $nCells),
        |cn0 AS (SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / 1e8) AS cn FROM c0 GROUP BY cid),
        |$steps,
-       |${assign(fin, s"c$iters", s"cn$iters")},
+       |${assign(fin, s"c$iters", s"cn$iters", probe = nProbe)},
        |pairs AS (
        |  SELECT q.vec_id AS qid, e.vec_id
-       |  FROM a$fin q JOIN a$fin e ON q.cell = e.cell AND e.vec_id <> q.vec_id
+       |  FROM a$fin q JOIN a$fin e ON q.cell = e.cell AND e.rn = 1
+       |                           AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id % $queryMod = 0),
        |dots AS (SELECT p.qid, p.vec_id, CAST(sum(a.sv * b.sv) AS DOUBLE) / 1e8 AS dot
        |  FROM pairs p JOIN el a ON a.vec_id = p.qid
@@ -471,7 +475,8 @@ object ExtOps {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
         |  FROM cos)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-    "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2),
+    "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2,
+      nProbe = 3),
     "c7_langid" ->
       """WITH raw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT doc_id, lang, tok FROM raw WHERE tok <> ''),

@@ -37,20 +37,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 20L), (20L, 0L)))
   }
 
-  test("IVF k-means centroids beat lowest-id stand-ins on recall@k vs brute force") {
+  test("IVF k-means + multi-probe recall@k vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    def recall(lloydIters: Int): Double = {
-      val brute = Similarity.bruteForceTopK(emb, 50, 3).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val ivf = Similarity.ivfTopK(emb, 50, 3, 8, lloydIters).collect()
+    val brute = Similarity.bruteForceTopK(emb, 50, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(lloydIters: Int, nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, 50, 3, 8, lloydIters, nProbe).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (brute & ivf).size.toDouble / brute.size
     }
-    val standIn = recall(0)
-    val kmeans = recall(2)
-    info(f"recall@3: stand-in centroids $standIn%.3f, k-means $kmeans%.3f")
+    val standIn = recall(0, 1)
+    val kmeans = recall(2, 1)
+    val multi = recall(2, 3)
+    info(f"recall@3: stand-in $standIn%.3f, k-means single-probe $kmeans%.3f, " +
+      f"3-probe $multi%.3f")
     assert(kmeans >= standIn)
-    assert(kmeans > 0.2) // same-cell probe finds a real share of true neighbors
+    // the shipped c12 config (8 cells, 2 Lloyd iters, 3 probes): the
+    // index must find most true neighbors while scanning ~3/8 of the
+    // corpus per query
+    assert(multi >= kmeans)
+    assert(multi >= 0.7)
   }
 
   test("near-dup pairs: only same-label pairs above threshold") {
