@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-/** Decoded features. Decode itself is a STUB (no image/audio libs in this
-  * container): [[Multimodal.decodeStub]] derives deterministic fake
-  * dimensions from the bytes. The Spark-side plumbing — schema, typed
-  * Dataset, per-partition batching, feature extraction shape — is real
-  * and tested.
+/** Decoded features. IMAGE payloads (PNG/JPEG/GIF/BMP by magic bytes)
+  * decode REAL dimensions via the JDK's `javax.imageio` — header-only
+  * (an `ImageReader` reads width/height without rasterizing the pixels).
+  * Non-image payloads (audio/video: no codec libs in this container)
+  * fall back to [[Multimodal.decodeStub]]'s deterministic fake. The
+  * Spark-side plumbing — schema, typed Dataset, per-partition batching,
+  * feature extraction shape — is identical for both paths.
   */
 final case class MediaFeatures(
     media_id: Long,
@@ -28,8 +30,8 @@ final case class MediaFeatures(
 object Multimodal {
 
   /** Deterministic fake decode: dimensions derived from byte length, as a
-    * placeholder for a real image/audio decoder (which would run here,
-    * batched per partition, exactly this shape).
+    * placeholder for the audio/video decoders this container lacks (which
+    * would run here, batched per partition, exactly this shape).
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val n = r.payload.length.toLong
@@ -39,12 +41,65 @@ object Multimodal {
       n_frames = frames, sampled_frames = math.min(frames, 8))
   }
 
+  /** Magic-byte sniff for the formats `javax.imageio` ships readers for.
+    * Cheaper and more honest than trying ImageIO on every payload: a
+    * text/audio byte blob must NOT burn an ImageReader probe per row.
+    */
+  private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
+    if (p.length < 8) false
+    else (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') || // GIF
+      (p(0) == 'B' && p(1) == 'M') // BMP
+
+  /** Header-only image decode: width/height (and frame count for
+    * multi-frame GIFs) via an `ImageReader`, WITHOUT decoding pixel data
+    * — `getWidth(0)` parses the header only, so cost per image is
+    * microseconds, not a rasterization. None if ImageIO has no reader
+    * for the bytes or the header is corrupt (caller falls back to the
+    * stub, job continues — the per-record-failure discipline of the exec
+    * operator applied to decode).
+    */
+  private[operators] def imageDims(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val frames =
+              try math.max(reader.getNumImages(true), 1)
+              catch { case _: Exception => 1 }
+            Some((reader.getWidth(0), reader.getHeight(0), frames))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Decode one media row: real dimensions for image payloads, stub
+    * arithmetic otherwise.
+    */
+  def decode(r: MediaRow): MediaFeatures =
+    (if (looksLikeImage(r.payload)) imageDims(r.payload) else None) match {
+      case Some((w, h, frames)) =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          width = w, height = h,
+          n_frames = frames, sampled_frames = math.min(frames, 8))
+      case None => decodeStub(r)
+    }
+
   /** Decode/feature-extract over a typed media Dataset. mapPartitions so a
-    * real decoder amortizes model/codec init once per partition.
+    * real decoder amortizes codec init once per partition (ImageIO's
+    * reader registry lookup is per-JVM; heavier decoders — model weights,
+    * native codecs — would init here).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Demo media table derived from `documents` (text bytes as the opaque

@@ -34,6 +34,35 @@ class BinaryTreeSpec extends AnyFunSuite with SparkSpec {
     assert(feats.map(_.kind).sorted.toSeq == Seq("jpg", "jpg", "png"))
   }
 
+  test("real PNG/JPEG payloads decode real dimensions via javax.imageio") {
+    // Real fixtures, no checked-in binaries: rasterize a BufferedImage
+    // with the same JDK that will decode it.
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val root = Files.createTempDirectory("imgtree").toFile
+    Files.write(new java.io.File(root, "wide.png").toPath, imageBytes(31, 17, "png"))
+    Files.write(new java.io.File(root, "tall.jpg").toPath, imageBytes(8, 25, "jpg"))
+    Files.write(new java.io.File(root, "not_an_image.png").toPath,
+      "plain text wearing a .png extension".getBytes)
+
+    val feats = Multimodal.extractFeatures(
+        BinaryTree.asMedia(spark, root.getAbsolutePath))
+      .collect()
+
+    val png = feats.find(f => f.kind == "png" && f.width == 31).get
+    assert(png.height == 17 && png.n_frames == 1 && png.sampled_frames == 1)
+    assert(feats.exists(f => f.kind == "jpg" && f.width == 8 && f.height == 25))
+    // the mislabeled text file must fall back to the stub, not crash
+    val fake = feats.find(_.n_bytes == 35L).get
+    assert(fake.width == 35 % 640 && fake.height == (35 * 7) % 480)
+  }
+
   test("content-hash dedup finds cross-path duplicates") {
     val root = mkTree()
     val dups = BinaryTree.dupContent(spark, root.getAbsolutePath).collect()
