@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * -999 other.
   */
 object Main {
+
+  /** Max failure rows echoed to stderr; the complete set is always in the
+    * `_distexec_logs_<id>` dir.
+    */
+  val MaxStderrEcho = 100
+
   private val Usage =
     """distexec [OPTIONS] <srcurl>* <desturl> <exec cmd>
       |
@@ -87,6 +93,20 @@ object Main {
       confFiles = files.toSeq)
   }
 
+  /** The stderr failure sample: at most [[MaxStderrEcho]] error lines
+    * plus a truncation marker. `take(cap + 1)`, never `collect()` — a
+    * 100 TB run with a systematically failing command has millions of
+    * failure rows, and they must not land in driver memory (the full set
+    * is in the `_distexec_logs_<id>` dir).
+    */
+  def failureEcho(status: org.apache.spark.sql.Dataset[graft.operators.ExecStatus]): Seq[String] = {
+    val sample = status.filter(!_.ok).take(MaxStderrEcho + 1)
+    val lines = sample.take(MaxStderrEcho).map(_.error).toSeq
+    if (sample.length > MaxStderrEcho)
+      lines :+ s"... more failures (stderr echo capped at $MaxStderrEcho)"
+    else lines
+  }
+
   /** Apply `-conf` resources then `-D` overrides to a Hadoop config. */
   def applyConf(conf: org.apache.hadoop.conf.Configuration, parsed: Arguments): Unit = {
     parsed.confFiles.foreach(f => conf.addResource(new org.apache.hadoop.fs.Path(f)))
@@ -122,11 +142,12 @@ object Main {
       println(s"EXECUTED=${c.executed} FAIL=${c.failed} " +
         s"BYTESEXECUTED=${c.bytesExecuted} BYTESWRITTEN=${c.bytesWritten}")
       // FAIL rows land in a _distexec_logs_<id> dir (reference parity,
-      // DistExec.java:507-521) and echo to stderr for interactive runs.
+      // DistExec.java:507-521) and a BOUNDED sample echoes to stderr for
+      // interactive runs; the full set is in the log dir.
       val logPath = DistExecJob.writeFailureLog(spark, parsed.dst, status)
-      val failures = status.filter(!_.ok).collect()
-      failures.foreach(s => System.err.println(s.error))
-      if (failures.nonEmpty) System.err.println(s"failure log: $logPath")
+      val echoed = failureEcho(status)
+      echoed.foreach(System.err.println)
+      if (echoed.nonEmpty) System.err.println(s"failure log: $logPath")
       spark.stop()
       if (c.failed > 0) sys.exit(1)
     } catch {

@@ -30,7 +30,9 @@ final case class DistExecOptions(
     redirectErrorToOut: Boolean = false,
     acceptExitCodes: Set[Int] = Set(0),
     targetBytesPerMap: Long = 256L * 1024 * 1024, // reference BYTES_PER_MAP, DistExec.java:75
-    defaultMapCap: Int = 20 * 32)                 // reference MAX_MAPS_PER_NODE × "nodes", DistExec.java:76
+    // None → derived from the session at run time (the reference's
+    // 20 × live-cluster-nodes, DistExec.java:419-426); Some(n) pins it.
+    defaultMapCap: Option[Int] = None)
 
 /** The core operator: pipe every file of the source trees through a shell
   * command, writing stdout (and a `.stderr` sidecar) to a mirrored path
@@ -53,6 +55,22 @@ final case class DistExecOptions(
   *    ([[Manifest.listDistributed]]).
   */
 object DistExecJob {
+
+  /** Reference `MAX_MAPS_PER_NODE` (DistExec.java:76). */
+  val MaxMapsPerNode = 20
+
+  /** Default map cap for THIS session: the reference's 20 × live nodes
+    * (DistExec.java:419-426) read from the actual cluster instead of a
+    * hard-coded node count — executor count from the status tracker
+    * (minus the driver row; local mode counts as one node), floored at
+    * `defaultParallelism` so a single fat node still fills its cores.
+    * `-m` / `DistExecOptions.maxMaps` override as before.
+    */
+  def sessionMapCap(spark: SparkSession): Int = {
+    val sc = spark.sparkContext
+    val nodes = math.max(sc.statusTracker.getExecutorInfos.length - 1, 1)
+    math.max(MaxMapsPerNode * nodes, sc.defaultParallelism)
+  }
 
   def run(
       spark: SparkSession,
@@ -139,7 +157,8 @@ object DistExecJob {
     val jobId = java.lang.Long.toString(System.nanoTime(), 36)
     val tmpRoot = new Path(if (special) dstPath.getParent else dstPath, s"_distexec_tmp_$jobId")
 
-    val numTasks = Manifest.mapCount(fileCount, options.maxMaps.getOrElse(options.defaultMapCap))
+    val numTasks = Manifest.mapCount(fileCount,
+      options.maxMaps.orElse(options.defaultMapCap).getOrElse(sessionMapCap(spark)))
     val target = math.max(totalBytes / numTasks, 1L)
 
     val binned = Manifest

@@ -165,6 +165,31 @@ class DistExecJobSpec extends AnyFunSuite with SparkSpec {
     assert(Files.readString(dst) == "alpha\nmatch me\n", "dst is already the single output")
   }
 
+  test("CLI failure echo is bounded: many-failure run never collects to driver") {
+    import spark.implicits._
+    val status = spark.createDataset((1 to 250).map(i =>
+      ExecStatus(s"f$i", ok = false, exitCode = 7, 0L, 0L, 0L, s"err $i")))
+    val echoed = graft.cli.Main.failureEcho(status)
+    assert(echoed.length == graft.cli.Main.MaxStderrEcho + 1)
+    assert(echoed.last.contains("capped"))
+    // an all-green run echoes nothing
+    val ok = spark.createDataset(Seq(ExecStatus("f", ok = true, 0, 1L, 1L, 0L, "")))
+    assert(graft.cli.Main.failureEcho(ok).isEmpty)
+  }
+
+  test("default map cap tracks the session, not a hard-coded node count") {
+    val sc = spark.sparkContext
+    // local[4]: one "node" → 20 maps/node, floored at defaultParallelism
+    assert(DistExecJob.sessionMapCap(spark) ==
+      math.max(DistExecJob.MaxMapsPerNode, sc.defaultParallelism))
+    // explicit -m / options still win over the derived cap
+    val src = mkTree()
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat",
+      DistExecOptions(maxMaps = Some(1)))
+    assert(status.rdd.getNumPartitions == 1, "-m pins the task count")
+  }
+
   test("failure log dir: FAIL rows land in _distexec_logs_<id> (inside dst dir)") {
     val src = mkTree()
     val dst = tmpDst()
