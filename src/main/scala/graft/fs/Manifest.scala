@@ -47,6 +47,41 @@ object Manifest {
   private def stripTrailingSlash(s: String): String =
     if (s.length > 1 && s.endsWith("/")) s.dropRight(1) else s
 
+  /** Secure-cluster delegation tokens, obtained UP FRONT on the driver
+    * for every distinct filesystem among `paths` and added to `creds`
+    * (the current user's credentials by default, which Spark ships to
+    * executors) — the reference's `checkSrcPath` →
+    * `TokenCache.obtainTokensForNamenodes` (DistExec.java:209-226): on a
+    * kerberized HDFS, tasks hold no TGT, so without tokens grabbed at
+    * submit time every executor open fails. Renewer: the RM principal if
+    * configured (the YARN renewal path), else the current user.
+    *
+    * No-op off secure clusters. `securityEnabled` is injectable because
+    * flipping `UserGroupInformation` into kerberos mode is JVM-global —
+    * the unit test passes `true` explicitly with a mock filesystem; a
+    * real kerberized e2e needs a KDC this sandbox doesn't have
+    * (documented limit).
+    *
+    * Returns the kinds of the obtained tokens (diagnostic/test surface).
+    */
+  def obtainDelegationTokens(
+      conf: Configuration,
+      paths: Seq[String],
+      creds: org.apache.hadoop.security.Credentials =
+        org.apache.hadoop.security.UserGroupInformation.getCurrentUser.getCredentials,
+      securityEnabled: Boolean =
+        org.apache.hadoop.security.UserGroupInformation.isSecurityEnabled): Seq[String] = {
+    if (!securityEnabled) Seq.empty
+    else {
+      val renewer = Option(conf.get("yarn.resourcemanager.principal"))
+        .getOrElse(org.apache.hadoop.security.UserGroupInformation.getCurrentUser.getUserName)
+      paths.map(p => new Path(p).getFileSystem(conf))
+        .groupBy(_.getUri).values.map(_.head)
+        .flatMap(fs => Option(fs.addDelegationTokens(renewer, creds)).toSeq.flatten)
+        .map(_.getKind.toString).toSeq
+    }
+  }
+
   /** Driver-side iterative DFS over one root (reference's explicit-stack
     * walk, DistExec.java:549-609). Fine for moderate trees; use
     * [[listDistributed]] when the fan-out is large.

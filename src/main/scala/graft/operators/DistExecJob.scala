@@ -79,6 +79,11 @@ object DistExecJob {
       command: String,
       options: DistExecOptions = DistExecOptions()): Dataset[ExecStatus] = {
     require(srcs.nonEmpty, "at least one source required")
+    // Secure clusters: grab delegation tokens for every src/dst
+    // filesystem before touching them (reference checkSrcPath,
+    // DistExec.java:209-226). No-op without kerberos.
+    Manifest.obtainDelegationTokens(
+      spark.sparkContext.hadoopConfiguration, srcs :+ dst)
     // Reference root choice (DistExec.java:546-553): only the special
     // single-src-into-nonexistent-dst job spills a directory's CONTENTS
     // into dst; otherwise every source mirrors under dst/<srcname>/...,

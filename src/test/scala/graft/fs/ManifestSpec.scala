@@ -112,4 +112,53 @@ class ManifestSpec extends AnyFunSuite with SparkSpec {
     assert(Manifest.mapCount(5, 20) == 5)
     assert(Manifest.mapCount(500, 20) == 20)
   }
+
+  test("delegation tokens: obtained once per distinct fs when secure, never otherwise") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.mocktok.impl", classOf[TokenRecordingFileSystem].getName)
+    conf.set("fs.mocktok.impl.disable.cache", "true")
+    val creds = new org.apache.hadoop.security.Credentials()
+
+    TokenRecordingFileSystem.renewers.clear()
+    // two paths on the same fs → ONE addDelegationTokens call
+    val kinds = Manifest.obtainDelegationTokens(conf,
+      Seq("mocktok:///src", "mocktok:///dst"), creds, securityEnabled = true)
+    assert(TokenRecordingFileSystem.renewers.size == 1)
+    assert(kinds == Seq("MOCK_TOKEN"))
+
+    // insecure cluster → no-op (the everyday path)
+    TokenRecordingFileSystem.renewers.clear()
+    assert(Manifest.obtainDelegationTokens(conf,
+      Seq("mocktok:///src"), creds, securityEnabled = false).isEmpty)
+    assert(TokenRecordingFileSystem.renewers.isEmpty)
+
+    // renewer prefers the RM principal when configured (YARN renewal path)
+    conf.set("yarn.resourcemanager.principal", "rm/host@REALM")
+    Manifest.obtainDelegationTokens(conf, Seq("mocktok:///src"), creds,
+      securityEnabled = true)
+    assert(TokenRecordingFileSystem.renewers.last == "rm/host@REALM")
+  }
+}
+
+/** Mock secure filesystem: records addDelegationTokens calls. A real
+  * kerberized e2e needs a KDC this sandbox lacks; flipping UGI into
+  * kerberos mode is JVM-global, hence the injectable `securityEnabled`.
+  */
+class TokenRecordingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mocktok:///")
+  override def addDelegationTokens(
+      renewer: String,
+      creds: org.apache.hadoop.security.Credentials)
+      : Array[org.apache.hadoop.security.token.Token[_]] = {
+    TokenRecordingFileSystem.renewers += renewer
+    val t = new org.apache.hadoop.security.token.Token[
+      org.apache.hadoop.security.token.TokenIdentifier]()
+    t.setKind(new org.apache.hadoop.io.Text("MOCK_TOKEN"))
+    Array(t)
+  }
+}
+
+object TokenRecordingFileSystem {
+  val renewers: scala.collection.mutable.ArrayBuffer[String] =
+    scala.collection.mutable.ArrayBuffer.empty
 }
