@@ -45,6 +45,24 @@ object EventStream {
       .option("maxFilesPerTrigger", 16)
       .json(dir)
 
+  /** Streaming source over the events PARQUET data (the driver's real
+    * testdata): `ts` is parquet TIMESTAMP(NANOS), which Spark rejects
+    * natively — declared as long (legacy nanosAsLong read, the same
+    * conf `Tables.load` sets for the batch path) and truncated to
+    * micros, so the batch and streaming frames carry identical
+    * timestamps.
+    */
+  def readEventParquetStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    spark.readStream
+      .schema(nanosSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** The streaming query: watermarked tumbling windows, update mode. */
   def hourlyStream(events: DataFrame): DataFrame =
     hourlyRollup(events.withWatermark("ts", "2 hours"))

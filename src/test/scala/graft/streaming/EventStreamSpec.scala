@@ -36,4 +36,29 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 0.5),
       ("2024-01-01 01:00:00", "click", 1L, 4.25)))
   }
+
+  test("streaming the real events parquet equals the b6 batch rollup row-for-row") {
+    // The last untested seam between batch and streaming: the b6 query
+    // and the stream share hourlyRollup, but only a real readStream over
+    // the driver's parquet (TIMESTAMP NANOS and all) proves the two
+    // paths agree end to end.
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = Files.createTempDirectory("b6-ckpt").toFile
+    // the file source wants a directory; the testdata table is one file
+    val streamDir = Files.createTempDirectory("b6-events").toFile
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      new java.io.File(streamDir, "events.parquet").toPath)
+    val stream = EventStream.readEventParquetStream(spark, streamDir.getAbsolutePath)
+    assert(stream.isStreaming)
+    val q = EventStream.start(stream, ckpt.getAbsolutePath)
+      .format("memory").queryName("b6_stream").start()
+    q.awaitTermination()
+
+    val streamed = spark.table("b6_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.queries.GroupB.queries("b6_hourly_events")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
