@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash/LSH shuffles on (band_id, band_value) — candidate
   *    generation never materializes the O(n²) pair space;
   *  - exact Jaccard verification runs only on LSH candidates;
-  *  - SimHash reduces each doc to a 16-bit fingerprint, so the
-  *    bucket-groupBy shuffles 2 bytes per doc.
+  *  - SimHash reduces each doc to a 64-bit fingerprint, so the
+  *    bucket-groupBy shuffles 8 bytes per doc.
   */
 object Dedup {
 
