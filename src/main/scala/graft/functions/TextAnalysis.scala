@@ -113,6 +113,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_rows"), sum(col("removed")).as("n_chars_redacted"))
       .orderBy(col("grp"))
 
+  /** Per-lang repetition profile: a doc's repetition is its share of
+    * repeated tokens (total − distinct); `n_repetitive` counts docs at
+    * ≥ 50% via the cross-multiplied integer comparison
+    * `(tot − dis)·100 ≥ 50·tot` — bit-exact across engines, no float
+    * ratio. The within-doc twin of the corpus-level dedup suite: heavy
+    * internal repetition is the classic low-quality-generation signal a
+    * training filter drops.
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("tot"), countDistinct(col("tok")).as("dis"))
+    per.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("tot") - col("dis")) * 100 >= col("tot") * 50, 1L)
+          .otherwise(0L)).as("n_repetitive"),
+        sum(col("tot")).as("sum_tokens"),
+        sum(col("dis")).as("sum_distinct"))
+      .orderBy(col("lang"))
+  }
+
   /** Rolling-window fingerprint: the min md5 over sliding 4-token
     * shingles (winnowing-style); groups sharing a fingerprint are
     * near-dup candidates.

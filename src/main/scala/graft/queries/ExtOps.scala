@@ -64,6 +64,8 @@ object ExtOps {
     }),
     // c17 — curation decisions per (lang, reason): first-match drop
     // reason, integer-exact thresholds.
+    "c22_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(load(s, dir, "documents"))),
     "c17_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(load(s, dir, "documents"))),
     // c18 — redaction accounting: characters a digit-scrub removes from
@@ -320,6 +322,17 @@ object ExtOps {
         |kept AS (SELECT b.lang, b.doc_id FROM batch b ANTI JOIN corpus c ON b.h = c.h)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS min_doc
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    "c22_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, count(*) AS tot, count(DISTINCT tok) AS dis
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER ((tot - dis) * 100 >= tot * 50) AS BIGINT) AS n_repetitive,
+        |       CAST(sum(tot) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(dis) AS BIGINT) AS sum_distinct
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "c19_tfidf_terms" ->
       """WITH raw AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),

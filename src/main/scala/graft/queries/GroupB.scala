@@ -152,6 +152,27 @@ object GroupB {
           col("o_orderpriority"), col("revenue"))
     }),
 
+    // B8 — large-volume orders (TPC-H Q18 shape): orders whose total
+    // lineitem quantity exceeds a threshold, with order attributes. The
+    // HAVING-filtered aggregate is tiny (a few % of orders), so the
+    // join back to `orders` broadcasts the AGGREGATE side — the fact
+    // table is scanned once, never shuffled on the join key. Quantity
+    // sums ride the b4 scaled-long contract.
+    "b8_big_orders" -> ((s, dir) => {
+      val qtyC = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val big = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), qtyC.as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("q")).as("sq"))
+        .filter(col("sq") > 250L * 100)
+      load(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("sq").cast("double") / 100.0).as("sum_qty"), col("o_totalprice"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(30)
+    }),
+
     // B6 — tumbling 1-hour event windows. The expression IS the streaming
     // twin's (one definition — backfill and live paths cannot drift).
     "b6_hourly_events" -> ((s, dir) => {
@@ -255,6 +276,15 @@ object GroupB {
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "b8_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |       CAST(b.sq AS DOUBLE) AS sum_qty, o.o_totalprice
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 30""".stripMargin,
     "b6_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n,

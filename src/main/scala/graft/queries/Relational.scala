@@ -149,6 +149,25 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // d10 — deterministic per-group mode: the most frequent extracted
+    // props value per event type (count desc, value asc tiebreak — the
+    // tiebreak is what makes mode oracle-checkable). Shape: count
+    // aggregate (map-side partials) + a per-group top-1 window over the
+    // COUNTS table (|groups|·|values| rows, not events).
+    "d10_mode_props" -> ((s, dir) => {
+      val counts = load(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("k"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("k").as("mode_k"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // d9 — latest-per-key dedup (the "current state" query): keep each
     // user's most recent event per type; ties broken by event_id.
     // Window row_number over (user, type) — the canonical
@@ -256,6 +275,18 @@ object Relational {
         |       quantile_cont(value, 0.99) AS p99,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d10_mode_props" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, k AS mode_k, n FROM (
+        |  SELECT event_type, k, n,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY n DESC, k) AS rn
+        |  FROM counts)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "d9_latest_event" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, ts, value,
