@@ -240,17 +240,30 @@ object Dedup {
   /** Character-shingle (3-gram) Jaccard over sampled docs — the n-gram
     * flavor of near-dup detection; pair space bounded by the sample.
     */
+  /** Shingle document-frequency cap (the b2 discipline applied to
+    * character shingles): a common trigram posts in ~every doc, making
+    * the postings self-join quadratic at corpus scale. Shingles above
+    * the cap drop from the universe (sizes AND intersections), bounding
+    * pairs to ≤ |shingle vocab|·CAP². No-op at the local SFs (≤ 200
+    * sampled docs); mirrored in the oracle.
+    */
+  val ShingleDfCap = 256
+
   def shingleJaccard(docs: DataFrame, sampleMod: Int, k: Int = 20): DataFrame = {
     // Positions capped at 2047 (matches the oracle's constant range — a
     // prefix-window bound, like fingerprinting the first ~2 KB); texts
     // under 3 chars have no shingles (sequence() would DESCEND for a
     // negative span — the length filter is load-bearing).
-    val shingles = docs.filter(col("doc_id") % sampleMod === 0)
+    val shingles0 = docs.filter(col("doc_id") % sampleMod === 0)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(expr("sequence(1, least(length(text) - 2, 2047))")).as("i"), col("text"))
       .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
       .distinct()
+    val shingles = shingles0.join(
+      shingles0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap).select(col("sh")),
+      "sh")
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col("doc_id").as("da"), col("sh"))
     val b = shingles.select(col("doc_id").as("db"), col("sh"))

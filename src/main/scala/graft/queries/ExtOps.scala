@@ -412,10 +412,13 @@ object ExtOps {
          |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
          |ORDER BY hamming, da, db""".stripMargin,
     "c3_shingle_jaccard" ->
-      """WITH raw AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS sh
+      s"""WITH raw AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS sh
         |  FROM documents, range(1, 2048) t(i)
         |  WHERE doc_id % 25 = 0 AND length(text) >= 3 AND i <= length(text) - 2),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM raw),
+        |sh0 AS (SELECT DISTINCT doc_id, sh FROM raw),
+        |shdf AS (SELECT sh FROM sh0 GROUP BY sh
+        |         HAVING count(*) <= ${Dedup.ShingleDfCap}),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shdf d ON s.sh = d.sh),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

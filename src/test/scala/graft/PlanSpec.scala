@@ -78,11 +78,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "hot blocking tokens must be dropped, else one block is quadratic")
   }
 
+  test("c3 shingle jaccard: shingle universe is df-capped") {
+    val p = plan("c3_shingle_jaccard")
+    assert(p.contains(s"<= ${operators.Dedup.ShingleDfCap}"),
+      "common trigrams must be dropped, else their postings join is quadratic")
+  }
+
   test("similarity dot products stay native (no interpreted higher-order functions)") {
     val p = plan("c4_embed_neardup") + plan("c5_ann_brute") + plan("c6_ann_lsh")
     assert(p.contains("long_array_dot"), "LongArrayDot must power the dot products")
     assert(!p.toLowerCase.contains("zip_with"),
       "zip_with on the pair path = CodegenFallback regression")
+  }
+
+  test("b8 big orders: aggregate side broadcasts, fact scan pruned, no global sort") {
+    val p = plan("b8_big_orders")
+    assert(p.contains("BroadcastHashJoin"), "the tiny HAVING aggregate must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 must not globally sort")
+    assert(!p.contains("l_discount"), "lineitem scan must read only orderkey+quantity")
   }
 
   test("b1 exact dedup: aggregation is partial (map-side combine) on the hash") {
