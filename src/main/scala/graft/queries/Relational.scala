@@ -168,6 +168,35 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // d11 — interval (range) join: attribute each error event to the
+    // 30-minute window following a purchase. The naive plan is a
+    // BroadcastNestedLoopJoin on the range predicate — quadratic and
+    // broadcast-bound. The scale path: EQUI-join on a 30-minute time
+    // bucket (each interval spans at most 2 buckets → explode the build
+    // side to both; the probe event has exactly one bucket, so a pair
+    // matches at most once — no dedup pass), then the exact range filter
+    // on the matched pairs only. Shuffles on the bucket key like any
+    // equi-join; pairs bounded by events-per-bucket, not |p|·|e|.
+    "d11_interval_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+      val bucketUs = 30L * 60 * 1000000
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").as("p_ts"))
+        .withColumn("bkt", explode(array(
+          expr(s"unix_micros(p_ts) div $bucketUs"),
+          expr(s"unix_micros(p_ts) div $bucketUs + 1"))))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("ts").as("e_ts"),
+          expr(s"unix_micros(ts) div $bucketUs").as("bkt"))
+      p.join(e, "bkt")
+        .filter(col("e_ts") >= col("p_ts") &&
+          col("e_ts") < col("p_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          expr("unix_micros(min(e_ts))").as("first_error_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // d9 — latest-per-key dedup (the "current state" query): keep each
     // user's most recent event per type; ties broken by event_id.
     // Window row_number over (user, type) — the canonical
@@ -275,6 +304,13 @@ object Relational {
         |       quantile_cont(value, 0.99) AS p99,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d11_interval_join" ->
+      """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_errors,
+        |       CAST(epoch_us(min(e.ts)) AS BIGINT) AS first_error_us
+        |FROM p JOIN e ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "d10_mode_props" ->
       """WITH counts AS (
         |  SELECT event_type,

@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "hot blocking tokens must be dropped, else one block is quadratic")
   }
 
+  test("d11 interval join: bucketed equi-join, not a nested-loop range join") {
+    val p = plan("d11_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride a bucket equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "bucket key must be an equi-join key")
+  }
+
   test("c3 shingle jaccard: shingle universe is df-capped") {
     val p = plan("c3_shingle_jaccard")
     assert(p.contains(s"<= ${operators.Dedup.ShingleDfCap}"),
