@@ -66,6 +66,38 @@ object ExtOps {
     // reason, integer-exact thresholds.
     "c22_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionProfile(load(s, dir, "documents"))),
+    // c23 — bigram novelty profile (a perplexity proxy with integer
+    // arithmetic): per lang, how many bigram OCCURRENCES belong to
+    // bigrams seen ≤ 3 times corpus-wide. High rare-share flags
+    // boilerplate-free (or garbled) text without a float LM score —
+    // cross-engine exact where log-prob perplexity could never be.
+    // Shape: one bigram explode (positions over the raw split array,
+    // capped at 4094 — mirrored in the oracle), counts shuffled on
+    // (lang, bigram), then per-lang sums OVER THE COUNTS table — the
+    // corpus-size-independent rollup.
+    "c23_bigram_novelty" -> ((s, dir) => {
+      val bg = load(s, dir, "documents")
+        .withColumn("a", split(col("text"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            """filter(
+              |  transform(sequence(0, least(size(a) - 2, 4093)),
+              |            i -> named_struct('x', a[i], 'y', a[i + 1])),
+              |  p -> p.x <> '' AND p.y <> '')""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("lang"),
+          concat(col("p.x"), lit(" "), col("p.y")).as("b"))
+      val cnt = bg.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("n"))
+      val occ = cnt.groupBy(col("lang"))
+        .agg(sum(col("n")).as("sum_bigrams"),
+          sum(when(col("n") <= 3, col("n")).otherwise(0L)).as("sum_rare"),
+          count(lit(1)).as("n_bigram_types"))
+      val d = bg.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      d.join(occ, "lang")
+        .select(col("lang"), col("n_docs"), col("sum_bigrams"),
+          col("sum_rare"), col("n_bigram_types"))
+        .orderBy(col("lang"))
+    }),
     "c17_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(load(s, dir, "documents"))),
     // c18 — redaction accounting: characters a digit-scrub removes from
@@ -322,6 +354,22 @@ object ExtOps {
         |kept AS (SELECT b.lang, b.doc_id FROM batch b ANTI JOIN corpus c ON b.h = c.h)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS min_doc
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    "c23_bigram_novelty" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS b
+        |       FROM toks, range(1, 4095) t(i)
+        |       WHERE i < len(a) AND a[CAST(i AS INT)] <> ''
+        |         AND a[CAST(i AS INT) + 1] <> ''),
+        |cnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+        |occ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS sum_bigrams,
+        |               CAST(coalesce(sum(n) FILTER (n <= 3), 0) AS BIGINT) AS sum_rare,
+        |               CAST(count(*) AS BIGINT) AS n_bigram_types
+        |        FROM cnt GROUP BY lang),
+        |d AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM bg GROUP BY lang)
+        |SELECT d.lang, d.n_docs, occ.sum_bigrams, occ.sum_rare, occ.n_bigram_types
+        |FROM d JOIN occ ON d.lang = occ.lang ORDER BY d.lang""".stripMargin,
     "c22_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, lang, count(*) AS tot, count(DISTINCT tok) AS dis
