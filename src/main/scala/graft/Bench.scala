@@ -76,10 +76,12 @@ object Bench {
         catch {
           case t: Throwable =>
             System.err.println(s"[bench] $n FAILED: ${t.getMessage}")
-            -1.0 // a failed pass must not masquerade as a fast one
+            -1.0
         }
       }
-      (n, median(times.filter(_ >= 0)), times)
+      // ANY failed pass ⇒ the query reports -1: a flaky query must not
+      // masquerade as a healthy median of its surviving passes.
+      (n, if (times.exists(_ < 0)) -1.0 else median(times), times)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val raw = results.map { case (k, _, ts) => s""""$k":[${ts.mkString(",")}]""" }

@@ -48,13 +48,22 @@ object Manifest {
     if (s.length > 1 && s.endsWith("/")) s.dropRight(1) else s
 
   /** Secure-cluster delegation tokens, obtained UP FRONT on the driver
-    * for every distinct filesystem among `paths` and added to `creds`
-    * (the current user's credentials by default, which Spark ships to
-    * executors) — the reference's `checkSrcPath` →
+    * for every distinct filesystem among `paths` and MERGED INTO THE
+    * LIVE UGI (`UserGroupInformation.addCredentials` — `getCredentials`
+    * returns a defensive COPY, so adding tokens to it would be a silent
+    * no-op) — the reference's `checkSrcPath` →
     * `TokenCache.obtainTokensForNamenodes` (DistExec.java:209-226): on a
     * kerberized HDFS, tasks hold no TGT, so without tokens grabbed at
-    * submit time every executor open fails. Renewer: the RM principal if
-    * configured (the YARN renewal path), else the current user.
+    * submit time every filesystem open fails. Renewer: the RM principal
+    * if configured (the YARN renewal path), else the current user.
+    *
+    * Timing caveat (unlike the reference's MR submit path): Spark
+    * captures delegation tokens for executors at application launch /
+    * via its keytab token manager (`spark.kerberos.*`), so call this
+    * BEFORE the first action of the job — it guarantees the DRIVER side
+    * (listing, dup-check, mkdirs, tmp cleanup) and covers executors when
+    * the session is built after the grab; long-running apps should run
+    * Spark's own renewal in addition.
     *
     * No-op off secure clusters. `securityEnabled` is injectable because
     * flipping `UserGroupInformation` into kerberos mode is JVM-global —
@@ -67,18 +76,20 @@ object Manifest {
   def obtainDelegationTokens(
       conf: Configuration,
       paths: Seq[String],
-      creds: org.apache.hadoop.security.Credentials =
-        org.apache.hadoop.security.UserGroupInformation.getCurrentUser.getCredentials,
       securityEnabled: Boolean =
         org.apache.hadoop.security.UserGroupInformation.isSecurityEnabled): Seq[String] = {
     if (!securityEnabled) Seq.empty
     else {
+      val ugi = org.apache.hadoop.security.UserGroupInformation.getCurrentUser
       val renewer = Option(conf.get("yarn.resourcemanager.principal"))
-        .getOrElse(org.apache.hadoop.security.UserGroupInformation.getCurrentUser.getUserName)
-      paths.map(p => new Path(p).getFileSystem(conf))
+        .getOrElse(ugi.getUserName)
+      val creds = new org.apache.hadoop.security.Credentials()
+      val kinds = paths.map(p => new Path(p).getFileSystem(conf))
         .groupBy(_.getUri).values.map(_.head)
         .flatMap(fs => Option(fs.addDelegationTokens(renewer, creds)).toSeq.flatten)
         .map(_.getKind.toString).toSeq
+      ugi.addCredentials(creds) // merge into the LIVE subject, not a copy
+      kinds
     }
   }
 

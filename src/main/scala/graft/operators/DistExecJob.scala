@@ -59,16 +59,19 @@ object DistExecJob {
   /** Reference `MAX_MAPS_PER_NODE` (DistExec.java:76). */
   val MaxMapsPerNode = 20
 
-  /** Default map cap for THIS session: the reference's 20 × live nodes
+  /** Default map cap for THIS session: the reference's 20 × live NODES
     * (DistExec.java:419-426) read from the actual cluster instead of a
-    * hard-coded node count — executor count from the status tracker
-    * (minus the driver row; local mode counts as one node), floored at
-    * `defaultParallelism` so a single fat node still fills its cores.
+    * hard-coded node count. Nodes = distinct executor HOSTS (an
+    * executor is not a node: 10 hosts × 4 executors must cap at 20×10,
+    * not 20×40), minus one for the driver's host when others exist
+    * (conservative when the driver co-locates with an executor), floored
+    * at `defaultParallelism` so a single fat node still fills its cores.
     * `-m` / `DistExecOptions.maxMaps` override as before.
     */
   def sessionMapCap(spark: SparkSession): Int = {
     val sc = spark.sparkContext
-    val nodes = math.max(sc.statusTracker.getExecutorInfos.length - 1, 1)
+    val hosts = sc.statusTracker.getExecutorInfos.map(_.host).distinct.length
+    val nodes = math.max(hosts - 1, 1)
     math.max(MaxMapsPerNode * nodes, sc.defaultParallelism)
   }
 

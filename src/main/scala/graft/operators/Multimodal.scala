@@ -95,11 +95,14 @@ object Multimodal {
   /** Decode/feature-extract over a typed media Dataset. mapPartitions so a
     * real decoder amortizes codec init once per partition (ImageIO's
     * reader registry lookup is per-JVM; heavier decoders — model weights,
-    * native codecs — would init here).
+    * native codecs — would init here). `decoder` defaults to the real
+    * content-sniffing [[decode]]; pass [[decodeStub]] when the consumer
+    * needs arithmetic an external oracle can replay.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaRow => MediaFeatures = decode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decode))
+    media.mapPartitions(_.map(decoder))
   }
 
   /** Demo media table derived from `documents` (text bytes as the opaque
@@ -113,12 +116,17 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Per-kind feature rollup — integer-only aggregates, so the DuckDB
-    * oracle can replay the stubbed decode arithmetic exactly.
+  /** Per-kind feature rollup — integer-only aggregates over the STUB
+    * decode, EXPLICITLY: the DuckDB oracle replays the stub arithmetic,
+    * and the real content-sniffing decode must never leak in here — a
+    * document text that happens to start with image magic bytes ("BM…")
+    * would otherwise decode "real" dimensions on the Spark side only and
+    * break the hash gate data-dependently. Real media trees go through
+    * [[extractFeatures]]'s default decoder instead.
     */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    extractFeatures(mediaFromDocuments(spark, docs))
+    extractFeatures(mediaFromDocuments(spark, docs), decodeStub)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),

@@ -154,10 +154,12 @@ object GroupB {
 
     // B8 — large-volume orders (TPC-H Q18 shape): orders whose total
     // lineitem quantity exceeds a threshold, with order attributes. The
-    // HAVING-filtered aggregate is tiny (a few % of orders), so the
-    // join back to `orders` broadcasts the AGGREGATE side — the fact
-    // table is scanned once, never shuffled on the join key. Quantity
-    // sums ride the b4 scaled-long contract.
+    // HAVING-filtered aggregate is small at bench SFs and AQE's runtime
+    // size check broadcasts it then — but NO broadcast() hint: at 100 TB
+    // "a few % of orders" is 10⁸+ rows, past the broadcast hard limit,
+    // and a forced hint would fail the job exactly where the shuffle
+    // join is the right plan. Quantity sums ride the b4 scaled-long
+    // contract.
     "b8_big_orders" -> ((s, dir) => {
       val qtyC = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
       val big = load(s, dir, "lineitem")
@@ -166,7 +168,7 @@ object GroupB {
         .agg(sum(col("q")).as("sq"))
         .filter(col("sq") > 250L * 100)
       load(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_orderpriority"),
           (col("sq").cast("double") / 100.0).as("sum_qty"), col("o_totalprice"))
         .orderBy(col("sum_qty").desc, col("o_orderkey"))

@@ -66,10 +66,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(windows.nonEmpty, "the prefix sum must still be a window")
-    val fullScanWindows = windows.filterNot(
-      _.child.toString.contains("HashAggregate"))
-    assert(fullScanWindows.forall(_.partitionSpec.exists(_.toString.contains("bkt"))),
-      "full-corpus window must partition by (lang, bkt), not lang alone")
+    // at least one window must carry the bucket key (the doc-level local
+    // cumsum), and any window WITHOUT it must run over bucket-level rows
+    // (its child aggregates on the bucket key) — "child contains some
+    // aggregate" is not enough: a groupBy(doc_id) feeding a lang-only
+    // window would pass that vacuously while still serializing per lang.
+    assert(windows.exists(_.partitionSpec.exists(_.toString.contains("bkt"))),
+      "doc-level cumsum must partition by (lang, bkt)")
+    val langOnly = windows.filterNot(_.partitionSpec.exists(_.toString.contains("bkt")))
+    assert(langOnly.forall(w =>
+      w.child.toString.contains("HashAggregate") && w.child.toString.contains("bkt")),
+      "a lang-only window may only run over per-bucket aggregates")
   }
 
   test("d7 edit distance: blocking tokens are df-capped") {
@@ -99,11 +106,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "zip_with on the pair path = CodegenFallback regression")
   }
 
-  test("b8 big orders: aggregate side broadcasts, fact scan pruned, no global sort") {
+  test("b8 big orders: fact scan pruned, no global sort, no forced broadcast") {
     val p = plan("b8_big_orders")
-    assert(p.contains("BroadcastHashJoin"), "the tiny HAVING aggregate must broadcast")
     assert(p.contains("TakeOrderedAndProject"), "top-30 must not globally sort")
     assert(!p.contains("l_discount"), "lineitem scan must read only orderkey+quantity")
+    // no broadcast() hint on the aggregate side: at 100 TB the HAVING
+    // set exceeds the broadcast limit — AQE may still CHOOSE broadcast
+    // at runtime when the set is actually small (that's the point).
+    assert(!SparkEntry.queries("b8_big_orders")(spark, dir)
+      .queryExecution.logical.toString.contains("UnresolvedHint"),
+      "join strategy must be left to the optimizer/AQE")
   }
 
   test("b1 exact dedup: aggregation is partial (map-side combine) on the hash") {

@@ -117,31 +117,37 @@ class ManifestSpec extends AnyFunSuite with SparkSpec {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     conf.set("fs.mocktok.impl", classOf[TokenRecordingFileSystem].getName)
     conf.set("fs.mocktok.impl.disable.cache", "true")
-    val creds = new org.apache.hadoop.security.Credentials()
 
     TokenRecordingFileSystem.renewers.clear()
     // two paths on the same fs → ONE addDelegationTokens call
     val kinds = Manifest.obtainDelegationTokens(conf,
-      Seq("mocktok:///src", "mocktok:///dst"), creds, securityEnabled = true)
+      Seq("mocktok:///src", "mocktok:///dst"), securityEnabled = true)
     assert(TokenRecordingFileSystem.renewers.size == 1)
     assert(kinds == Seq("MOCK_TOKEN"))
+    // and the token is in the LIVE UGI (getCredentials returns a copy;
+    // adding to that copy was the bug this asserts against)
+    val live = org.apache.hadoop.security.UserGroupInformation.getCurrentUser
+      .getCredentials
+    assert(live.getToken(new org.apache.hadoop.io.Text("mocktok-service")) != null,
+      "obtained token must be merged into the current UGI's subject")
 
     // insecure cluster → no-op (the everyday path)
     TokenRecordingFileSystem.renewers.clear()
     assert(Manifest.obtainDelegationTokens(conf,
-      Seq("mocktok:///src"), creds, securityEnabled = false).isEmpty)
+      Seq("mocktok:///src"), securityEnabled = false).isEmpty)
     assert(TokenRecordingFileSystem.renewers.isEmpty)
 
     // renewer prefers the RM principal when configured (YARN renewal path)
     conf.set("yarn.resourcemanager.principal", "rm/host@REALM")
-    Manifest.obtainDelegationTokens(conf, Seq("mocktok:///src"), creds,
+    Manifest.obtainDelegationTokens(conf, Seq("mocktok:///src"),
       securityEnabled = true)
     assert(TokenRecordingFileSystem.renewers.last == "rm/host@REALM")
   }
 }
 
-/** Mock secure filesystem: records addDelegationTokens calls. A real
-  * kerberized e2e needs a KDC this sandbox lacks; flipping UGI into
+/** Mock secure filesystem: records addDelegationTokens calls and, like
+  * the real implementation, ADDS the token to the passed credentials. A
+  * real kerberized e2e needs a KDC this sandbox lacks; flipping UGI into
   * kerberos mode is JVM-global, hence the injectable `securityEnabled`.
   */
 class TokenRecordingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
@@ -154,6 +160,8 @@ class TokenRecordingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     val t = new org.apache.hadoop.security.token.Token[
       org.apache.hadoop.security.token.TokenIdentifier]()
     t.setKind(new org.apache.hadoop.io.Text("MOCK_TOKEN"))
+    t.setService(new org.apache.hadoop.io.Text("mocktok-service"))
+    creds.addToken(t.getService, t)
     Array(t)
   }
 }
