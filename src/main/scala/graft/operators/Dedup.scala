@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for LLM-data pipelines: MinHash+LSH
@@ -138,38 +138,19 @@ object Dedup {
       .orderBy(col("component"))
   }
 
-  /** Per-doc signed bit sums for a 64-bit SimHash: s_j (j = 1..64) is the
-    * sum over token instances of ±1 by bit j of the first 16 hex digits
-    * of md5(tok) (digit p = hex char p; bit j sits in digit (j−1)/4+1 at
-    * weight 8 >> ((j−1)%4)). Digits are decoded once per token row, then
-    * 64 conditional sums — one scan, map-side partials.
+  /** 64-bit SimHash fingerprint per doc via the native
+    * [[graft.functions.SimHash64]] expression: one compiled loop per doc
+    * inside whole-stage codegen — no token explode, no 64-column
+    * aggregation, no shuffle (r3; the declarative 64-sum formulation it
+    * replaces survives as DedupSpec's independent model and as the DuckDB
+    * oracle). Docs with no tokens are dropped, matching the explode-based
+    * row set.
     */
-  private def simhashSums(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val digits = (1 to 16).map { p =>
-      expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1").as(s"d$p")
-    }
-    val decoded = toks.select(col("doc_id") +: digits: _*)
-    val sums = (1 to 64).map { j =>
-      val p = (j - 1) / 4 + 1
-      val mask = 8 >> ((j - 1) % 4)
-      sum(when(expr(s"((d$p div $mask) % 2) = 1"), 1).otherwise(-1)).as(s"s$j")
-    }
-    decoded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-  }
-
-  /** 64-bit SimHash fingerprint per doc: bit j set iff s_j > 0. Bit 64 is
-    * the sign bit (2^63 wraps to Long.MinValue — added LAST so partial
-    * sums never overflow; the oracle mirrors the same term order).
-    */
-  def simhash(docs: DataFrame): DataFrame = {
-    val fp: Column = (1 to 64)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    simhashSums(docs).select(col("doc_id"), fp.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        GraftBridge.column(graft.functions.SimHash64(
+          GraftBridge.expression(col("text")))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash collision buckets (Hamming distance 0): near-dup groups.
     * At 64 bits only true near-dups collide — 2^64 buckets discriminate
@@ -186,16 +167,14 @@ object Dedup {
 
   /** The 4 × 16-bit bands of the 64-bit SimHash (band k covers bits
     * 16k+1..16k+16, each band a non-negative int < 2^16 — no sign-bit
-    * arithmetic anywhere near the band values).
+    * arithmetic anywhere near the band values). Bands are plain bit
+    * slices of the fingerprint: band k = (fp >>> 16k) & 0xFFFF.
     */
   def simhashBands(docs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { k =>
-      (1 to 16).map { q =>
-        val j = 16 * k + q
-        when(col(s"s$j") > 0, lit(1L << (q - 1))).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"b$k")
+      expr(s"shiftrightunsigned(simhash, ${16 * k}) & 65535").as(s"b$k")
     }
-    simhashSums(docs).select(col("doc_id") +: bandCols: _*)
+    simhash(docs).select(col("doc_id") +: bandCols: _*)
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`:

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, SimHash64}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDot)
+    ext.injectFunction(GraftExtensions.simhash64)
+  }
 }
 
 object GraftExtensions {
@@ -30,5 +32,14 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 2, "long_array_dot(a, b) takes exactly two arguments")
       LongArrayDot(args.head, args(1))
+    })
+
+  /** (name, info, builder) for `simhash64(string)`. */
+  val simhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "simhash64(text) takes exactly one argument")
+      SimHash64(args.head)
     })
 }

@@ -36,6 +36,51 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(buckets.exists(_.getAs[String]("doc_ids") == "1,2"))
   }
 
+  test("native simhash64 is bit-identical to the declarative 64-sum model") {
+    import org.apache.spark.sql.functions._
+    // The pre-r3 declarative formulation (explode → hex digits → 64
+    // conditional sums), kept here as the independent model the native
+    // expression must reproduce bit-for-bit — it is also what the DuckDB
+    // oracle replays.
+    def model(d: DataFrame): Map[Long, Long] = {
+      val toks = d
+        .select(col("doc_id"), explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val digits = (1 to 16).map { p =>
+        expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1").as(s"d$p")
+      }
+      val sums = (1 to 64).map { j =>
+        val p = (j - 1) / 4 + 1
+        val mask = 8 >> ((j - 1) % 4)
+        sum(when(expr(s"((d$p div $mask) % 2) = 1"), 1).otherwise(-1)).as(s"s$j")
+      }
+      val fp = (1 to 64)
+        .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      toks.select(col("doc_id") +: digits: _*)
+        .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val d = docs(
+      1L -> "spark shuffles data fast",
+      2L -> "  leading  doubled   spaces ",
+      3L -> "single",
+      4L -> "naïve café — multibyte ünïcode tokens",
+      5L -> "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      6L -> "repeated repeated repeated token token bias")
+    assert(Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == model(d))
+    // no-token docs are dropped, matching the model's explode row set
+    val empty = docs(7L -> "", 8L -> "   ", 9L -> "kept")
+    assert(Dedup.simhash(empty).collect().map(_.getLong(0)).toSet == Set(9L))
+    // bands are bit slices of the fingerprint
+    val bands = Dedup.simhashBands(d).collect()
+      .map(r => r.getLong(0) -> (0 until 4).map(k => r.getLong(k + 1))).toMap
+    val fps = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, fp) <- fps; k <- 0 until 4)
+      assert(bands(id)(k) == ((fp >>> (16 * k)) & 0xFFFFL))
+  }
+
   test("simhash near-dup: banded candidates find hamming<=3 pairs, full recall") {
     val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
       3L -> "unrelated content entirely", 4L -> "spark shuffles data fast quickly")
