@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  val NumHashes = 8
-  val NumBands = 2 // 4 minhashes per band
+  val NumHashes: Int = graft.functions.MinHashOps.NumHashes // 8
+  val NumBands: Int = graft.functions.MinHashOps.NumBands // 2 (4 minhashes per band)
 
   /** Distinct (doc_id, tok) postings for sampled docs. */
   def tokenPostings(docs: DataFrame, sampleMod: Int): DataFrame =
@@ -26,23 +26,28 @@ object Dedup {
       .filter(col("tok") =!= "")
       .distinct()
 
-  /** MinHash signature per doc: minhash_j = min(md5("<j>|" ++ tok)).
-    * String-min over lowercase hex is engine-portable (binary collation
-    * both sides).
+  /** LSH banded rows (doc_id, band_id, bv) per sampled doc via the
+    * native [[graft.functions.MinHashBands]] kernel (minhash_j =
+    * min over distinct tokens of md5("<j>|" ++ tok), band = concat of 4
+    * consecutive hex minhashes — string-min over lowercase hex is
+    * engine-portable, binary collation both sides). One compiled pass
+    * per doc: scan → kernel → band rows, NO shuffle before the
+    * candidate join (r3; the postings formulation it replaces survives
+    * as DedupSpec's independent model and as the DuckDB oracle).
+    * Zero-token docs have no postings and no band rows (the generator
+    * skips the kernel's null).
     */
-  def minhashSignatures(postings: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { j =>
-      min(md5(concat(lit(s"$j|"), col("tok")).cast("binary"))).as(s"m$j")
-    }
-    postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashBanded(docs: DataFrame, sampleMod: Int): DataFrame =
+    docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"),
+        posexplode(GraftBridge.column(graft.functions.MinHashBands(
+          GraftBridge.expression(col("text"))))))
+      .toDF("doc_id", "band_id", "bv")
 
-  /** LSH candidate pairs: docs sharing at least one band (band = concat of
-    * 4 consecutive minhashes), with the number of shared bands.
+  /** LSH candidate pairs: docs sharing at least one band, with the
+    * number of shared bands.
     */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val banded = signatures.selectExpr("doc_id",
-      "stack(2, 0, concat(m0, m1, m2, m3), 1, concat(m4, m5, m6, m7)) AS (band_id, bv)")
+  def lshCandidates(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band_id"), col("bv"), col("doc_id").as("da"))
     val b = banded.select(col("band_id"), col("bv"), col("doc_id").as("db"))
     a.join(b, Seq("band_id", "bv")).filter(col("da") < col("db"))
@@ -68,15 +73,16 @@ object Dedup {
   }
 
   /** MinHash→LSH→verify: every candidate pair with its exact Jaccard.
-    * The postings relation feeds three consumers (signatures, sizes,
-    * intersection); recomputing it is cheaper than caching at these
+    * Candidate generation is shuffle-free (native banded kernel); the
+    * postings relation feeds the two verify-side consumers (sizes,
+    * intersection) — recomputing it is cheaper than caching at these
     * sizes (measured), and at 100 TB the materialize-the-inverted-index
     * decision belongs to the caller (write postings to parquet once,
     * feed many dedup runs).
     */
   def minhashVerified(docs: DataFrame, sampleMod: Int): DataFrame = {
     val postings = tokenPostings(docs, sampleMod)
-    val cands = lshCandidates(minhashSignatures(postings))
+    val cands = lshCandidates(minhashBanded(docs, sampleMod))
     verifyJaccard(cands, postings)
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LongArrayDot, SimHash64}
+import graft.functions.{LongArrayDot, MinHashBands, SimHash64}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDot)
     ext.injectFunction(GraftExtensions.simhash64)
+    ext.injectFunction(GraftExtensions.minhashBands)
   }
 }
 
@@ -41,5 +42,14 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "simhash64(text) takes exactly one argument")
       SimHash64(args.head)
+    })
+
+  /** (name, info, builder) for `minhash_bands(string)`. */
+  val minhashBands: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "minhash_bands(text) takes exactly one argument")
+      MinHashBands(args.head)
     })
 }

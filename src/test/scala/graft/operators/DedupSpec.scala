@@ -26,6 +26,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 10L))
   }
 
+  test("native minhash_bands is bit-identical to the declarative postings model") {
+    import org.apache.spark.sql.functions._
+    // The pre-r3 declarative formulation (postings DISTINCT → 8 string-
+    // min aggregates → stacked band concats) as the independent model —
+    // also what the DuckDB oracle replays.
+    def model(d: DataFrame, sampleMod: Int): Set[(Long, Int, String)] = {
+      val postings = Dedup.tokenPostings(d, sampleMod)
+      val aggs = (0 until Dedup.NumHashes).map { j =>
+        min(md5(concat(lit(s"$j|"), col("tok")).cast("binary"))).as(s"m$j")
+      }
+      postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .selectExpr("doc_id",
+          "stack(2, 0, concat(m0, m1, m2, m3), 1, concat(m4, m5, m6, m7)) AS (band_id, bv)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    }
+    val d = docs(
+      0L -> "alpha beta gamma delta",
+      5L -> "  doubled  spaces   and repeats repeats ",
+      10L -> "naïve café ünïcode",
+      15L -> "single",
+      20L -> "", // no tokens: no band rows either side
+      25L -> "left out by sampling", // 25 % 5 == 0, kept
+      3L -> "dropped by sampling mod")
+    val native = Dedup.minhashBanded(d, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(native == model(d, 5))
+    assert(!native.exists(_._1 == 20L))
+  }
+
   test("simhash: identical docs collide; 64-bit fingerprint uses all digit bits") {
     val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
       3L -> "unrelated content entirely")
