@@ -62,6 +62,25 @@ object ExtOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
+    // c24 — sketch-based distinct counting (HLL++): per source, the
+    // approximate distinct-content count next to the exact one, with the
+    // observed relative error. Sketches are the 100 TB path — mergeable
+    // fixed-size state, one pass, no distinct shuffle — and inherently
+    // engine-specific, so this query has NO oracleSql twin by design
+    // (the driver records the weaker rows-only check; the exact column
+    // is itself cross-checked by b1's countDistinct). rsd=0.01 ⇒ ~1%
+    // expected error at any scale.
+    "c24_sketch_distinct" -> ((s, dir) => {
+      load(s, dir, "documents")
+        .select(col("source"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("h")).as("n_exact"),
+          approx_count_distinct(col("h"), 0.01).as("n_approx"))
+        .select(col("source"), col("n_exact"), col("n_approx"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
+            .as("rel_err"))
+        .orderBy(col("source"))
+    }),
     // c17 — curation decisions per (lang, reason): first-match drop
     // reason, integer-exact thresholds.
     "c22_repetition" -> ((s, dir) =>

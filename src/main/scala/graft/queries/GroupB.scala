@@ -175,6 +175,59 @@ object GroupB {
         .limit(30)
     }),
 
+    // B9 — local supplier volume (TPC-H Q5 shape): the 6-way join.
+    // nation⋈region is genuinely tiny → explicit broadcast; customer and
+    // supplier get NO hint (at 100 TB both are shuffle-join sized and AQE
+    // broadcasts them at bench SFs on its runtime size check — the b8
+    // lesson). The order⋈lineitem backbone shuffles on orderkey once;
+    // the nation-colocation predicate (c_nationkey = s_nationkey) rides
+    // the supplier join, so no extra exchange.
+    "b9_local_supplier_volume" -> ((s, dir) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val asianNations = load(s, dir, "nation")
+        .join(load(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = load(s, dir, "customer")
+        .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+      val supp = load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // B10 — promo revenue share by brand (TPC-H Q14 shape): lineitem ⋈
+    // part on partkey — the fact⋈dim join dimension the b-suite didn't
+    // exercise yet. Conditional decimal sums stay exact; the share
+    // divides two exactly-converted doubles (IEEE division is correctly
+    // rounded, so the quotient is bit-identical cross-engine).
+    "b10_promo_share" -> ((s, dir) => {
+      val rev = (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev")
+      val li = load(s, dir, "lineitem").select(col("l_partkey"), rev)
+      val part = load(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0))).cast("double")
+            .as("promo_revenue"),
+          sum(col("rev")).cast("double").as("total_revenue"))
+        .select(col("p_brand"), col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") / col("total_revenue")).as("promo_share"))
+        .orderBy(col("p_brand"))
+    }),
+
     // B6 — tumbling 1-hour event windows. The expression IS the streaming
     // twin's (one definition — backfill and live paths cannot drift).
     "b6_hourly_events" -> ((s, dir) => {
@@ -287,6 +340,34 @@ object GroupB {
         |       CAST(b.sq AS DOUBLE) AS sum_qty, o.o_totalprice
         |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 30""".stripMargin,
+    "b9_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "b10_promo_share" ->
+      """WITH agg AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(10,4)) ELSE 0 END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(10,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, promo_revenue, total_revenue,
+        |       promo_revenue / total_revenue AS promo_share
+        |FROM agg ORDER BY p_brand""".stripMargin,
     "b6_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -236,9 +236,67 @@ object Relational {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // d12 — grouped list aggregation (LISTAGG/string_agg): per source,
+    // the sorted roster of distinct langs. collect_set dedups map-side;
+    // the sort happens on the ≤|langs| element array per group, not on
+    // rows — the cheap, deterministic way to emit list-valued columns.
+    "d12_lang_inventory" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"),
+          countDistinct(col("lang")).as("n_langs"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // d13 — above-average entities (scalar-subquery shape): customers
+    // whose lifetime order value exceeds 2× the mean. The comparison is
+    // integer CROSS-MULTIPLICATION on scaled-cent longs (totc·ncust >
+    // 2·grand) — no division anywhere, so exact in both engines. The
+    // 1-row global aggregate broadcasts into the per-customer table (the
+    // a7 discipline); products stay < 2^63 up to ~10⁹ customers × 10⁹
+    // cents — upcast to decimal beyond that.
+    "d13_big_spenders" -> ((s, dir) => {
+      val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val per = load(s, dir, "orders")
+        .select(col("o_custkey"), cents.as("tc"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("tc")).as("totc"))
+      val glob = per.agg(sum(col("totc")).as("grand"), count(lit(1)).as("ncust"))
+      per.crossJoin(broadcast(glob))
+        .filter(col("totc") * col("ncust") > lit(2) * col("grand"))
+        .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          (col("totc").cast("double") / 100.0).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
     }))
 
   def oracle: Map[String, String] = Map(
+    "d12_lang_inventory" ->
+      """WITH dl AS (SELECT DISTINCT source, lang FROM documents),
+        |ag AS (
+        |  SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
+        |         CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM dl GROUP BY source),
+        |cn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY source)
+        |SELECT ag.source, ag.langs, ag.n_langs, cn.n_docs
+        |FROM ag JOIN cn USING (source) ORDER BY source""".stripMargin,
+    "d13_big_spenders" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS totc
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(sum(totc) AS BIGINT) AS grand,
+        |               CAST(count(*) AS BIGINT) AS ncust FROM per)
+        |SELECT p.o_custkey AS c_custkey, c.c_name,
+        |       CAST(p.totc AS DOUBLE) / 100.0 AS total_spend
+        |FROM per p CROSS JOIN tot g
+        |JOIN customer c ON p.o_custkey = c.c_custkey
+        |WHERE p.totc * g.ncust > 2 * g.grand
+        |ORDER BY total_spend DESC, c_custkey""".stripMargin,
     "d1_props_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -40,6 +40,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "c5 IS the intentional exact baseline — if this changed, update PERF.md")
   }
 
+  test("b9 local supplier volume: date filter pushed, no cartesian in the 6-way join") {
+    val p = plan("b9_local_supplier_volume")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "order-date range must reach the orders scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all six relations must join on equi-keys")
+    assert(p.contains("BroadcastHashJoin"), "the nation⋈region dim must broadcast")
+  }
+
+  test("b10 promo share: part join is key-equi, lineitem scan pruned to 3 columns") {
+    val p = plan("b10_promo_share")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_quantity"),
+      "lineitem scan must prune to partkey + price + discount")
+  }
+
   test("d7 edit distance: inverted-index blocking, no all-pairs join on lang alone") {
     val p = plan("d7_edit_distance")
     // the candidate join must carry the token key, not just lang
