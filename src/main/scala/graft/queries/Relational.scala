@@ -271,6 +271,53 @@ object Relational {
         .select(col("c_custkey"), col("c_name"),
           (col("totc").cast("double") / 100.0).as("total_spend"))
         .orderBy(col("total_spend").desc, col("c_custkey"))
+    }),
+
+    // d14 — moving window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    // 3-event trailing sum/avg per sampled user. Sums ride the scaled-
+    // cent contract inside the frame; the frame count divides an exact
+    // long-turned-double, so the average is bit-identical cross-engine.
+    // Partitioned by user — no global window anywhere.
+    "d14_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      load(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("mov_sum_c", sum(col("vc")).over(w))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          (col("mov_sum_c").cast("double") / 100.0).as("mov_sum"),
+          (col("mov_sum_c").cast("double") / 100.0 / col("mov_n")).as("mov_avg"))
+        .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+    }),
+
+    // d15 — Pearson correlation from EXACT integer sums: value (cents)
+    // vs the props k, per event type. The six component sums are exact
+    // longs (< 2^53, convert to double losslessly); the coefficient is
+    // then a fixed tree of IEEE ops — every multiply/subtract/sqrt/
+    // divide is correctly rounded, so identical operands + identical
+    // association ⇒ bit-identical result in both engines (the built-in
+    // corr() has neither property: its accumulation order floats).
+    "d15_correlation" -> ((s, dir) => {
+      val base = load(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+      val sums = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+      sums.select(col("event_type"), col("n").cast("long").as("n_events"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+        .orderBy(col("event_type"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -297,6 +344,42 @@ object Relational {
         |JOIN customer c ON p.o_custkey = c.c_custkey
         |WHERE p.totc * g.ncust > 2 * g.grand
         |ORDER BY total_spend DESC, c_custkey""".stripMargin,
+    "d14_moving_avg" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id % 100 = 0),
+        |framed AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(vc) OVER w AS BIGINT) AS mov_sum_c,
+        |    CAST(count(*) OVER w AS BIGINT) AS mov_n
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |       CAST(mov_sum_c AS DOUBLE) / 100.0 AS mov_sum,
+        |       CAST(mov_sum_c AS DOUBLE) / 100.0 / mov_n AS mov_avg
+        |FROM framed ORDER BY user_id, ts_s, event_id""".stripMargin,
+    "d15_correlation" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+        |  FROM base GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+        |FROM sums ORDER BY event_type""".stripMargin,
     "d1_props_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
