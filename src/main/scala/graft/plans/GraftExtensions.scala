@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.longArrayDot)
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashBands)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

@@ -318,6 +318,19 @@ object Relational {
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
               sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
         .orderBy(col("event_type"))
+    }),
+
+    // d16 — per-key top-k via graft's own physical operator
+    // (plans.TopKPerKey: bounded heaps around one key exchange — no
+    // sort of the input anywhere, map-side partial bounds the shuffle
+    // to k rows per key per partition). The oracle replays the
+    // row_number window semantics it replaces; TopKSpec asserts the
+    // two-phase no-sort plan shape.
+    "d16_topk_native" -> ((s, dir) => {
+      graft.plans.TopK.perKey(load(s, dir, "events"),
+          Seq("event_type"), Seq("value" -> false, "event_id" -> true), 5)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -380,6 +393,14 @@ object Relational {
         |       (n * sxy - sx * sy) /
         |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
         |FROM sums ORDER BY event_type""".stripMargin,
+    "d16_topk_native" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
     "d1_props_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -16,13 +16,23 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom logical plan (the entry point for
+    * graft's own operators, e.g. [[graft.plans.TopKPerKey]]).
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * extensions class only applies at session build; a REPL or notebook
     * that already has a session uses this instead).
     */
-  def registerFunctions(spark: SparkSession): Unit = {
-    val (id, _, builder) = graft.plans.GraftExtensions.longArrayDot
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    Seq(graft.plans.GraftExtensions.longArrayDot,
+      graft.plans.GraftExtensions.simhash64,
+      graft.plans.GraftExtensions.minhashBands).foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
 }
