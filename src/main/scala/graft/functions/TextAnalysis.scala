@@ -142,12 +142,16 @@ object TextAnalysis {
     * near-dup candidates.
     */
   def fingerprintGroups(docs: DataFrame): DataFrame = {
-    val withToks = docs
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .filter(size(col("toks")) >= 4)
-    val shingles = withToks
+    // 4-token shingles via the native TokenNgrams kernel (skip-empty
+    // mode, r3): docs with < 4 tokens produce an empty array, which the
+    // generator drops — identical rows to the filtered-HOF formulation
+    // (kept as the spec's model; the oracle is unchanged).
+    val shingles = docs
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 3), i -> array_join(slice(toks, i, 4), ' '))")).as("sh"))
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenNgrams(
+            org.apache.spark.sql.GraftBridge.expression(col("text")),
+            n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("sh"))
     val fp = shingles.groupBy(col("doc_id"))
       .agg(min(md5(col("sh").cast("binary"))).as("fingerprint"))
     fp.groupBy(col("fingerprint"))

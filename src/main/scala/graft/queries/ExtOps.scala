@@ -98,19 +98,17 @@ object ExtOps {
     // Shape: one bigram explode (positions over the raw split array,
     // capped at 4094 — mirrored in the oracle), counts shuffled on
     // (lang, bigram), then per-lang sums OVER THE COUNTS table — the
-    // corpus-size-independent rollup.
+    // corpus-size-independent rollup. Bigrams come from the native
+    // [[graft.functions.TokenNgrams]] kernel (raw-adjacency mode, r3) —
+    // the HOF formulation it replaces survives as the spec's model and
+    // the oracle.
     "c23_bigram_novelty" -> ((s, dir) => {
       val bg = load(s, dir, "documents")
-        .withColumn("a", split(col("text"), " "))
-        .filter(size(col("a")) >= 2)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            """filter(
-              |  transform(sequence(0, least(size(a) - 2, 4093)),
-              |            i -> named_struct('x', a[i], 'y', a[i + 1])),
-              |  p -> p.x <> '' AND p.y <> '')""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("lang"),
-          concat(col("p.x"), lit(" "), col("p.y")).as("b"))
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 2, maxStarts = 4094, skipEmpty = false))).as("b"))
       val cnt = bg.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("n"))
       val occ = cnt.groupBy(col("lang"))
         .agg(sum(col("n")).as("sum_bigrams"),
