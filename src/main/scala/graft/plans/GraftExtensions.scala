@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LongArrayDot, MinHashBands, SimHash64}
+import graft.functions.{LongArrayDot, MinHashBands, SimHash64, TokenNgrams}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.longArrayDot)
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashBands)
+    ext.injectFunction(GraftExtensions.tokenNgrams)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
@@ -52,5 +53,30 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "minhash_bands(text) takes exactly one argument")
       MinHashBands(args.head)
+    })
+
+  /** (name, info, builder) for `token_ngrams(text, n[, max_starts[, skip_empty]])`
+    * — n / max_starts / skip_empty must be literals (they parameterize
+    * the generated kernel). Defaults: unbounded starts, skip-empty
+    * tokenization.
+    */
+  val tokenNgrams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("token_ngrams"),
+    new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      require(args.length >= 2 && args.length <= 4,
+        "token_ngrams(text, n[, max_starts[, skip_empty]])")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+      }
+      val maxStarts =
+        if (args.length >= 3) intLit(args(2), "max_starts") else Int.MaxValue
+      val skipEmpty = if (args.length == 4) args(3) match {
+        case Literal(b: Boolean, _) => b
+        case _ => throw new IllegalArgumentException("skip_empty must be a boolean literal")
+      } else true
+      TokenNgrams(args.head, intLit(args(1), "n"), maxStarts, skipEmpty)
     })
 }

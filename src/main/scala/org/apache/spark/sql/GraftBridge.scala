@@ -31,7 +31,8 @@ object GraftBridge {
   def registerFunctions(spark: SparkSession): Unit =
     Seq(graft.plans.GraftExtensions.longArrayDot,
       graft.plans.GraftExtensions.simhash64,
-      graft.plans.GraftExtensions.minhashBands).foreach { case (id, _, builder) =>
+      graft.plans.GraftExtensions.minhashBands,
+      graft.plans.GraftExtensions.tokenNgrams).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }

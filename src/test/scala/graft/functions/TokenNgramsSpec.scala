@@ -62,6 +62,21 @@ class TokenNgramsSpec extends AnyFunSuite with SparkSpec {
     assert(skip.contains((3L, "x y")) && skip.contains((3L, "y z")))
   }
 
+  test("all graft kernels are callable from SQL text after registration") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    fixture.createOrReplaceTempView("ngram_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, explode(token_ngrams(text, 2, 4094, false)) AS g
+        |FROM ngram_docs""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql == native(2, 4094, skipEmpty = false))
+    // simhash64 + minhash_bands ride the same registration path
+    val hashed = spark.sql(
+      "SELECT simhash64(text) AS fp, minhash_bands(text) AS mb FROM ngram_docs WHERE doc_id = 1")
+      .collect().head
+    assert(hashed.getLong(0) != 0L && hashed.getSeq[String](1).length == 2)
+  }
+
   test("the bigram start cap bounds output for pathological docs") {
     val raw = native(2, 4094, skipEmpty = false)
     assert(raw.count(_._1 == 7L) == 1, "4999 identical bigrams dedup to one value")
