@@ -109,13 +109,18 @@ object Dedup {
     * formulations provably agree.
     */
   def dedupGroups(docs: DataFrame, sampleMod: Int, minJaccard: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val nodes = tokenPostings(docs, sampleMod).select(col("doc_id")).distinct()
     val edges = minhashVerified(docs, sampleMod)
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"))
       .localCheckpoint(true)
+    // Label propagation runs over edge ENDPOINTS only: a node with no
+    // edge is a singleton component and the final n_docs > 1 filter drops
+    // it, so looping over the whole corpus would be pure waste. At 100 TB
+    // this is the load-bearing shape — per-round cost tracks the (small)
+    // near-dup graph, not corpus size.
+    val nodes = edges.select(col("da").as("doc_id"))
+      .union(edges.select(col("db").as("doc_id")))
+      .distinct()
     val nbrs = edges.select(col("da").as("doc_id"), col("db").as("nbr"))
       .union(edges.select(col("db").as("doc_id"), col("da").as("nbr")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
