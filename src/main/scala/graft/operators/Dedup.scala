@@ -108,7 +108,20 @@ object Dedup {
     * closure — min-label CC is iteration-order independent, so the two
     * formulations provably agree.
     */
-  def dedupGroups(docs: DataFrame, sampleMod: Int, minJaccard: Double): DataFrame = {
+  def dedupGroups(docs: DataFrame, sampleMod: Int, minJaccard: Double): DataFrame =
+    dedupLabels(docs, sampleMod, minJaccard)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("component"))
+
+  /** Per-doc component labels (doc_id, label) for every edge-incident
+    * doc — the join-back surface a keep-one-per-group pipeline needs
+    * (see c25). Docs with no near-dup edge are absent (singleton
+    * components).
+    */
+  def dedupLabels(docs: DataFrame, sampleMod: Int, minJaccard: Double): DataFrame = {
     val edges = minhashVerified(docs, sampleMod)
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"))
@@ -142,11 +155,6 @@ object Dedup {
       labels = next.drop("chg")
     }
     labels
-      .groupBy(col("label").as("component"))
-      .agg(count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))
-      .filter(col("n_docs") > 1)
-      .orderBy(col("component"))
   }
 
   /** 64-bit SimHash fingerprint per doc via the native

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
 object ExtOps {
   import Tables.load
 
+  /** c27's train-side 8-gram document-frequency cap (the b2/c3/d7
+    * discipline applied to contamination n-grams): boilerplate 8-grams
+    * posting in > CAP training docs are dropped, bounding each n-gram's
+    * pair contribution to ≤ CAP·|eval_df|. No-op on the synthetic data
+    * (max train df 4 at sf0.1); mirrored in the oracle.
+    */
+  val C27_DF_CAP = 256
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(load(s, dir, "documents"), 5)),
     "c2_simhash_buckets" -> ((s, dir) => Dedup.simhashBuckets(load(s, dir, "documents"))),
@@ -167,6 +175,97 @@ object ExtOps {
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_doc"))
         .orderBy(col("lang"))
     }),
+    // c25 — the KEEP decision that closes the dedup pipeline: per
+    // near-dup component (c15's connected components), keep the
+    // highest-quality doc (longest text, ties → lowest doc_id) and
+    // account for what gets dropped. Labels join back to `documents` on
+    // doc_id — the component table only holds edge-incident docs, so the
+    // join is near-dup-graph-sized, not corpus-sized; the per-component
+    // window runs over components of a few docs each.
+    "c25_canonical_docs" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val labeled = Dedup.dedupLabels(d, 5, 0.98)
+        .join(d.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled.withColumn("rn", row_number().over(w))
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rn") === 1, col("doc_id"))).as("keep_doc"),
+          max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+          coalesce(sum(when(col("rn") > 1, col("n_chars"))), lit(0L)).as("dropped_chars"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("component"))
+    }),
+    // c26 — tokenizer-vocabulary coverage (the BPE-prep profile): the
+    // minimal vocab size (tokens ranked by frequency) covering 50/90/95/
+    // 99% of token OCCURRENCES. The ranking window runs over the VOCAB
+    // (counts table), which is orders of magnitude smaller than the
+    // corpus — at 100 TB the corpus-side work is one groupBy(token); if
+    // the vocab itself outgrows a task, the c20 two-level prefix sum
+    // applies to it unchanged. Integer cross-multiplication (cum·100 ≥
+    // pct·total) keeps the threshold exact — no float shares.
+    "c26_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val counts = load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      val cum = counts
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val th = Seq(50L, 90L, 95L, 99L).toDF("pct")
+      // cum is increasing in rn, so min(cum) over qualifying rows is the
+      // coverage AT the min(rn) vocab cut — one aggregate, no join-back.
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+        .filter(col("cum") * 100 >= col("pct") * col("total"))
+        .groupBy(col("pct"))
+        .agg(min(col("rn")).as("vocab_size"), min(col("cum")).as("covered_tokens"),
+          min(col("total")).as("total_tokens"))
+        .orderBy(col("pct"))
+    }),
+    // c27 — train/eval contamination check: eval docs (doc_id % 97 = 0)
+    // sharing any 8-token n-gram with a training doc — the leakage scan
+    // every benchmark-clean corpus needs. N-grams come from the native
+    // TokenNgrams kernel (skip-empty, the c10 shape); the join key is the
+    // n-gram string, so the pair space is bounded by posting lists, and
+    // a df cap on the TRAIN side drops boilerplate 8-grams that would
+    // otherwise make one hot n-gram contribute |train_df|·|eval_df| pairs
+    // (no-op on the synthetic data; the 100 TB guard, mirrored in the
+    // oracle). Eval docs with < 8 tokens have no n-grams and count as
+    // clean.
+    "c27_contamination" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val ng = d.select(col("doc_id"), col("lang"),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g"))
+        .distinct()
+      val evalN = ng.filter(col("doc_id") % 97 === 0)
+      val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
+      val trainN = trainN0.join(
+        trainN0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= ExtOps.C27_DF_CAP).select(col("g")),
+        "g")
+      val pairs = trainN.select(col("g"), col("doc_id").as("train_doc"))
+        .join(evalN.select(col("g"), col("doc_id").as("eval_doc"), col("lang")), "g")
+        .select(col("lang"), col("train_doc"), col("eval_doc"))
+        .distinct()
+      val evalDocs = d.filter(col("doc_id") % 97 === 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_eval"))
+      val cont = pairs.groupBy(col("lang"))
+        .agg(countDistinct(col("eval_doc")).as("n_contaminated"),
+          count(lit(1)).as("n_pairs"))
+      evalDocs.join(cont, Seq("lang"), "left")
+        .select(col("lang"), col("n_eval"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy(col("lang"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -234,6 +333,40 @@ object ExtOps {
     val j = 16 * k + q
     s"(CASE WHEN s$j > 0 THEN CAST(${1L << (q - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
+
+  /** Shared c15/c25 oracle prefix: MinHash LSH edges at Jaccard ≥ 0.98,
+    * then connected components by recursive transitive closure, ending in
+    * `comp(doc_id, component)`.
+    */
+  private val compCte =
+    s"""WITH RECURSIVE raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents WHERE doc_id % 5 = 0),
+       |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+       |sigs AS (SELECT doc_id, $minhashCols FROM toks GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band_id, concat(m0, m1, m2, m3) AS bv FROM sigs
+       |  UNION ALL SELECT doc_id, 1, concat(m4, m5, m6, m7) FROM sigs),
+       |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.da
+       |  JOIN toks tb ON tb.doc_id = c.db AND ta.tok = tb.tok
+       |  GROUP BY c.da, c.db),
+       |edges AS (SELECT c.da, c.db
+       |  FROM cand c LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+       |  JOIN sizes sa ON sa.doc_id = c.da
+       |  JOIN sizes sb ON sb.doc_id = c.db
+       |  WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.98),
+       |sym AS (SELECT da AS x, db AS y FROM edges UNION ALL SELECT db AS x, da AS y FROM edges),
+       |nodes AS (SELECT DISTINCT doc_id FROM toks),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.y FROM reach r JOIN sym e ON r.b = e.x),
+       |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)""".stripMargin
 
   /** c12 oracle: replays the IVF k-means training loop (seed → `iters`
     * Lloyd iterations → final assignment → same-cell probe) in the exact
@@ -328,37 +461,64 @@ object ExtOps {
          |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
          |FROM fp GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin,
     "c15_dedup_groups" ->
-      s"""WITH RECURSIVE raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |             FROM documents WHERE doc_id % 5 = 0),
-         |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
-         |sigs AS (SELECT doc_id, $minhashCols FROM toks GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band_id, concat(m0, m1, m2, m3) AS bv FROM sigs
-         |  UNION ALL SELECT doc_id, 1, concat(m4, m5, m6, m7) FROM sigs),
-         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
-         |  FROM banded a JOIN banded b
-         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-         |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
-         |  JOIN toks ta ON ta.doc_id = c.da
-         |  JOIN toks tb ON tb.doc_id = c.db AND ta.tok = tb.tok
-         |  GROUP BY c.da, c.db),
-         |edges AS (SELECT c.da, c.db
-         |  FROM cand c LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
-         |  JOIN sizes sa ON sa.doc_id = c.da
-         |  JOIN sizes sb ON sb.doc_id = c.db
-         |  WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)) >= 0.98),
-         |sym AS (SELECT da AS x, db AS y FROM edges UNION ALL SELECT db AS x, da AS y FROM edges),
-         |nodes AS (SELECT DISTINCT doc_id FROM toks),
-         |reach AS (
-         |  SELECT doc_id AS a, doc_id AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.y FROM reach r JOIN sym e ON r.b = e.x),
-         |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+      s"""$compCte
          |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
          |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
          |FROM comp GROUP BY component HAVING count(*) > 1 ORDER BY component""".stripMargin,
+    // c25 oracle: the c15 recursive closure plus the keep decision —
+    // row_number over (n_chars DESC, doc_id) inside each component.
+    "c25_canonical_docs" ->
+      s"""$compCte,
+         |m AS (SELECT c.component, c.doc_id, d.n_chars
+         |      FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (SELECT component, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY component
+         |                           ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM m)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+         |       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+         |       CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT)
+         |         AS dropped_chars
+         |FROM r GROUP BY component HAVING count(*) > 1 ORDER BY component""".stripMargin,
+    "c26_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM toks WHERE tok <> '' GROUP BY tok),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT tok, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rn,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT CAST(p.pct AS BIGINT) AS pct, min(r.rn) AS vocab_size,
+        |       min(r.cum) AS covered_tokens, min(t.total) AS total_tokens
+        |FROM r CROSS JOIN t CROSS JOIN (SELECT unnest([50, 90, 95, 99]) AS pct) p
+        |WHERE r.cum * 100 >= p.pct * t.total
+        |GROUP BY p.pct ORDER BY pct""".stripMargin,
+    "c27_contamination" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |t8 AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 8),
+         |ng AS (SELECT DISTINCT doc_id, lang,
+         |    unnest(list_transform(range(1, len(toks) - 6),
+         |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))) AS g
+         |  FROM t8),
+         |evn AS (SELECT doc_id, lang, g FROM ng WHERE doc_id % 97 = 0),
+         |trn0 AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0),
+         |gdf AS (SELECT g FROM trn0 GROUP BY g HAVING count(*) <= ${ExtOps.C27_DF_CAP}),
+         |trn AS (SELECT t.doc_id, t.g FROM trn0 t JOIN gdf ON t.g = gdf.g),
+         |pairs AS (SELECT DISTINCT e.lang, t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |  FROM trn t JOIN evn e ON t.g = e.g),
+         |ev AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_eval
+         |  FROM documents WHERE doc_id % 97 = 0 GROUP BY lang),
+         |cont AS (SELECT lang, CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_contaminated,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs GROUP BY lang)
+         |SELECT ev.lang, ev.n_eval,
+         |       coalesce(cont.n_contaminated, 0) AS n_contaminated,
+         |       coalesce(cont.n_pairs, 0) AS n_pairs
+         |FROM ev LEFT JOIN cont ON ev.lang = cont.lang ORDER BY ev.lang""".stripMargin,
     "c16_stratified_sample" ->
       """WITH g AS (SELECT lang, doc_id, n_chars,
         |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

@@ -228,6 +228,70 @@ object GroupB {
         .orderBy(col("p_brand"))
     }),
 
+    // B11 — volume shipping between nation pairs (TPC-H Q7 shape): the
+    // two-sided dimension filter. Both the supplier AND customer sides
+    // are pre-filtered to the two nations BEFORE touching the fact
+    // backbone — the classic Q7 plan: the nation predicate prunes
+    // supplier/customer first, so the lineitem⋈orders shuffle carries
+    // only matching rows; the cross-pair (same-nation) exclusion is a
+    // cheap post-join filter. Only nation is broadcast-hinted (b9
+    // discipline); revenue rides the b4 exact-decimal contract.
+    "b11_nation_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_3")
+      val nat = load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = load(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = load(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // B12 — waiting suppliers (TPC-H Q21 shape, adapted: no receipt/
+    // commit dates in the schema, so "late" = shipped > 60 days after
+    // the order date): suppliers whose lineitem was late on a
+    // multi-supplier order where NO other supplier was late — the
+    // correlated EXISTS / NOT EXISTS pair, expressed as left-semi and
+    // left-anti joins on (orderkey, suppkey≠). Both shuffles key on
+    // orderkey; at 100 TB that is the same exchange the late-flag join
+    // already created, so AQE reuses the partitioning.
+    "b12_waiting_suppliers" -> ((s, dir) => {
+      val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val late = load(s, dir, "lineitem")
+        .join(load(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      val waiting = late
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      waiting
+        .join(load(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // B6 — tumbling 1-hour event windows. The expression IS the streaming
     // twin's (one definition — backfill and live paths cannot drift).
     "b6_hourly_events" -> ((s, dir) => {
@@ -368,6 +432,37 @@ object GroupB {
         |SELECT p_brand, promo_revenue, total_revenue,
         |       promo_revenue / total_revenue AS promo_share
         |FROM agg ORDER BY p_brand""".stripMargin,
+    "b11_nation_volume" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_3')),
+        |cn AS (SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_3'))
+        |SELECT sn.supp_nation, cn.cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1 - l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE sn.supp_nation <> cn.cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "b12_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "b6_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -133,6 +133,41 @@ object Relational {
         .limit(30)
     }),
 
+    // d17 — equal-frequency bucketing (NTILE): account-balance deciles
+    // within each nation. Deterministic total order (balance, custkey)
+    // makes ntile oracle-checkable; the window partitions by nation, so
+    // no global single-task sort. min/max of raw doubles are exact —
+    // no float aggregation arithmetic anywhere.
+    "d17_acctbal_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      load(s, dir, "customer")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("nationkey"), col("decile"))
+    }),
+
+    // d18 — CUBE aggregation: all four grouping combinations of order
+    // status × priority in one pass (the Expand-based multi-grouping
+    // plan — each input row fans out to its grouping sets map-side, then
+    // one hash aggregate). grouping_id disambiguates the subtotal level
+    // exactly as ANSI defines it (leftmost column = MSB — same bitmask
+    // in DuckDB); the 'ALL' coalesce keeps engine null-ordering out of
+    // the result. Price sums ride the d2 scaled-cent contract.
+    "d18_cube_orders" -> ((s, dir) => {
+      load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          (sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100.0).as("sum_total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("gid"), col("n"), col("sum_total"))
+        .orderBy(col("gid"), col("orderstatus"), col("orderpriority"))
+    }),
+
     // d8 — exact interpolated percentiles per group: both engines
     // implement the standard (n−1)·p rank + linear interpolation
     // definition over the SAME double values, so results hash-match
@@ -334,6 +369,25 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    "d17_acctbal_deciles" ->
+      """WITH d AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,
+        |         CAST(ntile(10) OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+        |  FROM customer)
+        |SELECT nationkey, decile, CAST(count(*) AS BIGINT) AS n,
+        |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM d GROUP BY nationkey, decile ORDER BY nationkey, decile""".stripMargin,
+    "d18_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        |         / 100.0 AS sum_total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
     "d12_lang_inventory" ->
       """WITH dl AS (SELECT DISTINCT source, lang FROM documents),
         |ag AS (
