@@ -92,6 +92,94 @@ object Multimodal {
       case None => decodeStub(r)
     }
 
+  /** Decoded audio features (the WAV/RIFF container path). `duration_ms`
+    * is exact integer arithmetic: n_samples·1000 / sample_rate.
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      duration_ms: Long)
+
+  private[operators] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) |
+      ((p(i + 2) & 0xFF) << 16) | ((p(i + 3) & 0xFF) << 24)
+
+  /** Header-only WAV parse: walk the RIFF chunk list for `fmt ` (sample
+    * rate / channels / bits) and `data` (payload size → sample count and
+    * duration). Pure byte arithmetic — no JavaSound, no codec libs; the
+    * compressed-audio formats this container can't decode fall back to
+    * the stub exactly like non-image payloads do. None on truncated or
+    * malformed headers (caller falls back, job continues).
+    */
+  private[operators] def wavInfo(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (!looksLikeWav(p)) return None
+    var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var dataSize = -1L
+    // long cursor: a malformed 32-bit chunk size near 2^32 must not wrap
+    // an int index back into the buffer (infinite loop)
+    var pos = 12L
+    while (pos + 8 <= p.length && (sampleRate == 0 || dataSize < 0)) {
+      val i = pos.toInt
+      val size = le32(p, i + 4).toLong & 0xFFFFFFFFL
+      val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
+      val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
+      if (isFmt && i + 8 + 16 <= p.length) {
+        channels = le16(p, i + 10)
+        sampleRate = le32(p, i + 12)
+        blockAlign = le16(p, i + 20)
+        bits = le16(p, i + 22)
+      } else if (isData) {
+        // size may exceed the (truncated) payload; the real byte count is
+        // what's actually present
+        dataSize = math.min(size, (p.length - i - 8).toLong)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some((sampleRate, channels, bits, dataSize / blockAlign))
+  }
+
+  /** Deterministic fake audio decode for non-WAV payloads (same role as
+    * [[decodeStub]] for non-image payloads).
+    */
+  def audioStub(r: MediaRow): AudioFeatures = {
+    val n = r.payload.length.toLong
+    AudioFeatures(r.media_id, r.kind, n,
+      sample_rate = 8000, channels = 1, bits_per_sample = 16,
+      n_samples = n / 2, duration_ms = (n / 2) * 1000 / 8000)
+  }
+
+  /** Decode one audio row: real RIFF header fields for WAV payloads,
+    * stub arithmetic otherwise.
+    */
+  def decodeAudio(r: MediaRow): AudioFeatures = wavInfo(r.payload) match {
+    case Some((rate, ch, bits, nSamples)) =>
+      AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        sample_rate = rate, channels = ch, bits_per_sample = bits,
+        n_samples = nSamples, duration_ms = nSamples * 1000L / rate)
+    case None => audioStub(r)
+  }
+
+  /** Audio feature extraction over a typed media Dataset — the audio
+    * twin of [[extractFeatures]], same per-partition batching.
+    */
+  def extractAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAudio))
+  }
+
   /** Decode/feature-extract over a typed media Dataset. mapPartitions so a
     * real decoder amortizes codec init once per partition (ImageIO's
     * reader registry lookup is per-JVM; heavier decoders — model weights,

@@ -134,6 +134,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "join strategy must be left to the optimizer/AQE")
   }
 
+  test("b11 nation volume: nation-pair filter reaches the dim scans; no cartesian") {
+    val p = plan("b11_nation_volume")
+    assert(p.contains("PushedFilters:") && p.contains("n_name"),
+      "the IN (pair) predicate must be pushed to the nation scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast into supplier/customer")
+  }
+
+  test("b12 waiting suppliers: EXISTS/NOT EXISTS run as semi/anti joins on orderkey") {
+    val p = plan("b12_waiting_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the suppkey inequality must ride the orderkey equi-join, not a product")
+  }
+
+  test("c27 contamination: train-side n-gram postings are df-capped") {
+    val p = plan("c27_contamination")
+    assert(p.contains(s"<= ${queries.ExtOps.C27_DF_CAP}"),
+      "boilerplate 8-grams must be dropped, else one hot n-gram is quadratic")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("b1 exact dedup: aggregation is partial (map-side combine) on the hash") {
     val p = plan("b1_exact_dedup")
     assert(p.contains("HashAggregate"), "dedup must hash-aggregate, not sort")
