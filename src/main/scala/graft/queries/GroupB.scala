@@ -300,25 +300,19 @@ object GroupB {
     }),
 
     // B7 — as-of join: for each sampled anchor event, the user's latest
-    // strictly-earlier event. Window-deduped join, partitioned by user —
-    // the scale path is a range-bounded join on (user, ts-bucket), not a
-    // global sort.
+    // strictly-earlier event — via graft.operators.AsOf's co-partitioned
+    // merge scan (one user_id exchange, partition-local sort, single
+    // linear pass) instead of the join-then-window formulation, which
+    // materializes O(k²) candidate rows per k-event user before keeping
+    // one. The unchanged oracle proves the rewrite bit-identical.
     "b7_asof_events" -> ((s, dir) => {
-      val ev = load(s, dir, "events")
-      val anchors = ev.filter(col("event_id") % 20 === 0)
-        .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("anchor_ts"))
-      val prior = ev.select(col("user_id"), col("event_id").as("prev_id"),
-        col("event_type").as("prev_type"), col("ts").as("prev_ts"))
-      val joined = anchors.join(prior, Seq("user_id"))
-        .filter(col("prev_ts") < col("anchor_ts"))
-      val w = Window.partitionBy(col("anchor_id"))
-        .orderBy(col("prev_ts").desc, col("prev_id").desc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.operators.AsOf.latestPrior(load(s, dir, "events"), 20)
         .select(col("anchor_id"), col("user_id"),
-          date_format(col("anchor_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor_ts"),
+          date_format(expr("timestamp_micros(anchor_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor_ts"),
           col("prev_id"), col("prev_type"),
-          date_format(col("prev_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_ts"))
+          date_format(expr("timestamp_micros(prev_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_ts"))
         .orderBy(col("anchor_id"))
     }))
 

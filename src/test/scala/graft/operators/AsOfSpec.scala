@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("merge-scan as-of equals the join-then-window formulation") {
+    val ev = Tables.load(spark, dir, "events")
+    // the declarative model the merge scan replaced (kept here as the
+    // independent spec model, like DedupSpec does for the native kernels)
+    val anchors = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("anchor_ts"))
+    val prior = ev.select(col("user_id"), col("event_id").as("prev_id"),
+      col("event_type").as("prev_type"), col("ts").as("prev_ts"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("prev_ts").desc, col("prev_id").desc)
+    val model = anchors.join(prior, Seq("user_id"))
+      .filter(col("prev_ts") < col("anchor_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("user_id"), expr("unix_micros(anchor_ts)"),
+        col("prev_id"), col("prev_type"), expr("unix_micros(prev_ts)"))
+      .orderBy(col("anchor_id"))
+      .collect().map(_.toSeq).toSeq
+
+    val merged = AsOf.latestPrior(ev, 20)
+      .orderBy(col("anchor_id"))
+      .collect().map(r => Seq(r.anchor_id, r.user_id, r.anchor_us,
+        r.prev_id, r.prev_type, r.prev_us)).toSeq
+
+    assert(merged.nonEmpty && merged == model)
+  }
+
+  test("plan has exactly one exchange and no window or join") {
+    val p = AsOf.latestPrior(Tables.load(spark, dir, "events"), 20)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec") && !p.toLowerCase.contains("mergejoin") &&
+      !p.contains("HashJoin"), "the merge scan must not re-grow a join/window")
+  }
+
+  test("anchor at the exact ts of another event excludes it (strict inequality)") {
+    import spark.implicits._
+    // user 1: event 10 @t=100, event 11 @t=200, anchor-eligible event
+    // 20 @t=200 (same ts as 11). Strict rule: anchor 20 must match
+    // event 10 (ts 100), not 11 (ts 200) — equal ts is NOT earlier.
+    val ev = Seq(
+      (1L, 100L, "a", 10L),
+      (1L, 200L, "b", 11L),
+      (1L, 200L, "c", 20L))
+      .toDF("user_id", "us", "event_type", "event_id")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"),
+        col("event_type"), col("event_id"))
+    val hits = AsOf.latestPrior(ev, 20).collect()
+    assert(hits.length == 1)
+    assert(hits.head.anchor_id == 20L && hits.head.prev_id == 10L &&
+      hits.head.prev_us == 100L)
+  }
+}
