@@ -11,9 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
   *
-  * Only functions live here today; the slot is also where a custom
-  * `Rule[LogicalPlan]` / `SparkStrategy` would register if an operator
-  * ever outgrows what the DataFrame API + native expressions express.
+  * Registers the native SQL functions, the [[TopKPerKeyStrategy]]
+  * planner strategy, and the [[RowNumberTopKRewrite]] optimizer rule
+  * (window top-k filters → bounded-heap operator).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.tokenNgrams)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
   }
 }
 

@@ -234,9 +234,14 @@ object Relational {
 
     // d9 — latest-per-key dedup (the "current state" query): keep each
     // user's most recent event per type; ties broken by event_id.
-    // Window row_number over (user, type) — the canonical
-    // keep-newest-version shape for mutable-entity snapshots.
+    // WRITTEN as the canonical window row_number + filter — and PLANNED
+    // as the bounded-heap TopKPerKey operator by the
+    // plans.RowNumberTopKRewrite optimizer rule (installed here): the
+    // declarative shape users write, the no-sort plan the engine runs.
+    // PlanSpec asserts the rewrite fired; the unchanged oracle proves
+    // it row-identical.
     "d9_latest_event" -> ((s, dir) => {
+      graft.plans.TopKInstall.install(s)
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts").desc, col("event_id").desc)
       load(s, dir, "events")

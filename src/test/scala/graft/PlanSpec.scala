@@ -157,6 +157,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d9 latest event: window formulation planned as the TopKPerKey heap operator") {
+    val p = plan("d9_latest_event")
+    assert(p.contains("TopKPerKey"),
+      "RowNumberTopKRewrite must turn the rn=1 filter into the heap operator")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      "no window machinery may remain under the rewrite")
+  }
+
   test("b1 exact dedup: aggregation is partial (map-side combine) on the hash") {
     val p = plan("b1_exact_dedup")
     assert(p.contains("HashAggregate"), "dedup must hash-aggregate, not sort")

@@ -62,6 +62,57 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     assert(!exec.contains("Sort "), s"no sort in the executed plan:\n$exec")
   }
 
+  test("optimizer rule rewrites window rn<=k filters to TopKPerKey when rn is dropped") {
+    TopKInstall.install(spark)
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    def windowed(k: Int) = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val df = windowed(5)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case t: TopKPerKey => t }.nonEmpty,
+      s"rule must fire on the rn<=k shape:\n$opt")
+    assert(opt.collect {
+      case wd: org.apache.spark.sql.catalyst.plans.logical.Window => wd
+    }.isEmpty, "the window must be gone")
+    assert(opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => g
+    }.isEmpty, "the inferred WindowGroupLimit must be subsumed, not kept")
+    // row-identical to the un-rewritten formulation (fresh session state
+    // not needed: compare against TopK.perKey's direct operator output)
+    val direct = TopK.perKey(ev, Seq("event_type"),
+        Seq("value" -> false, "event_id" -> true), 5)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
+      .collect().toSeq
+    assert(df.orderBy(col("event_type"), col("value").desc, col("event_id"))
+      .collect().toSeq == direct)
+  }
+
+  test("optimizer rule leaves rank-preserving and global-window shapes alone") {
+    TopKInstall.install(spark)
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    // rn survives into the output → must stay a window
+    val keepsRank = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("event_id"), col("rn"))
+    assert(keepsRank.queryExecution.optimizedPlan
+      .collect { case t: TopKPerKey => t }.isEmpty,
+      "rank-preserving top-k must not be rewritten (heap emits no rank)")
+    // global window (no partition keys) → must stay a window
+    val global = ev.withColumn("rn",
+        row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("event_id"))
+    assert(global.queryExecution.optimizedPlan
+      .collect { case t: TopKPerKey => t }.isEmpty,
+      "global top-k is TakeOrdered's territory, not TopKPerKey's")
+  }
+
   test("partial phase bounds what the exchange moves to k rows per key per partition") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ("k" + (i % 2), i.toLong)).toDF("g", "v")
