@@ -194,6 +194,38 @@ object Similarity {
     topK(cos, k)
   }
 
+  /** Int8-quantized brute-force ANN — the MEMORY-scale path: each vector
+    * becomes 64 bytes of per-vector-scaled int8 (q_i = round_half_away(
+    * x_i·127 / max|x|)) — 4× smaller than float32, 8× smaller than the
+    * scaled-long exact path, which at 100 TB is the difference between
+    * an index that fits executor memory and one that doesn't. Cosine
+    * over the quantized values approximates true cosine (recall vs the
+    * exact c5 baseline asserted in SimilaritySpec); every arithmetic
+    * step (double multiply/divide, half-away decimal cast, integer dot,
+    * IEEE division) is replayed bit-for-bit by the oracle. The
+    * quantization transform is a one-pass per-VECTOR HOF (not on the
+    * pair path — pairs run the native LongArrayDot loop on the int8
+    * values). Zero vectors (scale 0) are excluded on both sides.
+    */
+  def quantizedTopK(emb: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val base = emb
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> " +
+          "CAST(CAST(CAST(x AS DOUBLE) * 127 / scale AS DECIMAL(16,0)) AS BIGINT))")
+        .as("ie"))
+      .withColumn("nv", norm("ie"))
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ie").as("qe"), col("nv").as("qn"))
+    val cos = base.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dot("ie", "qe") / (col("qn") * col("nv"))).as("cos"))
+    topK(cos, k).withColumnRenamed("cos", "qcos")
+  }
+
   /** Sign-LSH bands: `nBands` rows per vector, each a 4-bit integer from
     * the sign bits of 4 consecutive dimensions (band b covers dims
     * 4b+1..4b+4). Two vectors are near-dup CANDIDATES iff they agree on

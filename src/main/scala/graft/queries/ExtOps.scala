@@ -36,6 +36,11 @@ object ExtOps {
     "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
     "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
     "c12_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8)),
+    // c28 — int8-quantized ANN: the memory-scale path (64 bytes/vector).
+    // Same query batch as c5, so SimilaritySpec can measure quantization
+    // recall against the exact baseline.
+    "c28_ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedTopK(load(s, dir, "embeddings"), 100, 5)),
     // c13 — the salted two-phase aggregation, declared so the one
     // previously oracle-uncovered operator gets a correctness row: the
     // oracle is the DIRECT group-by, proving salted == direct (sums are
@@ -723,6 +728,33 @@ object ExtOps {
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2,
       nProbe = 3),
+    // c28 oracle: replays the int8 quantization — double multiply/divide
+    // (left-assoc, IEEE-identical), half-away DECIMAL(16,0) cast, exact
+    // integer dot sums (< 2^53), same /1e8 normalization tree as c5.
+    "c28_ann_quantized" ->
+      """WITH sc AS (SELECT vec_id,
+        |    max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS scale
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+        |el AS (SELECT e.vec_id, i,
+        |    CAST(CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * 127 / s.scale
+        |         AS DECIMAL(16,0)) AS BIGINT) AS qv
+        |  FROM embeddings e JOIN sc s ON e.vec_id = s.vec_id, range(1, 65) t(i)
+        |  WHERE s.scale > 0),
+        |nrm AS (SELECT vec_id, sqrt(CAST(sum(qv * qv) AS DOUBLE) / 1e8) AS nv
+        |        FROM el GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, e.vec_id,
+        |                CAST(sum(q.qv * e.qv) AS DOUBLE) / 1e8 AS dot
+        |  FROM el q JOIN el e ON q.i = e.i AND q.vec_id <> e.vec_id
+        |  WHERE q.vec_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT d.qid, d.vec_id, d.dot / (nq.nv * nv2.nv) AS qcos
+        |  FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+        |              JOIN nrm nv2 ON nv2.vec_id = d.vec_id)
+        |SELECT qid, vec_id, qcos, rn FROM (
+        |  SELECT qid, vec_id, qcos,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM cos)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "c7_langid" ->
       """WITH raw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT doc_id, lang, tok FROM raw WHERE tok <> ''),

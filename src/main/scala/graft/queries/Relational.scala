@@ -168,6 +168,47 @@ object Relational {
         .orderBy(col("gid"), col("orderstatus"), col("orderpriority"))
     }),
 
+    // d19 — time-RANGE window frame (the frame class d14's ROWS frame
+    // doesn't cover): per sampled user, the trailing-1-hour sum/count at
+    // each event. RANGE frames include ties (peers at equal ts share a
+    // frame) identically in both engines; ordering is the single numeric
+    // ts_us key ANSI requires for range bounds. Cents-scaled sums stay
+    // exact; partitioned by user — no global window.
+    "d19_trailing_1h" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      load(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+        .withColumn("trail_sum_c", sum(col("vc")).over(w))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("trail_sum_c").cast("double") / 100.0).as("trail_sum"),
+          col("trail_n"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // d20 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    // the multiplicity-preserving twins of d5): per-customer order
+    // multisets across the two eras. Spark plans these as aggregate+
+    // generate (count-min replication), all hash-partitioned — no sort.
+    "d20_set_ops_all" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val ord = load(s, dir, "orders")
+      val early = ord.filter(col("o_orderdate") < cut).select(col("o_custkey"))
+      val late = ord.filter(col("o_orderdate") >= cut).select(col("o_custkey"))
+      val both = early.intersectAll(late).withColumn("cohort", lit("both_all"))
+      val lapsed = early.exceptAll(late).withColumn("cohort", lit("lapsed_all"))
+      both.unionByName(lapsed)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("o_custkey")).as("min_key"), max(col("o_custkey")).as("max_key"))
+        .orderBy(col("cohort"))
+    }),
+
     // d8 — exact interpolated percentiles per group: both engines
     // implement the standard (n−1)·p rank + linear interpolation
     // definition over the SAME double values, so results hash-match
@@ -374,6 +415,33 @@ object Relational {
     }))
 
   def oracle: Map[String, String] = Map(
+    "d19_trailing_1h" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id % 100 = 0)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(sum(vc) OVER w AS DOUBLE) / 100.0 AS trail_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM base
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "d20_set_ops_all" ->
+      """WITH early AS (SELECT o_custkey FROM orders
+        |               WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'),
+        |late AS (SELECT o_custkey FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'),
+        |u AS (
+        |  SELECT o_custkey, 'both_all' AS cohort
+        |  FROM (SELECT o_custkey FROM early INTERSECT ALL SELECT o_custkey FROM late)
+        |  UNION ALL
+        |  SELECT o_custkey, 'lapsed_all' AS cohort
+        |  FROM (SELECT o_custkey FROM early EXCEPT ALL SELECT o_custkey FROM late))
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
+        |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
     "d17_acctbal_deciles" ->
       """WITH d AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,

@@ -59,6 +59,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(multi >= 0.7)
   }
 
+  test("int8-quantized ANN recalls nearly all exact top-k neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, 50, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, 50, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    info(f"int8 recall@3 vs exact: $recall%.3f")
+    // int8 keeps ~7 significant bits per element — ranking flips only
+    // happen between near-equal cosines
+    assert(recall >= 0.9)
+  }
+
   test("near-dup pairs: only same-label pairs above threshold") {
     val d = emb(
       (0L, Seq(1f, 2f, 3f, 4f), 7),
