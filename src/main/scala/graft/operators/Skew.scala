@@ -45,4 +45,32 @@ object Skew {
       .agg(finalAggs.head, finalAggs.tail: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Salted equi-join for a skewed FACT side: the fact table's hot join
+    * key would funnel through one reducer of a shuffle join, so each
+    * fact row gets a content-derived salt in [0, salts) and the (small)
+    * build side is replicated once per salt value; the join key becomes
+    * (key, salt) — a hot key now spreads over `salts` reducers. Results
+    * are identical to the plain join (every fact row still meets every
+    * matching build row exactly once — its own salt's replica).
+    *
+    * This is what AQE's skew-join split does at runtime; the explicit
+    * operator exists for engines/plans where AQE can't see the skew
+    * (e.g. skew introduced by an upstream transform at plan time) and as
+    * the deterministic, replay-stable formulation (content-hash salt —
+    * same retry discipline as [[saltedSum]]). `build` must be the small
+    * side: it is replicated ×`salts` and joined per (key, salt); at
+    * broadcast size the exchange disappears entirely.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts)).cast("int")
+    val salted = fact.withColumn("__salt", salt)
+    val replicated = build
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -53,6 +53,25 @@ object ExtOps {
           (col("sv").cast("double") / 1.0e6).as("sum_value"), col("n"))
         .orderBy(col("event_type"))
     }),
+    // c29 — salted JOIN (the join-side twin of c13's salted aggregation):
+    // enrich every event with its type's global stats — a 5-key join, the
+    // textbook hot-key shuffle skew — via Skew.saltedJoin: fact rows get
+    // a content-hash salt, the 5-row build side replicates ×16, and the
+    // hot keys spread over 16 reducers. The oracle is the PLAIN join —
+    // salting must be invisible in the result. Above-average test is
+    // integer cross-multiplication (vc·n > tot), no division.
+    "c29_salted_join" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(sum(col("vc")).as("tot"), count(lit(1)).as("n"))
+      Skew.saltedJoin(ev, stats, "event_type", 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("vc") * col("n") > col("tot"), 1L).otherwise(0L)).as("n_above_avg"))
+        .orderBy(col("event_type"))
+    }),
     // c14 — SimHash near-dup pairs: banded candidate generation (4 × 16
     // bits; pigeonhole guarantees full recall at Hamming ≤ 3), Hamming
     // verify on candidates only.
@@ -616,6 +635,18 @@ object ExtOps {
         |       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
         |         AS n_chars_redacted
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c29_salted_join" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |            FROM events),
+        |st AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS tot,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN e.vc * s.n > s.tot THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_above_avg
+        |FROM ev e JOIN st s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "c13_salted_agg" ->
       """SELECT event_type,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
