@@ -290,6 +290,25 @@ object ExtOps {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
     }),
+    // c30 — per-source quota sampling (the domain-cap pass every crawl
+    // corpus needs: no source may dominate training data): keep at most
+    // Q docs per source, selected by content-hash order — a determinis-
+    // tic pseudo-random draw, replayable on retry like c16. Runs on the
+    // native TopKPerKey heap operator (k rows per source per partition
+    // cross the exchange, no sort); the oracle replays the row_number
+    // window semantics.
+    "c30_source_quota" -> ((s, dir) => {
+      val quota = 100
+      val ranked = load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      graft.plans.TopK.perKey(ranked, Seq("source"),
+          Seq("h" -> true, "doc_id" -> true), quota)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -543,6 +562,17 @@ object ExtOps {
          |       coalesce(cont.n_contaminated, 0) AS n_contaminated,
          |       coalesce(cont.n_pairs, 0) AS n_pairs
          |FROM ev LEFT JOIN cont ON ev.lang = cont.lang ORDER BY ev.lang""".stripMargin,
+    "c30_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r WHERE rn <= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
     "c16_stratified_sample" ->
       """WITH g AS (SELECT lang, doc_id, n_chars,
         |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
