@@ -77,6 +77,33 @@ class TokenNgramsSpec extends AnyFunSuite with SparkSpec {
     assert(hashed.getLong(0) != 0L && hashed.getSeq[String](1).length == 2)
   }
 
+  test("property: kernel matches a naive string model on random space-laden input") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // naive model: raw split on single spaces, same two modes
+    def model(text: String, n: Int, maxStarts: Int, skipEmpty: Boolean): Seq[String] = {
+      val slots = text.split(" ", -1).toSeq
+      val toks = if (skipEmpty) slots.filter(_.nonEmpty) else slots
+      (0 until math.min(math.max(toks.length - n + 1, 0), maxStarts)).flatMap { i =>
+        val grams = toks.slice(i, i + n)
+        if (!skipEmpty && grams.exists(_.isEmpty)) None
+        else Some(grams.mkString(" "))
+      }
+    }
+    def kernel(text: String, n: Int, maxStarts: Int, skipEmpty: Boolean): Seq[String] = {
+      val arr = NgramOps.ngrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text).getBytes,
+        n, maxStarts, skipEmpty)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val textGen = Gen.listOf(Gen.oneOf(Gen.oneOf('a', 'b', 'c'), Gen.const(' ')))
+      .map(_.mkString)
+    val p = Prop.forAll(textGen, Gen.choose(1, 4), Gen.choose(1, 6),
+        Gen.oneOf(true, false)) { (text, n, maxStarts, skipEmpty) =>
+      kernel(text, n, maxStarts, skipEmpty) == model(text, n, maxStarts, skipEmpty)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p).passed)
+  }
+
   test("the bigram start cap bounds output for pathological docs") {
     val raw = native(2, 4094, skipEmpty = false)
     assert(raw.count(_._1 == 7L) == 1, "4999 identical bigrams dedup to one value")
