@@ -263,11 +263,17 @@ object ExtOps {
     // clean.
     "c27_contamination" -> ((s, dir) => {
       val d = load(s, dir, "documents")
+      // the dedup/join key is md5(ngram), not the ngram text — the b1
+      // discipline: every shuffle (distinct, df count, postings join)
+      // moves 16-byte hashes instead of ~60-byte strings. Identical
+      // results modulo md5 collisions (~2^-128 per pair); the oracle
+      // hashes the same way.
       val ng = d.select(col("doc_id"), col("lang"),
           explode(org.apache.spark.sql.GraftBridge.column(
             graft.functions.TokenNgrams(
               org.apache.spark.sql.GraftBridge.expression(col("text")),
-              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g"))
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+        .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
         .distinct()
       val evalN = ng.filter(col("doc_id") % 97 === 0)
       val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
@@ -543,10 +549,11 @@ object ExtOps {
       s"""WITH t AS (SELECT doc_id, lang,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |t8 AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 8),
-         |ng AS (SELECT DISTINCT doc_id, lang,
+         |ng0 AS (SELECT doc_id, lang,
          |    unnest(list_transform(range(1, len(toks) - 6),
-         |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))) AS g
+         |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))) AS g0
          |  FROM t8),
+         |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
          |evn AS (SELECT doc_id, lang, g FROM ng WHERE doc_id % 97 = 0),
          |trn0 AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0),
          |gdf AS (SELECT g FROM trn0 GROUP BY g HAVING count(*) <= ${ExtOps.C27_DF_CAP}),
