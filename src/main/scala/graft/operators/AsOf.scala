@@ -3,11 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Merge-scan as-of join input row: anchors (tag 0) and candidate prior
-  * events (tag 1) in one relation, timestamps as unix micros.
-  */
-final case class AsOfIn(user_id: Long, ts_us: Long, tag: Int, id: Long, etype: String)
-
 /** One matched anchor: its latest strictly-earlier same-user event. */
 final case class AsOfHit(anchor_id: Long, user_id: Long, anchor_us: Long,
     prev_id: Long, prev_type: String, prev_us: Long)
@@ -31,11 +26,13 @@ final case class AsOfHit(anchor_id: Long, user_id: Long, anchor_us: Long,
   *    `last` is the (max ts, max id) event — the `ORDER BY prev_ts DESC,
   *    prev_id DESC` tiebreak of the window formulation.
   *
-  * mapPartitions is justified here (the brief's last-resort clause):
-  * the merge is genuinely per-partition imperative state — one carried
-  * row — that no built-in operator expresses without the quadratic
-  * intermediate. QueriesSpec + the unchanged b7 oracle prove the
-  * rewrite bit-identical to the declarative window formulation.
+  * The merge runs as [[graft.plans.MergeAsOfExec]], a first-class
+  * physical operator: it DECLARES ClusteredDistribution(user) +
+  * child ordering (user, ts, tag, id) and EnsureRequirements plans the
+  * exchange and sort, exactly how SortMergeJoin acquires its inputs —
+  * rows stay InternalRow end to end (no object encoders). QueriesSpec +
+  * the unchanged b7 oracle prove the operator bit-identical to the
+  * declarative window formulation it replaced.
   */
 object AsOf {
 
@@ -44,29 +41,34 @@ object AsOf {
     * semantics, matching the window formulation).
     */
   def latestPrior(ev: DataFrame, anchorMod: Int): Dataset[AsOfHit] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
     val spark = ev.sparkSession
     import spark.implicits._
     val events = ev.select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
       lit(1).as("tag"), col("event_id").as("id"), col("event_type").as("etype"))
-      .as[AsOfIn]
     val anchors = ev.filter(col("event_id") % anchorMod === 0)
       .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
         lit(0).as("tag"), col("event_id").as("id"),
         lit(null).cast("string").as("etype"))
-      .as[AsOfIn]
-    events.union(anchors)
-      .repartition(col("user_id"))
-      .sortWithinPartitions(col("user_id"), col("ts_us"), col("tag"), col("id"))
-      .mapPartitions { it =>
-        var curUser = Long.MinValue
-        var last: AsOfIn = null
-        it.flatMap { r =>
-          if (r.user_id != curUser) { curUser = r.user_id; last = null }
-          if (r.tag == 1) { last = r; Iterator.empty }
-          else if (last == null) Iterator.empty
-          else Iterator.single(
-            AsOfHit(r.id, r.user_id, r.ts_us, last.id, last.etype, last.ts_us))
-        }
-      }
+    val union = events.union(anchors)
+    val analyzed = union.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalStateException(s"missing column $n"))
+    if (!spark.experimental.extraStrategies.contains(graft.plans.MergeAsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.MergeAsOfStrategy
+    }
+    val out = Seq(
+      AttributeReference("anchor_id", LongType, nullable = false)(),
+      AttributeReference("user_id", LongType, nullable = false)(),
+      AttributeReference("anchor_us", LongType, nullable = false)(),
+      AttributeReference("prev_id", LongType, nullable = false)(),
+      AttributeReference("prev_type", StringType, nullable = true)(),
+      AttributeReference("prev_us", LongType, nullable = false)())
+    GraftBridge.ofRows(spark, graft.plans.MergeAsOf(
+      attr("user_id"), attr("ts_us"), attr("tag"), attr("id"), attr("etype"),
+      out, analyzed)).as[AsOfHit]
   }
 }

@@ -38,11 +38,14 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(merged.nonEmpty && merged == model)
   }
 
-  test("plan has exactly one exchange and no window or join") {
+  test("plan: the MergeAsOf physical operator, no window or join, no encoders") {
     val p = AsOf.latestPrior(Tables.load(spark, dir, "events"), 20)
       .queryExecution.executedPlan.toString
+    assert(p.contains("MergeAsOf"), s"the custom operator must plan:\n$p")
     assert(!p.contains("WindowExec") && !p.toLowerCase.contains("mergejoin") &&
       !p.contains("HashJoin"), "the merge scan must not re-grow a join/window")
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject"),
+      "rows must stay InternalRow end to end (no object encoders)")
   }
 
   test("anchor at the exact ts of another event excludes it (strict inequality)") {
