@@ -73,17 +73,37 @@ object Dedup {
   }
 
   /** MinHash→LSH→verify: every candidate pair with its exact Jaccard.
-    * Candidate generation is shuffle-free (native banded kernel); the
-    * postings relation feeds the two verify-side consumers (sizes,
-    * intersection) — recomputing it is cheaper than caching at these
-    * sizes (measured), and at 100 TB the materialize-the-inverted-index
-    * decision belongs to the caller (write postings to parquet once,
-    * feed many dedup runs).
+    * Candidate generation is shuffle-free (native banded kernel). The
+    * verify pass (r3) never builds an inverted index at all: the
+    * pre-r3 formulation referenced the token postings three times
+    * (sizes + both intersection sides) and the candidate subtree twice
+    * — Spark re-executes a shared subtree once per plan reference, so
+    * that was three corpus-wide token shuffles and a doubled band join
+    * per run. Here each candidate pair joins to the two docs'
+    * DISTINCT-TOKEN ARRAYS (split/array_distinct/array_remove — all
+    * codegen'd builtins, computed in the scan projection, no explode,
+    * no shuffle wider than the docs themselves) and the exact
+    * intersection is one compiled `array_intersect` per pair. The
+    * candidate subtree is referenced once; what moves through the two
+    * verify joins is proportional to the CANDIDATE set, and the token
+    * work is a per-row compiled kernel — the 100 TB shape and the
+    * fewest-stages local plan at the same time. Results are
+    * bit-identical to [[verifyJaccard]] over [[tokenPostings]]
+    * (DedupSpec asserts).
     */
   def minhashVerified(docs: DataFrame, sampleMod: Int): DataFrame = {
-    val postings = tokenPostings(docs, sampleMod)
+    val toks = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"),
+        array_remove(array_distinct(split(col("text"), " ")), "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("sz"))
     val cands = lshCandidates(minhashBanded(docs, sampleMod))
-    verifyJaccard(cands, postings)
+    cands
+      .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"), col("sz").as("sa")), "da")
+      .join(toks.select(col("doc_id").as("db"), col("toks").as("tb"), col("sz").as("sb")), "db")
+      .select(col("da"), col("db"), col("shared_bands"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("long").cast("double") /
+          (col("sa") + col("sb") - size(array_intersect(col("ta"), col("tb"))).cast("long")))
+          .as("jaccard"))
   }
 
   /** Top-50 most similar pairs (the c1 declared query). */

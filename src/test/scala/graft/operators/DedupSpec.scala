@@ -55,6 +55,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!native.exists(_._1 == 20L))
   }
 
+  test("candidate-restricted verify is bit-identical to the full-postings model") {
+    // r3: minhashVerified semi-joins the postings to candidate docs and
+    // takes token-set sizes from a compiled array expression; this model
+    // is the pre-r3 full-postings formulation it must reproduce exactly.
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon",
+      5L -> "alpha beta gamma delta epsilon", // exact dup of 0
+      10L -> "alpha beta gamma delta zeta", // near dup of 0/5
+      15L -> "totally different content here", // no shared band
+      20L -> "", // no tokens
+      25L -> "  spaced   out  alpha beta gamma delta epsilon ")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val model = Dedup.verifyJaccard(
+      Dedup.lshCandidates(Dedup.minhashBanded(d, 5)), Dedup.tokenPostings(d, 5))
+      .collect().map(key).toSet
+    val opt = Dedup.minhashVerified(d, 5).collect().map(key).toSet
+    assert(opt == model)
+    assert(opt.nonEmpty)
+  }
+
   test("simhash: identical docs collide; 64-bit fingerprint uses all digit bits") {
     val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
       3L -> "unrelated content entirely")
