@@ -194,6 +194,48 @@ object Similarity {
     topK(cos, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * k-means-cluster the embedding space, then WITHIN each cluster drop
+    * every vector that has a higher-priority (lower vec_id) cluster-mate
+    * with cosine above `tau` — pairwise comparison never crosses a
+    * cluster boundary, which is the whole trick: the O(n²) semantic
+    * pair space shrinks to Σ|cell|², and at 100 TB `nCells` scales WITH
+    * the corpus so cell sizes stay bounded (the published recipe: cells
+    * ≈ N/target_cell_size; here it is an explicit knob). Training reuses
+    * the c12 IVF Lloyd loop — deterministic seeding, quantized-mean
+    * centroids, exact scaled-long arithmetic — so the DuckDB oracle
+    * replays clustering AND the drop decision bit-for-bit. Returns one
+    * row per cell: population and number dropped.
+    */
+  def semDedup(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2,
+      tau: Double = 0.42): DataFrame = {
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+      .withColumn("nv", norm("ie"))
+    val seed = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
+    val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
+      meanCentroids(assignCells(base, c)).localCheckpoint(true)
+    }
+    // Final assignment feeds three consumers (both pair sides + the per-
+    // cell census) — materialize once, as in ivfTopK.
+    val assigned = assignCells(base, centroids).localCheckpoint(true)
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("va"), col("ie").as("ia"), col("nv").as("na"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vb"),
+        col("ie").as("ib"), col("nv").as("nb")), "cell")
+      .filter(col("va") < col("vb"))
+      .select(col("cell"), col("vb"),
+        (dot("ia", "ib") / (col("na") * col("nb"))).as("cos"))
+    val drops = pairs.filter(col("cos") > tau)
+      .select(col("cell"), col("vb")).distinct()
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .join(drops.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cell"))
+  }
+
   /** Int8-quantized brute-force ANN — the MEMORY-scale path: each vector
     * becomes 64 bytes of per-vector-scaled int8 (q_i = round_half_away(
     * x_i·127 / max|x|)) — 4× smaller than float32, 8× smaller than the

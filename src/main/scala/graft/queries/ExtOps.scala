@@ -315,6 +315,68 @@ object ExtOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"))
     }),
+    // c31 — SemDeDup (semantic dedup via embedding clusters): k-means
+    // cells from the c12 training loop, pairwise cosine only WITHIN a
+    // cell, drop the higher-id vector of any pair above τ. The published
+    // recipe for pruning web-scale corpora by meaning rather than
+    // surface form; nCells scales with the corpus so Σ|cell|² stays
+    // bounded. Oracle replays clustering + drop decision exactly.
+    "c31_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(load(s, dir, "embeddings"), 8, 2, 0.42)),
+    // c32 — repeated-span profile (the intra-corpus Lee-et-al exact-
+    // substring signal): 8-gram spans appearing in ≥ 2 distinct docs,
+    // heaviest first. Shuffles md5(ngram) hashes only (the c27/b1
+    // discipline); span generation is the native TokenNgrams kernel —
+    // one compiled pass per doc, no token explode before the hash agg.
+    "c32_repeated_spans" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      d.select(col("doc_id"),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+        .select(col("doc_id"), md5(col("g0").cast("binary")).as("g"))
+        .distinct()
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("g"))
+        .limit(100)
+    }),
+    // c33 — per-source TOKEN-budget sampling (the data-mixing pass: each
+    // source contributes at most B tokens, docs admitted in content-hash
+    // order — a deterministic draw, replayable on retry). The running
+    // token sum is the c20 two-level prefix sum, NOT a per-source
+    // window: the first hex digit of the hash buckets each source's
+    // rows into 16 ranges CONTIGUOUS in the admission order, local sums
+    // run per (source, bucket), and a 16-row-per-source window supplies
+    // bucket offsets — no source's corpus ever funnels through one task.
+    "c33_token_budget" -> ((s, dir) => {
+      val budget = 800L
+      val r = load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 1))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = r.withColumn("lc", sum(col("n_tokens")).over(wLocal))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = r.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("source"), col("bkt"), col("off"))
+      local.join(offsets, Seq("source", "bkt"))
+        .withColumn("cum", col("lc") + col("off"))
+        .filter(col("cum") - col("n_tokens") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -424,10 +486,13 @@ object ExtOps {
     * double→DECIMAL(16,0) (both engines round half away from zero; all
     * scaled sums < 2^53 so every double conversion is exact).
     */
-  private def ivfOracle(nCells: Int, queryMod: Int, k: Int, iters: Int,
-      nProbe: Int): String = {
+  /** Shared k-means CTE prefix (el/nrm/seed/Lloyd rounds/final assign
+    * `a<iters+1>` at `finalProbe`) for the c12 IVF and c31 SemDeDup
+    * oracles — both replay the identical deterministic training loop.
+    */
+  private def kmeansCtes(nCells: Int, iters: Int, finalProbe: Int): String = {
     // `probe` keeps centroid ranks 1..probe: 1 for training rounds (the
-    // assignment) and nProbe for the final round (multi-probe search).
+    // assignment) and finalProbe for the final round.
     def assign(n: Int, c: String, cn: String, probe: Int = 1) =
       s"""d$n AS (SELECT e.vec_id, c.cid, CAST(sum(e.sv * c.cv) AS DOUBLE) / 1e8 AS dot
          |  FROM el e JOIN $c c ON e.i = c.i GROUP BY 1, 2),
@@ -447,14 +512,20 @@ object ExtOps {
     val steps = (1 to iters).map(n =>
       assign(n, s"c${n - 1}", s"cn${n - 1}") + ",\n" + update(n)).mkString(",\n")
     val fin = iters + 1
-    s"""WITH el AS (SELECT vec_id, i,
+    s"""el AS (SELECT vec_id, i,
        |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000 AS BIGINT) AS sv
        |  FROM embeddings, range(1, 65) t(i)),
        |nrm AS (SELECT vec_id, sqrt(CAST(sum(sv * sv) AS DOUBLE) / 1e8) AS nv FROM el GROUP BY vec_id),
        |c0 AS (SELECT vec_id AS cid, i, sv AS cv FROM el WHERE vec_id < $nCells),
        |cn0 AS (SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / 1e8) AS cn FROM c0 GROUP BY cid),
        |$steps,
-       |${assign(fin, s"c$iters", s"cn$iters", probe = nProbe)},
+       |${assign(fin, s"c$iters", s"cn$iters", probe = finalProbe)}""".stripMargin
+  }
+
+  private def ivfOracle(nCells: Int, queryMod: Int, k: Int, iters: Int,
+      nProbe: Int): String = {
+    val fin = iters + 1
+    s"""WITH ${kmeansCtes(nCells, iters, nProbe)},
        |pairs AS (
        |  SELECT q.vec_id AS qid, e.vec_id
        |  FROM a$fin q JOIN a$fin e ON q.cell = e.cell AND e.rn = 1
@@ -569,6 +640,50 @@ object ExtOps {
          |       coalesce(cont.n_contaminated, 0) AS n_contaminated,
          |       coalesce(cont.n_pairs, 0) AS n_pairs
          |FROM ev LEFT JOIN cont ON ev.lang = cont.lang ORDER BY ev.lang""".stripMargin,
+    "c31_semdedup" -> {
+      val fin = 3 // lloydIters 2 + 1
+      s"""WITH ${kmeansCtes(nCells = 8, iters = 2, finalProbe = 1)},
+         |prs AS (SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+         |  FROM a$fin a JOIN a$fin b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.cell, p.va, p.vb, CAST(sum(x.sv * y.sv) AS DOUBLE) / 1e8 AS dot
+         |  FROM prs p JOIN el x ON x.vec_id = p.va
+         |             JOIN el y ON y.vec_id = p.vb AND x.i = y.i
+         |  GROUP BY 1, 2, 3),
+         |cs AS (SELECT d.cell, d.vb, d.dot / (na.nv * nb.nv) AS cos
+         |  FROM dots d JOIN nrm na ON na.vec_id = d.va
+         |              JOIN nrm nb ON nb.vec_id = d.vb),
+         |drops AS (SELECT DISTINCT cell, vb FROM cs WHERE cos > 0.42),
+         |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM a$fin GROUP BY cell),
+         |dc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped FROM drops GROUP BY cell)
+         |SELECT CAST(c.cell AS BIGINT) AS cell, c.n_vecs,
+         |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM cnt c LEFT JOIN dc d ON c.cell = d.cell ORDER BY cell""".stripMargin
+    },
+    "c32_repeated_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t8 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |ng0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))) AS g0
+        |  FROM t8),
+        |ng AS (SELECT DISTINCT doc_id, md5(g0) AS g FROM ng0)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM ng GROUP BY g HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, g LIMIT 100""".stripMargin,
+    "c33_token_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |k AS (SELECT * FROM c WHERE cum - n_tokens < 800)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "c30_source_quota" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

@@ -81,4 +81,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val out = Similarity.nearDupPairs(d, 0.99).collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
   }
+
+  test("semDedup drops the higher-id member of a within-cell near-dup pair") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), // seed of cell 0
+      (1L, Seq(0f, 1f, 0f, 0f), 0), // seed of cell 1
+      (5L, Seq(1f, 0.01f, 0f, 0f), 0), // near-dup of 0 → same cell, dropped
+      (7L, Seq(-1f, 0.2f, 0f, 0f), 0)) // lands in cell 1, below τ vs vec 1
+    val out = Similarity.semDedup(d, nCells = 2, lloydIters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (2L, 1L)) // {0, 5}: 5 dropped (cos ≈ 1 > τ)
+    assert(out(1L) == (2L, 0L)) // {1, 7}: cos ≈ 0.2 < τ, both kept
+  }
 }
