@@ -100,10 +100,11 @@ object Dedup {
     cands
       .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"), col("sz").as("sa")), "da")
       .join(toks.select(col("doc_id").as("db"), col("toks").as("tb"), col("sz").as("sb")), "db")
+      .select(col("da"), col("db"), col("shared_bands"), col("sa"), col("sb"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
       .select(col("da"), col("db"), col("shared_bands"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("long").cast("double") /
-          (col("sa") + col("sb") - size(array_intersect(col("ta"), col("tb"))).cast("long")))
-          .as("jaccard"))
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter"))).as("jaccard"))
   }
 
   /** Top-50 most similar pairs (the c1 declared query). */

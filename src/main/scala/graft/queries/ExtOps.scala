@@ -362,11 +362,16 @@ object ExtOps {
       val wLocal = Window.partitionBy(col("source"), col("bkt"))
         .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Materialized once: it feeds both the admission filter and the
+      // bucket totals below — without the checkpoint the split+md5
+      // corpus projection would execute twice (one per plan reference).
       val local = r.withColumn("lc", sum(col("n_tokens")).over(wLocal))
+        .localCheckpoint(true)
       val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = r.groupBy(col("source"), col("bkt"))
-        .agg(sum(col("n_tokens")).as("bt"))
+      // A bucket's token total is its running sum's final value.
+      val offsets = local.groupBy(col("source"), col("bkt"))
+        .agg(max(col("lc")).as("bt"))
         .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
         .select(col("source"), col("bkt"), col("off"))
       local.join(offsets, Seq("source", "bkt"))

@@ -39,12 +39,16 @@ object SourceBudgetStream {
     * admitting while the total BEFORE each doc is under budget. Exposed
     * for direct unit testing.
     */
-  def advance(budget: Long, spent: Long, sorted: Seq[BudgetDoc]): (Long, List[AdmittedDoc]) =
-    sorted.foldLeft((spent, List.empty[AdmittedDoc])) { case ((s, acc), d) =>
+  def advance(budget: Long, spent: Long, sorted: Seq[BudgetDoc]): (Long, List[AdmittedDoc]) = {
+    // prepend + reverse: linear in group size (a hot source's group can
+    // be large, and List :+ is O(n) per append)
+    val (next, rev) = sorted.foldLeft((spent, List.empty[AdmittedDoc])) { case ((s, acc), d) =>
       if (s < budget)
-        (s + d.n_tokens, acc :+ AdmittedDoc(d.source, d.doc_id, d.n_tokens, s + d.n_tokens))
+        (s + d.n_tokens, AdmittedDoc(d.source, d.doc_id, d.n_tokens, s + d.n_tokens) :: acc)
       else (s, acc)
     }
+    (next, rev.reverse)
+  }
 
   private def transition(budget: Long)(
       source: String,

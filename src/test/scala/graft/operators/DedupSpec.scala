@@ -56,9 +56,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("candidate-restricted verify is bit-identical to the full-postings model") {
-    // r3: minhashVerified semi-joins the postings to candidate docs and
-    // takes token-set sizes from a compiled array expression; this model
-    // is the pre-r3 full-postings formulation it must reproduce exactly.
+    // r3: minhashVerified joins each candidate pair to the two docs'
+    // distinct-token ARRAYS and intersects with a compiled builtin; this
+    // model is the pre-r3 postings formulation it must reproduce exactly.
     val d = docs(
       0L -> "alpha beta gamma delta epsilon",
       5L -> "alpha beta gamma delta epsilon", // exact dup of 0
