@@ -152,12 +152,16 @@ object Dedup {
     // it, so looping over the whole corpus would be pure waste. At 100 TB
     // this is the load-bearing shape — per-round cost tracks the (small)
     // near-dup graph, not corpus size.
-    val nodes = edges.select(col("da").as("doc_id"))
-      .union(edges.select(col("db").as("doc_id")))
-      .distinct()
     val nbrs = edges.select(col("da").as("doc_id"), col("db").as("nbr"))
       .union(edges.select(col("db").as("doc_id"), col("da").as("nbr")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    // Round 1 fused into initialization: label₀ = min(self, min neighbor)
+    // comes straight off the edge list — the same aggregation dedups the
+    // endpoint set, so there is no separate nodes-distinct shuffle and
+    // the loop starts one round further along (pair/clique components —
+    // the common case — converge without entering it at all).
+    var labels = nbrs.groupBy(col("doc_id"))
+      .agg(least(col("doc_id"), min(col("nbr"))).as("label"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = nbrs
