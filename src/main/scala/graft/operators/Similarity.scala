@@ -166,19 +166,36 @@ object Similarity {
     * ~nProbe·N/nCells vectors — the recall/cost dial every IVF index
     * exposes (recall floor asserted in SimilaritySpec).
     */
-  def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
-      lloydIters: Int = 2, nProbe: Int = 3): DataFrame = {
+  /** Deterministically seeded Lloyd training shared by the IVF index,
+    * SemDeDup and the cluster profile: returns (base, centroids). Each
+    * round's centroid table is nCells tiny rows but its lineage contains
+    * the previous round's crossjoin+window — checkpoint per round so
+    * round N never recomputes rounds 1..N−1 (and the broadcast of the
+    * centroid table ships 8 rows, not a plan).
+    */
+  private def trained(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
     val seed = base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
-    // Each round's centroid table is nCells tiny rows but its lineage
-    // contains the previous round's crossjoin+window — checkpoint per
-    // round so round N never recomputes rounds 1..N−1 (and the broadcast
-    // of the centroid table ships 8 rows, not a plan).
     val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
       meanCentroids(assignCells(base, c)).localCheckpoint(true)
     }
+    (base, centroids)
+  }
+
+  /** Final cell assignment (vec_id → cell) after Lloyd training — the
+    * join surface for cross-modal cluster analysis (see c34).
+    */
+  def cellAssignments(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2): DataFrame = {
+    val (base, centroids) = trained(emb, nCells, lloydIters)
+    assignCells(base, centroids)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
+      lloydIters: Int = 2, nProbe: Int = 3): DataFrame = {
+    val (base, centroids) = trained(emb, nCells, lloydIters)
     // Consumed twice (query batch + probe side) — checkpoint so the
     // crossjoin+window ranking, the query's dominant stage, runs once.
     val ranked = rankCells(base, centroids, nProbe).localCheckpoint(true)
@@ -209,13 +226,7 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2,
       tau: Double = 0.42): DataFrame = {
-    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
-      .withColumn("nv", norm("ie"))
-    val seed = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
-    val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
-      meanCentroids(assignCells(base, c)).localCheckpoint(true)
-    }
+    val (base, centroids) = trained(emb, nCells, lloydIters)
     // Final assignment feeds three consumers (both pair sides + the per-
     // cell census) — materialize once, as in ivfTopK.
     val assigned = assignCells(base, centroids).localCheckpoint(true)

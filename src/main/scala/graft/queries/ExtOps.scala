@@ -323,6 +323,21 @@ object ExtOps {
     // bounded. Oracle replays clustering + drop decision exactly.
     "c31_semdedup" -> ((s, dir) =>
       Similarity.semDedup(load(s, dir, "embeddings"), 8, 2, 0.42)),
+    // c34 — cross-modal cluster profile: join the semantic k-means cells
+    // (c31's assignment, trained on the embedding table) to the document
+    // table's metadata — the cluster-inspection pass behind cluster-
+    // based curation (what IS cell 3, language-wise and volume-wise?).
+    // The join is vec_id = doc_id (embeddings are docs' vectors); both
+    // sides shuffle on the id, cells are corpus-scale partitionable.
+    "c34_cluster_profile" -> ((s, dir) => {
+      val cells = Similarity.cellAssignments(load(s, dir, "embeddings"), 8, 2)
+      val d = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      cells.join(d, cells("vec_id") === d("doc_id"))
+        .groupBy(col("cell"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("cell"), col("lang"))
+    }),
     // c32 — repeated-span profile (the intra-corpus Lee-et-al exact-
     // substring signal): 8-gram spans appearing in ≥ 2 distinct docs,
     // heaviest first. Shuffles md5(ngram) hashes only (the c27/b1
@@ -664,6 +679,13 @@ object ExtOps {
          |       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
          |FROM cnt c LEFT JOIN dc d ON c.cell = d.cell ORDER BY cell""".stripMargin
     },
+    "c34_cluster_profile" ->
+      s"""WITH ${kmeansCtes(nCells = 8, iters = 2, finalProbe = 1)}
+         |SELECT CAST(a.cell AS BIGINT) AS cell, d.lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM a3 a JOIN documents d ON a.vec_id = d.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "c32_repeated_spans" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
