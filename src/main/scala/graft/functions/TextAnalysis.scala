@@ -83,22 +83,29 @@ object TextAnalysis {
     * across engines — a filter that flaps between runs re-shuffles the
     * training corpus.
     */
-  def qualityFilter(docs: DataFrame): DataFrame = {
-    val feat = docs.select(col("lang"), col("n_chars"),
-      size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"),
-      size(array_distinct(expr("filter(split(text, ' '), t -> t <> '')")))
-        .cast("long").as("n_distinct"),
-      length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"))
-    val reason = when(col("n_chars") < 50, "too_short")
-      .when(col("n_chars") > 5000, "too_long")
-      .when(col("n_alpha") * 10 < col("n_chars") * 6, "low_alpha")
-      .when(col("n_distinct") * 10 < col("n_tokens") * 3, "repetitive")
-      .otherwise("keep")
-    feat.select(col("lang"), reason.as("reason"))
+  /** Per-document keep/drop decision with its first-match reason — the
+    * row-level surface a curation pipeline filters on (c17 aggregates
+    * it; PipelineSpec composes it with dedup and budget admission).
+    * Returns the input columns plus `reason`.
+    */
+  def qualityDecisions(docs: DataFrame): DataFrame = {
+    val nTokens = size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long")
+    val nDistinct = size(array_distinct(expr("filter(split(text, ' '), t -> t <> '')")))
+      .cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    docs.withColumn("reason",
+      when(col("n_chars") < 50, "too_short")
+        .when(col("n_chars") > 5000, "too_long")
+        .when(nAlpha * 10 < col("n_chars") * 6, "low_alpha")
+        .when(nDistinct * 10 < nTokens * 3, "repetitive")
+        .otherwise("keep"))
+  }
+
+  def qualityFilter(docs: DataFrame): DataFrame =
+    qualityDecisions(docs)
       .groupBy(col("lang"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("reason"))
-  }
 
   /** Redaction accounting: how many characters a scrub pattern removes
     * per group — the audit trail a PII-scrub pass must emit (counting is

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library-composition story: a curation pipeline is a CHAIN of the
+  * declared operators over plain DataFrames — quality gate → exact dedup
+  * → near-dup canonical keep → per-source token budget — with each stage
+  * consuming the previous stage's frame. The per-query oracles pin each
+  * stage's arithmetic; this spec pins that the stages actually compose
+  * (column contracts line up, nothing forces a collect between stages)
+  * and that the end state satisfies the pipeline's invariants.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  test("quality -> exact dedup -> near-dup keep -> token budget composes lazily") {
+    val docs = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n0 = docs.count()
+
+    // Stage 1: row-level quality gate (c17's decision surface).
+    val kept = TextAnalysis.qualityDecisions(docs)
+      .filter(col("reason") === "keep").drop("reason")
+
+    // Stage 2: exact dedup — keep the lowest doc_id per content hash
+    // (the b1 shape as a filter).
+    val wh = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
+    val exact = kept.withColumn("rn", row_number().over(wh))
+      .filter(col("rn") === 1).drop("rn")
+
+    // Stage 3: near-dup keep decision — drop every doc labeled into a
+    // component it does not canonically represent (the c15/c25 shape as
+    // a filter: non-members are singletons and pass through).
+    val labels = Dedup.dedupLabels(exact, 1, 0.98)
+    val nearKept = exact.join(
+      labels.filter(col("doc_id") =!= col("label")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+    // Stage 4: per-source token budget (the c33 admission rule).
+    val budget = 400L
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = nearKept
+      .withColumn("n_tokens", size(array_remove(split(col("text"), " "), "")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(wSrc))
+      .filter(col("cum") - col("n_tokens") < budget)
+
+    val rows = admitted.collect() // ONE action drives the whole chain
+    assert(rows.nonEmpty)
+    assert(rows.length <= n0)
+
+    // Invariants of the final corpus:
+    // (1) no two admitted docs share content
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.distinct.length == texts.length, "exact duplicates survived")
+    // (2) every component contributes at most its canonical doc
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byComp = comps.filter(p => ids.contains(p._1)).groupBy(_._2)
+    assert(byComp.values.forall(_.length <= 1), "near-dup component over-represented")
+    // (3) per-source token totals respect budget + one crossing doc
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val toks = rs.map(_.getAs[Long]("n_tokens"))
+      assert(toks.sum - toks.max < budget, s"$src blew its budget")
+    }
+  }
+}

@@ -163,6 +163,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(groups.toSeq == Seq((0L, 3L, "0,10,5"), (15L, 2L, "15,20")))
   }
 
+  test("dedupGroups merges a diameter-2 chain through the loop (A~B~C, A!~C)") {
+    // A and C are NOT direct near-dups (J = 98/102 ≈ 0.961 < 0.98) but
+    // both neighbor B (J = 99/101 ≈ 0.980) — the component only merges
+    // if label propagation actually iterates past the fused round-1
+    // initialization (A learns of C through B on round 2).
+    val base = (1 to 100).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "u1").mkString(" ")
+    val c = (base.dropRight(2) ++ Seq("u1", "v1")).mkString(" ")
+    val d = docs(0L -> a, 5L -> b, 10L -> c)
+    val groups = Dedup.dedupGroups(d, 5, 0.98).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(groups.toSeq == Seq((0L, 3L, "0,10,5")))
+  }
+
   test("shingle jaccard: identical docs score 1.0, order deterministic") {
     val d = docs(0L -> "abcdefghij", 25L -> "abcdefghij", 50L -> "zzzzzzzzzz")
     val out = Dedup.shingleJaccard(d, 25).collect()
