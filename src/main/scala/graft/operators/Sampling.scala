@@ -46,4 +46,15 @@ object Sampling {
     }
     df.filter(gate < thr)
   }
+
+  /** Per-ROW weighted sampling: keep a row with probability
+    * `weight256 / 256`, where the weight is any integer expression of the
+    * row itself (a quality score, a length ramp, a source prior). The
+    * quality-weighted corpus downsample every curation pipeline runs —
+    * same replayability contract as [[stratifiedSample]], generalized
+    * from per-stratum constants to per-row weights. E[kept] = Σ w/256
+    * exactly, so the caller can audit actual vs expected counts.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight256: Column): DataFrame =
+    df.filter(hashGate(key) < weight256)
 }

@@ -23,6 +23,14 @@ object ExtOps {
     */
   val C27_DF_CAP = 256
 
+  /** c35 chunking geometry: windows of CHUNK_W tokens advancing by
+    * CHUNK_S (overlap = W − S = 16). Synthetic docs run 10–99 tokens, so
+    * both the single-chunk and the multi-chunk branch are exercised at
+    * every SF.
+    */
+  val CHUNK_W = 64
+  val CHUNK_S = 48
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(load(s, dir, "documents"), 5)),
     "c2_simhash_buckets" -> ((s, dir) => Dedup.simhashBuckets(load(s, dir, "documents"))),
@@ -397,6 +405,59 @@ object ExtOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"))
     }),
+    // c35 — token-window chunking (the RAG / context-prep pass): slice
+    // each doc's token stream into windows of CHUNK_W tokens advancing by
+    // CHUNK_S (overlap = W − S), then profile the chunk stream per lang.
+    // Pure map + explode — no shuffle until the final per-lang aggregate,
+    // so at 100 TB it scales with the scan. `n_uniq_chunks` counts
+    // distinct md5(chunk text): overlap + cross-doc repetition collapse
+    // to one hash, the dedup signal a chunk store needs before indexing.
+    "c35_chunk_windows" -> ((s, dir) => {
+      val (w, st) = (ExtOps.CHUNK_W, ExtOps.CHUNK_S)
+      val d = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        // ceil((n-W)/S) + 1 in exact integer arithmetic (n > W branch).
+        .withColumn("n_chunks",
+          when(col("n") <= w, lit(1L))
+            .otherwise(expr(s"(n - $w + $st - 1) div $st + 1L")))
+      d.select(col("lang"), col("doc_id"), col("toks"), col("n"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("i"))
+        .withColumn("clen", least(lit(w.toLong), col("n") - col("i") * st))
+        .withColumn("chunk",
+          expr(s"slice(toks, CAST(i * $st + 1 AS INT), CAST(clen AS INT))"))
+        .withColumn("h", md5(concat_ws(" ", col("chunk")).cast("binary")))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("clen")).as("chunk_tokens"),
+          countDistinct(col("h")).as("n_uniq_chunks"))
+        .orderBy(col("lang"))
+    }),
+    // c37 — quality-weighted sampling: every curation pipeline's "keep
+    // good docs more often" pass, made exactly replayable. The weight is
+    // a deterministic integer ramp in token count (a stand-in for any
+    // quality score), the gate is the c16 content-hash uniform — so the
+    // keep decision is a pure function of the row (Sampling.weightedSample
+    // is the filter form; SamplingSpec proves this conditional aggregate
+    // keeps exactly its rows). ONE corpus scan: expected counts (over all
+    // docs, Σ w/256) and actual kept counts ride the same aggregate as
+    // conditional sums, so the audit costs no second pass.
+    "c37_weighted_sample" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+        .withColumn("w256", least(lit(240L), lit(16L) + col("n_tokens") * 2))
+      val keep = Sampling.hashGate(col("doc_id")) < col("w256")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w256")).as("expected_kept_x256"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -733,6 +794,40 @@ object ExtOps {
         |FROM g
         |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c35_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |d AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, lang, toks, n,
+         |        unnest(range(0, CASE WHEN n <= $CHUNK_W THEN 1
+         |          ELSE (n - $CHUNK_W + $CHUNK_S - 1) // $CHUNK_S + 1 END)) AS i
+         |      FROM d),
+         |ch AS (SELECT lang, doc_id,
+         |        least($CHUNK_W, n - i * $CHUNK_S) AS clen,
+         |        md5(array_to_string(list_slice(toks, CAST(i * $CHUNK_S + 1 AS INT),
+         |          CAST(i * $CHUNK_S + least($CHUNK_W, n - i * $CHUNK_S) AS INT)), ' ')) AS h
+         |      FROM c)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(clen) AS BIGINT) AS chunk_tokens,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_uniq_chunks
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    "c37_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS gate
+        |  FROM documents),
+        |w AS (SELECT source, doc_id, n_tokens, gate,
+        |        least(240, 16 + n_tokens * 2) AS w256 FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w256) AS BIGINT) AS expected_kept_x256,
+        |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
+        |         AS kept_tokens
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "c21_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),

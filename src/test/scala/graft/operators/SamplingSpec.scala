@@ -36,6 +36,22 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(sampled.count() == direct)
   }
 
+  test("weighted sample keeps exactly the rows whose gate clears their weight") {
+    val d = docs.withColumn("n_tokens",
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+      .withColumn("w256", least(lit(240L), lit(16L) + col("n_tokens") * 2))
+    val kept = Sampling.weightedSample(d, col("doc_id"), col("w256"))
+    // the filter form ≡ the conditional form c37's single-pass audit uses
+    val direct = d.filter(Sampling.hashGate(col("doc_id")) < col("w256"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      direct.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(kept.count() > 0 && kept.count() < docs.count(),
+      "weights must neither keep everything nor nothing on the synthetic corpus")
+    // per-row: every kept row's gate is below its own weight
+    val viol = kept.filter(Sampling.hashGate(col("doc_id")) >= col("w256")).count()
+    assert(viol == 0)
+  }
+
   test("rerunning the sample selects the identical row set") {
     def ids = Sampling.stratifiedSample(
       docs, col("doc_id"), col("lang"), Map("en" -> 32), 128)
