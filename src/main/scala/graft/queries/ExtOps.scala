@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew}
+import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Similarity, Skew}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -458,6 +458,30 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c36 — bloom-prefiltered fact join (explicit runtime filter):
+    // urgent-order revenue by month. The build side (orders filtered to
+    // 1-URGENT, ~20% of keys) yields a Bloom filter the lineitem scan
+    // probes BEFORE the join shuffle — at 100 TB that's ~80% of fact
+    // rows dead at the scan instead of in the exchange. The inner join
+    // then removes bloom false positives, so the result is exactly the
+    // plain join: the oracle HAS no bloom, proving the filter invisible.
+    "c36_bloom_join" -> ((s, dir) => {
+      val urgent = load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = RuntimeFilter.bloomFor(urgent, "o_orderkey")
+      val pd = expr(
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          | * CAST(CAST(1 - l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT)""".stripMargin)
+      val li = load(s, dir, "lineitem").select(col("l_orderkey"), pd.as("pd"))
+      RuntimeFilter.prefilter(li, col("l_orderkey"), bloom)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("pd")).cast("double") / 1.0e6).as("revenue"))
+        .orderBy(col("ym"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -828,6 +852,14 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c36_bloom_join" ->
+      """SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1 - l.l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY ym ORDER BY ym""".stripMargin,
     "c21_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),

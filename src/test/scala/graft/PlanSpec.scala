@@ -169,4 +169,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("b1_exact_dedup")
     assert(p.contains("HashAggregate"), "dedup must hash-aggregate, not sort")
   }
+
+  test("c36 bloom join: fact scan probes the bloom before the join shuffle") {
+    val p = plan("c36_bloom_join")
+    assert(p.contains("bloom_might_contain"),
+      "the lineitem side must carry the Bloom probe filter")
+    // the probe must sit under the join, i.e. appear in a Filter node,
+    // and the join itself must still be an equi-join (exact downstream)
+    assert(p.contains("Join") || p.contains("HashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
