@@ -482,6 +482,26 @@ object ExtOps {
           (sum(col("pd")).cast("double") / 1.0e6).as("revenue"))
         .orderBy(col("ym"))
     }),
+    // c38 — z-order locality profile: interleave (user_id, event-time)
+    // into the Morton key ZOrderLayout clusters files by, then profile
+    // the 64 coarse z-cells (top 6 bits): row count + per-dim bounding
+    // box. The bounded boxes in BOTH dims are the pruning property the
+    // layout exists for (ZOrderLayoutSpec measures it on real files);
+    // this query is the cross-engine proof that the interleave itself is
+    // integer-exact — the oracle's z comes from ZOrder.zvalueSql, the
+    // SAME generator that built the Spark expression.
+    "c38_zorder_profile" -> ((s, dir) => {
+      val x = pmod(col("user_id"), lit(65536L))
+      val y = pmod(expr("unix_micros(ts) div 1000000"), lit(65536L))
+      load(s, dir, "events")
+        .select(x.as("x"), y.as("y"),
+          graft.functions.ZOrder.zvalue16(x, y).as("z"))
+        .groupBy(shiftright(col("z"), 26).as("z_cell"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("z_cell"))
+    }),
     // c20 — context-window packing plan: assign docs to training packs
     // by running token count per lang (cumsum div capacity — the a3
     // bin-pack shape applied to sequence packing), then per-pack stats.
@@ -860,6 +880,14 @@ object ExtOps {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY ym ORDER BY ym""".stripMargin,
+    "c38_zorder_profile" ->
+      s"""WITH xy AS (SELECT user_id % 65536 AS x,
+         |    (epoch_us(ts) // 1000000) % 65536 AS y FROM events),
+         |z AS (SELECT x, y, ${graft.functions.ZOrder.zvalueSql("x", "y")} AS z FROM xy)
+         |SELECT z >> 26 AS z_cell, CAST(count(*) AS BIGINT) AS n_events,
+         |       min(x) AS x_min, max(x) AS x_max,
+         |       min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin,
     "c21_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
