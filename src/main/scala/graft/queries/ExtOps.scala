@@ -458,6 +458,26 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c39 — per-label embedding centroids, exactly: posexplode the
+    // scaled-long elements (the c4/c12 DECIMAL(12,4)·10⁴ domain) and
+    // aggregate per (label, dim). The mean-pooled class centroid every
+    // embedding pipeline computes — here as integer sums with the
+    // k-means half-away rounding, so both engines agree to the bit. At
+    // scale this is the ideal aggregate shape: map-side partial sums
+    // over (label, i) — ≤ labels×64 groups — then a tiny shuffle;
+    // keeping the output EXPLODED (one row per dim) avoids any
+    // order-sensitive array reassembly in either engine.
+    "c39_label_centroids" -> ((s, dir) =>
+      load(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT))")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("i"), col("col").as("sv"))
+        .groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("sv")).as("sum_sv"))
+        .withColumn("cv",
+          expr("CAST(CAST(CAST(sum_sv AS DOUBLE) / n_vecs AS DECIMAL(16,0)) AS BIGINT)"))
+        .orderBy(col("label"), col("i"))),
     // c36 — bloom-prefiltered fact join (explicit runtime filter):
     // urgent-order revenue by month. The build side (orders filtered to
     // 1-URGENT, ~20% of keys) yields a Bloom filter the lineitem scan
@@ -872,6 +892,16 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c39_label_centroids" ->
+      """WITH el AS (SELECT e.label, t.i,
+        |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000
+        |      AS BIGINT) AS sv
+        |  FROM embeddings e, range(1, 65) t(i))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(sv) AS BIGINT) AS sum_sv,
+        |       CAST(CAST(CAST(sum(sv) AS DOUBLE) / count(*) AS DECIMAL(16,0)) AS BIGINT) AS cv
+        |FROM el GROUP BY label, i ORDER BY label, i""".stripMargin,
     "c36_bloom_join" ->
       """SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
         |       CAST(count(*) AS BIGINT) AS n_items,

@@ -209,6 +209,41 @@ object Relational {
         .orderBy(col("cohort"))
     }),
 
+    // d21 — CDC MERGE apply (upsert + delete + insert in one pass): the
+    // snapshot-maintenance shape every incremental corpus needs, spelled
+    // Spark-first as one outer join + one union — the same plan Delta's
+    // MERGE INTO lowers to, without a table format. The change batch is
+    // derived deterministically from the snapshot (doc_id mod 10: 0 →
+    // delete, 1 → update, 2 → insert under a shifted key) so the oracle
+    // replays it exactly. One shuffle on the merge key; the union is
+    // plan-level only. Output tags each surviving row's origin so the
+    // apply is auditable (kept / updated / inserted counts per lang).
+    "d21_merge_apply" -> ((s, dir) => {
+      val base = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val md = pmod(col("doc_id"), lit(10L))
+      val ch = base.filter(md <= 2)
+        .select(
+          when(md === 2, col("doc_id") + 1000000000L).otherwise(col("doc_id")).as("key"),
+          when(md === 0, "D").when(md === 1, "U").otherwise("I").as("op"),
+          col("lang").as("ch_lang"),
+          when(md === 1, col("n_chars") + 7).otherwise(col("n_chars")).as("new_chars"))
+      val upserts = base
+        .join(ch.filter(col("op") =!= "I"), base("doc_id") === col("key"), "left_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("new_chars"), col("n_chars")).as("chars"),
+          when(col("op") === "U", "updated").otherwise("kept").as("origin"))
+      val inserts = ch.filter(col("op") === "I")
+        .select(col("key").as("doc_id"), col("ch_lang").as("lang"),
+          col("new_chars").as("chars"), lit("inserted").as("origin"))
+      upserts.unionByName(inserts)
+        .groupBy(col("lang"), col("origin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"), col("origin"))
+    }),
+
     // d8 — exact interpolated percentiles per group: both engines
     // implement the standard (n−1)·p rank + linear interpolation
     // definition over the SAME double values, so results hash-match
@@ -442,6 +477,25 @@ object Relational {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d21_merge_apply" ->
+      """WITH m AS (SELECT doc_id, lang, n_chars, doc_id % 10 AS md FROM documents),
+        |ch AS (SELECT CASE WHEN md = 2 THEN doc_id + 1000000000 ELSE doc_id END AS key,
+        |         CASE WHEN md = 0 THEN 'D' WHEN md = 1 THEN 'U' ELSE 'I' END AS op,
+        |         lang, CASE WHEN md = 1 THEN n_chars + 7 ELSE n_chars END AS new_chars
+        |       FROM m WHERE md <= 2),
+        |upserts AS (SELECT s.doc_id, s.lang,
+        |         coalesce(c.new_chars, s.n_chars) AS chars,
+        |         CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS origin
+        |       FROM documents s
+        |       LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') c ON s.doc_id = c.key
+        |       WHERE c.op IS NULL OR c.op <> 'D'),
+        |merged AS (SELECT * FROM upserts UNION ALL
+        |           SELECT key AS doc_id, lang, new_chars AS chars, 'inserted' AS origin
+        |           FROM ch WHERE op = 'I')
+        |SELECT lang, origin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM merged GROUP BY lang, origin ORDER BY lang, origin""".stripMargin,
     "d17_acctbal_deciles" ->
       """WITH d AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,
