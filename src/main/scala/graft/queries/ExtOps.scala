@@ -458,6 +458,34 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c40 — IQR outlier filter (the "drop absurdly short/long docs"
+    // curation pass, with statistically derived per-lang thresholds
+    // instead of magic constants): exact interpolated quartiles of the
+    // token count per lang (the d8 percentile ↔ quantile_cont contract),
+    // Tukey fences at 1.5·IQR, then one conditional aggregate for the
+    // keep/drop audit. The quartile table is per-lang tiny, so the
+    // second pass joins it broadcast — two scans total, no sort of the
+    // corpus itself beyond the per-group percentile machinery.
+    "c40_outlier_filter" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("lang"),
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("double").as("nt"))
+      val q = d.groupBy(col("lang"))
+        .agg(expr("percentile(nt, 0.25)").as("q1"),
+          expr("percentile(nt, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .select(col("lang"), col("lo"), col("hi"))
+      val out = col("nt") < col("lo") || col("nt") > col("hi")
+      d.join(broadcast(q), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(out, 1L).otherwise(0L)).as("n_outliers"),
+          coalesce(sum(when(!out, col("nt").cast("long"))), lit(0L)).as("kept_tokens"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("lang"))
+    }),
     // c39 — per-label embedding centroids, exactly: posexplode the
     // scaled-long elements (the c4/c12 DECIMAL(12,4)·10⁴ domain) and
     // aggregate per (label, dim). The mean-pooled class centroid every
@@ -892,6 +920,20 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c40_outlier_filter" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS nt
+        |  FROM documents),
+        |q AS (SELECT lang, quantile_cont(nt, 0.25) AS q1, quantile_cont(nt, 0.75) AS q3
+        |      FROM d GROUP BY lang),
+        |f AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(sum(CASE WHEN d.nt < f.lo OR d.nt > f.hi THEN 1 END), 0)
+        |         AS BIGINT) AS n_outliers,
+        |       CAST(coalesce(sum(CASE WHEN NOT (d.nt < f.lo OR d.nt > f.hi)
+        |         THEN CAST(d.nt AS BIGINT) END), 0) AS BIGINT) AS kept_tokens,
+        |       min(f.lo) AS lo, min(f.hi) AS hi
+        |FROM d JOIN f ON d.lang = f.lang GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "c39_label_centroids" ->
       """WITH el AS (SELECT e.label, t.i,
         |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000
