@@ -458,6 +458,28 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c41 — BPE-style pre-tokenization: the regex split every modern
+    // tokenizer runs before merges (GPT-2's pattern reduced to its
+    // ASCII core — letter runs | digit runs | single non-alphanumeric),
+    // with per-class counts per lang. The corpus text is pure
+    // space-joined words, so digits/punct are appended deterministically
+    // from row fields (id + char count) to exercise all three classes;
+    // the regex uses only ASCII classes, where Java and RE2 semantics
+    // coincide — the cross-engine boundary any regex op must respect.
+    "c41_pretokenize" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("lang"),
+          explode(expr(
+            """regexp_extract_all(concat(text, ' id=', doc_id, '.', n_chars),
+              | '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)""".stripMargin)).as("tok"))
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok").rlike("^[A-Za-z]+$"), 1L).otherwise(0L)).as("n_alpha"),
+          sum(when(col("tok").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_num"),
+          sum(when(col("tok").rlike("^[A-Za-z0-9]"), 0L).otherwise(1L)).as("n_other"),
+          sum(length(col("tok")).cast("long")).as("n_tok_chars"))
+        .orderBy(col("lang"))
+    }),
     // c40 — IQR outlier filter (the "drop absurdly short/long docs"
     // curation pass, with statistically derived per-lang thresholds
     // instead of magic constants): exact interpolated quartiles of the
@@ -920,6 +942,20 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c41_pretokenize" ->
+      """WITH t AS (SELECT lang,
+        |    unnest(regexp_extract_all(concat(text, ' id=', doc_id, '.', n_chars),
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS tok
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$')
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alpha,
+        |       CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_num,
+        |       CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^[A-Za-z0-9]')
+        |         THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_other,
+        |       CAST(sum(length(tok)) AS BIGINT) AS n_tok_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "c40_outlier_filter" ->
       """WITH d AS (SELECT lang,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS nt

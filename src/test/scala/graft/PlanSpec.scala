@@ -170,6 +170,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"), "dedup must hash-aggregate, not sort")
   }
 
+  test("c39 centroids: exploded elements partial-aggregate before the shuffle") {
+    val p = plan("c39_label_centroids")
+    assert(p.contains("Generate") && p.contains("posexplode"),
+      "elements must come from posexplode, not a per-dim self-join")
+    assert(p.contains("HashAggregate"), "the (label, dim) sums must hash-aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "centroid aggregation is a pure aggregate — no join may appear")
+  }
+
+  test("c40 outlier filter: per-lang quartile table joins broadcast") {
+    val p = plan("c40_outlier_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny per-lang fence table must broadcast, not shuffle the corpus")
+  }
+
   test("c36 bloom join: fact scan probes the bloom before the join shuffle") {
     val p = plan("c36_bloom_join")
     assert(p.contains("bloom_might_contain"),
