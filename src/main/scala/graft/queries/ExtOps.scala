@@ -458,6 +458,36 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c42 — heavy hitters via a native Count-Min sketch aggregate
+    // (functions.CountMinSketchAgg, TypedImperativeAggregate): 4×1024
+    // longs of mergeable state per partial — at 100 TB only sketches
+    // cross the wire, never tokens. The md5-derived buckets make the
+    // sketch REPLAYABLE: the oracle rebuilds every counter in SQL and
+    // the estimates hash-match (no other engine's CMS can say that).
+    // Output: the exact top-20 tokens with their CMS estimate and the
+    // (provably ≥ 0) overcount; the exact table exists here to grade
+    // the sketch — a production point-query path reads only `cms`.
+    "c42_heavy_hitters" -> ((s, dir) => {
+      val (dep, w) = (4, 1024)
+      val toks = load(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val cms = toks.agg(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.CountMinSketchAgg(
+          org.apache.spark.sql.GraftBridge.expression(col("tok")), dep, w)
+          .toAggregateExpression()).as("cms"))
+      val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      def bucket(d: Int) = pmod(
+        conv(substring(md5(concat(lit(s"$d:"), col("tok")).cast("binary")), 1, 4), 16, 10)
+          .cast("long"), lit(w.toLong))
+      val est = (0 until dep).map(d =>
+        element_at(col("cms"), (lit(d * w) + bucket(d) + 1).cast("int")))
+        .reduce(least(_, _))
+      probes.crossJoin(broadcast(cms))
+        .select(col("tok"), col("exact_n"), est.as("est_n"))
+        .withColumn("overcount", col("est_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
     // c41 — BPE-style pre-tokenization: the regex split every modern
     // tokenizer runs before merges (GPT-2's pattern reduced to its
     // ASCII core — letter runs | digit runs | single non-alphanumeric),
@@ -942,6 +972,32 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c42_heavy_hitters" -> {
+      // 16-bit bucket: the first 4 md5 hex digits decoded positionally —
+      // the same integer CountMinSketchAgg.bucket reads from the digest
+      // bytes and Spark's conv(substring(md5(..),1,4),16,10) computes.
+      def digit(k: Int) =
+        s"(instr('0123456789abcdef', substr(h16, $k, 1)) - 1)"
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS tok FROM documents),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok),
+         |bk0 AS (SELECT tf.tok, d.d,
+         |          md5(CAST(d.d AS VARCHAR) || ':' || tf.tok) AS h16
+         |        FROM tf, (SELECT unnest([0, 1, 2, 3]) AS d) d),
+         |bk AS (SELECT tok, d,
+         |         (${digit(1)} * 4096 + ${digit(2)} * 256
+         |        + ${digit(3)} * 16 + ${digit(4)}) % 1024 AS b
+         |       FROM bk0),
+         |counters AS (SELECT bk.d, bk.b, CAST(sum(tf.exact_n) AS BIGINT) AS cnt
+         |             FROM bk JOIN tf ON bk.tok = tf.tok GROUP BY bk.d, bk.b),
+         |probes AS (SELECT tok, exact_n FROM tf ORDER BY exact_n DESC, tok LIMIT 20),
+         |est AS (SELECT p.tok, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS est_n
+         |        FROM probes p JOIN bk ON bk.tok = p.tok
+         |        JOIN counters c ON c.d = bk.d AND c.b = bk.b
+         |        GROUP BY p.tok, p.exact_n)
+         |SELECT tok, exact_n, est_n, est_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, tok""".stripMargin
+    },
     "c41_pretokenize" ->
       """WITH t AS (SELECT lang,
         |    unnest(regexp_extract_all(concat(text, ' id=', doc_id, '.', n_chars),
