@@ -269,6 +269,29 @@ object GroupB {
     // left-anti joins on (orderkey, suppkey≠). Both shuffles key on
     // orderkey; at 100 TB that is the same exchange the late-flag join
     // already created, so AQE reuses the partitioning.
+    // B13 — top supplier per part by revenue (the TPC-H Q2 "min-cost
+    // supplier" shape re-expressed over lineitem, since the testdata has
+    // no partsupp): aggregate (part, supp) revenue exactly, then argmax
+    // per part as a row_number()=1 filter — which RowNumberTopKRewrite
+    // plans as the TopKPerKey HEAP operator (k=1 per part, no per-part
+    // sort; PlanSpec asserts it). The heap after an aggregate is the
+    // at-scale shape: the window form would sort every part's supplier
+    // list; the heap keeps one row per part per partition.
+    "b13_part_top_supplier" -> ((s, dir) => {
+      graft.plans.TopKInstall.install(s)
+      val ps = load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"),
+          count(lit(1)).as("n_items"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("rev_d").desc, col("l_suppkey"))
+      ps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
+          col("rev_d").cast("double").as("revenue"), col("n_items"))
+        .orderBy(col("l_partkey"))
+    }),
+
     "b12_waiting_suppliers" -> ((s, dir) => {
       val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val late = load(s, dir, "lineitem")
@@ -443,6 +466,16 @@ object GroupB {
         |JOIN cn ON o_custkey = c_custkey
         |WHERE sn.supp_nation <> cn.cust_nation
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "b13_part_top_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_d,
+        |      CAST(count(*) AS BIGINT) AS n_items
+        |    FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT ps.*, row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY rev_d DESC, l_suppkey) AS rn FROM ps)
+        |SELECT l_partkey, l_suppkey AS top_suppkey,
+        |       CAST(rev_d AS DOUBLE) AS revenue, n_items
+        |FROM r WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
     "b12_waiting_suppliers" ->
       """WITH late AS (
         |  SELECT l.l_orderkey, l.l_suppkey

@@ -185,6 +185,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the tiny per-lang fence table must broadcast, not shuffle the corpus")
   }
 
+  test("b13 top supplier per part: argmax plans as the TopKPerKey heap") {
+    val p = plan("b13_part_top_supplier")
+    assert(p.contains("TopKPerKey"),
+      "the rn=1 filter over the aggregate must ride RowNumberTopKRewrite")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      "no per-part sort machinery may remain")
+  }
+
   test("c36 bloom join: fact scan probes the bloom before the join shuffle") {
     val p = plan("c36_bloom_join")
     assert(p.contains("bloom_might_contain"),
