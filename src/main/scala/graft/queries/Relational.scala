@@ -244,6 +244,29 @@ object Relational {
         .orderBy(col("lang"), col("origin"))
     }),
 
+    // d22 — column profile (the ANALYZE/data-quality scan every
+    // pipeline runs before trusting a drop): per column, non-null
+    // count, distinct count, min and max. ONE scan via stack() unpivot
+    // — the oracle spells it as 5 UNION ALL scans, which is exactly
+    // the rewrite this shape exists to avoid at 100 TB. All measures
+    // are order-independent (no sums of raw doubles), so cross-engine
+    // exactness holds without scaling.
+    "d22_table_profile" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"))
+        .agg(count(col("v")).as("n"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("col_name"))
+    }),
+
     // d8 — exact interpolated percentiles per group: both engines
     // implement the standard (n−1)·p rank + linear interpolation
     // definition over the SAME double values, so results hash-match
@@ -477,6 +500,17 @@ object Relational {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d22_table_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem)
+        |SELECT col_name, CAST(count(v) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |       min(v) AS vmin, max(v) AS vmax
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
     "d21_merge_apply" ->
       """WITH m AS (SELECT doc_id, lang, n_chars, doc_id % 10 AS md FROM documents),
         |ch AS (SELECT CASE WHEN md = 2 THEN doc_id + 1000000000 ELSE doc_id END AS key,

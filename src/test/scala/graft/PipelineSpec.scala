@@ -70,4 +70,57 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert(toks.sum - toks.max < budget, s"$src blew its budget")
     }
   }
+
+  test("IQR fence -> weighted sample -> chunking -> JSONL export composes") {
+    import graft.operators.Sampling
+    import graft.sources.JsonlSink
+    val docs = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+    // Stage 1: per-lang Tukey fences on token count (the c40 shape).
+    val d = docs.withColumn("nt",
+      size(expr("filter(split(text, ' '), x -> x <> '')")).cast("double"))
+    val q = d.groupBy(col("lang"))
+      .agg(expr("percentile(nt, 0.25)").as("q1"), expr("percentile(nt, 0.75)").as("q3"))
+      .select(col("lang"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    val fenced = d.join(broadcast(q), Seq("lang"))
+      .filter(!(col("nt") < col("lo") || col("nt") > col("hi")))
+
+    // Stage 2: quality-weighted sampling (the c37 gate).
+    val sampled = Sampling.weightedSample(
+      fenced.withColumn("w256", least(lit(240L), lit(16L) + col("nt").cast("long") * 2)),
+      col("doc_id"), col("w256"))
+
+    // Stage 3: 64/48 token-window chunking (the c35 shape).
+    val chunks = sampled
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long")).filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= 64, lit(1L)).otherwise(expr("(n - 64 + 47) div 48 + 1L")))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("i"))
+      .withColumn("clen", least(lit(64L), col("n") - col("i") * 48))
+      .withColumn("chunk_text", concat_ws(" ",
+        expr("slice(toks, CAST(i * 48 + 1 AS INT), CAST(clen AS INT))")))
+      .select(col("doc_id"), col("lang"), col("i"), col("clen"), col("chunk_text"))
+
+    // Stage 4: sharded JSONL hand-off keyed by (doc, window).
+    val dir = java.nio.file.Files.createTempDirectory("pipe-jsonl").toFile.getAbsolutePath
+    JsonlSink.write(chunks,
+      concat(col("doc_id"), lit("#"), col("i")), nShards = 4, dir)
+
+    val back = spark.read.json(dir)
+    assert(back.count() == chunks.count(), "export must be lossless")
+    assert(back.count() > 0)
+    // chunk parents ⊆ sampled ⊆ fenced (the funnel only narrows)
+    val sampledIds = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val fencedIds = fenced.select("doc_id").collect().map(_.getLong(0)).toSet
+    val parentIds = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(parentIds.subsetOf(sampledIds) && sampledIds.subsetOf(fencedIds))
+    // every chunk respects the window geometry
+    val bad = back.filter(col("clen") > 64 || col("clen") < 1).count()
+    assert(bad == 0)
+  }
 }
