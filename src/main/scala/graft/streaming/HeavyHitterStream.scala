@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of the c42 Count-Min sketch: the sketch IS a keyed
+  * count. Each token updates `depth` (d, bucket) cells; maintained as a
+  * `groupBy(d, b).count()`, the counter table is a distributive
+  * aggregate Structured Streaming keeps incrementally — no custom state
+  * operator, ≤ depth×width rows of state total regardless of stream
+  * length, and partial aggregation still combines map-side within every
+  * micro-batch.
+  *
+  * The bucket arithmetic is the SQL spelling pinned (by
+  * CountMinSketchAggSpec) to `CountMinSketchAgg.bucket`, so the final
+  * streamed counter table equals the batch sketch array cell for cell —
+  * HeavyHitterStreamSpec asserts exactly that. A point estimate is then
+  * `min over d of cnt` exactly as in batch; ingest-time heavy-hitter
+  * gating (e.g. "flag tokens past a threshold while loading") reads the
+  * same table.
+  */
+object HeavyHitterStream {
+
+  private def bucket(d: Int, tok: Column, width: Int): Column = pmod(
+    conv(substring(md5(concat(lit(s"$d:"), tok).cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** (d, b, cnt) counters for a (possibly streaming) frame of tokens.
+    * One pass: each row explodes to its `depth` cells inline.
+    */
+  def counters(tokens: DataFrame, tokCol: String, depth: Int, width: Int): DataFrame =
+    tokens
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(d, col(tokCol), width).as("b"))): _*)).as("cell"))
+      .select(col("cell.d").as("d"), col("cell.b").as("b"))
+      .groupBy(col("d"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+}
