@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LongArrayDot, MinHashBands, SimHash64, TokenNgrams}
+import graft.functions.{CountMinSketchAgg, LongArrayDot, MinHashBands, SimHash64, TokenNgrams}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.tokenNgrams)
+    ext.injectFunction(GraftExtensions.countMinSketch)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
   }
@@ -54,6 +55,28 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "minhash_bands(text) takes exactly one argument")
       MinHashBands(args.head)
+    })
+
+  /** (name, info, builder) for the aggregate
+    * `count_min_sketch_exactable(tok, depth, width)` — depth/width must
+    * be integer literals (they size the aggregation buffer). Returns the
+    * row-major depth×width counter array; see
+    * [[graft.functions.CountMinSketchAgg]] for the replayable-bucket
+    * contract.
+    */
+  val countMinSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("count_min_sketch_exactable"),
+    new ExpressionInfo(classOf[CountMinSketchAgg].getName, "count_min_sketch_exactable"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      require(args.length == 3,
+        "count_min_sketch_exactable(tok, depth, width) takes exactly three arguments")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+      }
+      CountMinSketchAgg(args.head,
+        intLit(args(1), "depth"), intLit(args(2), "width")).toAggregateExpression()
     })
 
   /** (name, info, builder) for `token_ngrams(text, n[, max_starts[, skip_empty]])`

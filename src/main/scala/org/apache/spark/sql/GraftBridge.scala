@@ -32,7 +32,8 @@ object GraftBridge {
     Seq(graft.plans.GraftExtensions.longArrayDot,
       graft.plans.GraftExtensions.simhash64,
       graft.plans.GraftExtensions.minhashBands,
-      graft.plans.GraftExtensions.tokenNgrams).foreach { case (id, _, builder) =>
+      graft.plans.GraftExtensions.tokenNgrams,
+      graft.plans.GraftExtensions.countMinSketch).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }

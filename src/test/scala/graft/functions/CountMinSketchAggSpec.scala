@@ -43,6 +43,17 @@ class CountMinSketchAggSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq == b.toSeq, "partial merge order must not change the sketch")
   }
 
+  test("callable from SQL text via the extension registration") {
+    import spark.implicits._
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    Seq.tabulate(300)(i => s"t${i % 7}").toDF("tok").createOrReplaceTempView("cms_toks")
+    val viaSql = spark
+      .sql(s"SELECT count_min_sketch_exactable(tok, $depth, $width) AS cms FROM cms_toks")
+      .head().getSeq[Long](0).toArray
+    val direct = sketch(spark.table("cms_toks"))
+    assert(viaSql.toSeq == direct.toSeq)
+  }
+
   test("bucket hash matches the SQL conv(substring(md5)) spelling") {
     import spark.implicits._
     val toks = Seq("the", "merge", "a", "zz9").toDF("tok")
