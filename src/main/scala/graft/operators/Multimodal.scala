@@ -180,6 +180,114 @@ object Multimodal {
     media.mapPartitions(_.map(decodeAudio))
   }
 
+  /** Decoded video-container features (the MP4/ISO-BMFF path): brand
+    * from `ftyp`, movie duration from `moov/mvhd` — header metadata by
+    * pure byte arithmetic, no codec. Frame DECODE needs codecs this
+    * container lacks; duration/timescale is what a curation pipeline
+    * filters on first anyway ("drop clips under 2 s").
+    */
+  final case class VideoFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      brand: String,
+      timescale: Long,
+      duration_ms: Long,
+      n_top_boxes: Int)
+
+  private def be32(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+  private def be64(p: Array[Byte], i: Int): Long =
+    (be32(p, i) << 32) | be32(p, i + 4)
+
+  private[operators] def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** ISO-BMFF box walk: top-level boxes are (32-bit size, 4-char type)
+    * with size==1 → 64-bit largesize and size==0 → extends to EOF.
+    * Recurse ONE level into `moov` for `mvhd` (version 0: 32-bit
+    * timescale/duration at offset 20; version 1: 64-bit at 28). None on
+    * malformed/truncated headers — caller falls back to the stub, the
+    * job continues (the per-record-failure discipline again).
+    */
+  private[operators] def mp4Info(p: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    if (!looksLikeMp4(p)) return None
+    val brand = new String(p, 8, 4, "US-ASCII")
+    var timescale = -1L
+    var duration = -1L
+    var nTop = 0
+    var pos = 0L
+    while (pos + 8 <= p.length) {
+      val i = pos.toInt
+      val size0 = be32(p, i)
+      val tpe = new String(p, i + 4, 4, "US-ASCII")
+      val (hdr, size) =
+        if (size0 == 1L) {
+          if (i + 16 > p.length) return None
+          (16, be64(p, i + 8))
+        } else if (size0 == 0L) (8, p.length.toLong - pos)
+        else (8, size0)
+      if (size < hdr || pos + size > p.length) return None // malformed
+      nTop += 1
+      if (tpe == "moov") {
+        // child walk within [i+hdr, i+size)
+        var cPos = pos + hdr
+        val end = pos + size
+        while (cPos + 8 <= end) {
+          val ci = cPos.toInt
+          val cSize0 = be32(p, ci)
+          val cTpe = new String(p, ci + 4, 4, "US-ASCII")
+          val cSize = if (cSize0 == 0L) end - cPos else cSize0
+          if (cSize < 8 || cPos + cSize > end) return None
+          if (cTpe == "mvhd" && ci + 8 + 4 <= p.length) {
+            val version = p(ci + 8) & 0xFF
+            if (version == 0 && ci + 8 + 4 + 8 + 8 <= p.length) {
+              timescale = be32(p, ci + 20)
+              duration = be32(p, ci + 24)
+            } else if (version == 1 && ci + 8 + 4 + 16 + 12 <= p.length) {
+              timescale = be32(p, ci + 28)
+              duration = be64(p, ci + 32)
+            }
+          }
+          cPos += cSize
+        }
+      }
+      pos += size
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some((brand, timescale, duration, nTop))
+  }
+
+  /** Deterministic fake video decode for non-MP4 payloads. */
+  def videoStub(r: MediaRow): VideoFeatures = {
+    val n = r.payload.length.toLong
+    VideoFeatures(r.media_id, r.kind, n,
+      brand = "none", timescale = 1000L,
+      duration_ms = n % 60000L, n_top_boxes = 0)
+  }
+
+  /** Decode one video row: real ftyp/mvhd fields for MP4 payloads, stub
+    * arithmetic otherwise. `duration_ms` is exact integer arithmetic:
+    * duration·1000 / timescale.
+    */
+  def decodeVideo(r: MediaRow): VideoFeatures = mp4Info(r.payload) match {
+    case Some((brand, ts, dur, nTop)) =>
+      VideoFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        brand = brand, timescale = ts,
+        duration_ms = dur * 1000L / ts, n_top_boxes = nTop)
+    case None => videoStub(r)
+  }
+
+  /** Video feature extraction — the container-metadata twin of
+    * [[extractAudio]], same per-partition batching.
+    */
+  def extractVideo(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeVideo))
+  }
+
   /** Decode/feature-extract over a typed media Dataset. mapPartitions so a
     * real decoder amortizes codec init once per partition (ImageIO's
     * reader registry lookup is per-JVM; heavier decoders — model weights,
