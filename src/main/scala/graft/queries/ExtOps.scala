@@ -458,6 +458,25 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c43 — deterministic train/val/test split: the canonical 80/10/10
+    // partition by content-hash gate (train: gate < 205, val: < 230,
+    // test: rest — thresholds out of 256). A row's split is a pure
+    // function of its id: stable across runs, retries, engines, and
+    // incremental ingests (new docs fall into splits without moving old
+    // ones — the property random splits lack). Per (split, lang) audit
+    // incl. hash-sum so the assignment itself is oracle-checked.
+    "c43_dataset_split" -> ((s, dir) => {
+      val gate = Sampling.hashGate(col("doc_id"))
+      load(s, dir, "documents")
+        .withColumn("split",
+          when(gate < 205, "train").when(gate < 230, "val").otherwise("test"))
+        .withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"), col("lang"))
+    }),
     // c42 — heavy hitters via a native Count-Min sketch aggregate
     // (functions.CountMinSketchAgg, TypedImperativeAggregate): 4×1024
     // longs of mergeable state per partial — at 100 TB only sketches
@@ -972,6 +991,21 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c43_dataset_split" ->
+      """WITH g AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS gate
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id, n_tokens,
+        |        CASE WHEN gate < 205 THEN 'train'
+        |             WHEN gate < 230 THEN 'val' ELSE 'test' END AS split
+        |      FROM g)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "c42_heavy_hitters" -> {
       // 16-bit bucket: the first 4 md5 hex digits decoded positionally —
       // the same integer CountMinSketchAgg.bucket reads from the digest
