@@ -40,7 +40,32 @@ object AsOf {
     * event. Anchors with no earlier event are dropped (inner-join
     * semantics, matching the window formulation).
     */
-  def latestPrior(ev: DataFrame, anchorMod: Int): Dataset[AsOfHit] = {
+  def latestPrior(ev: DataFrame, anchorMod: Int): Dataset[AsOfHit] =
+    asOfJoin(ev, anchorMod, forward = false, toleranceUs = Long.MaxValue)
+
+  /** Backward as-of with tolerance: [[latestPrior]] restricted to
+    * matches no more than `toleranceUs` behind the anchor. Inside the
+    * operator this is one comparison at the anchor — valid because the
+    * carried event is the closest prior, so if IT fails the bound, every
+    * other prior does too.
+    */
+  def latestPriorWithin(ev: DataFrame, anchorMod: Int, toleranceUs: Long): Dataset[AsOfHit] =
+    asOfJoin(ev, anchorMod, forward = false, toleranceUs = toleranceUs)
+
+  /** Forward as-of with tolerance: for each anchor, the user's EARLIEST
+    * strictly-later event no more than `toleranceUs` ahead (pandas
+    * merge_asof direction='forward' semantics; equal-ts later events
+    * resolve by ascending id). Same single merge scan — the carry
+    * direction flips via the operator's descending ts ordering, and the
+    * tolerance is one comparison at the anchor since the carried event
+    * is always the closest candidate.
+    */
+  def nextWithin(ev: DataFrame, anchorMod: Int, toleranceUs: Long): Dataset[AsOfHit] =
+    asOfJoin(ev, anchorMod, forward = true, toleranceUs = toleranceUs)
+
+  private def asOfJoin(
+      ev: DataFrame, anchorMod: Int,
+      forward: Boolean, toleranceUs: Long): Dataset[AsOfHit] = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.{LongType, StringType}
@@ -69,6 +94,6 @@ object AsOf {
       AttributeReference("prev_us", LongType, nullable = false)())
     GraftBridge.ofRows(spark, graft.plans.MergeAsOf(
       attr("user_id"), attr("ts_us"), attr("tag"), attr("id"), attr("etype"),
-      out, analyzed)).as[AsOfHit]
+      out, analyzed, forward, toleranceUs)).as[AsOfHit]
   }
 }

@@ -30,7 +30,9 @@ final case class MergeAsOf(
     user: Expression, ts: Expression, tag: Expression,
     evId: Expression, etype: Expression,
     outputAttrs: Seq[Attribute],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    forward: Boolean = false,
+    toleranceUs: Long = Long.MaxValue) extends UnaryNode {
   override def output: Seq[Attribute] = outputAttrs
   // the output attributes are MINTED here (they don't come from the
   // child) — without this the analyzer's missing-attribute check rejects
@@ -43,17 +45,29 @@ final case class MergeAsOf(
 
 object MergeAsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case MergeAsOf(user, ts, tag, evId, etype, out, child) =>
-      MergeAsOfExec(user, ts, tag, evId, etype, out, planLater(child)) :: Nil
+    case MergeAsOf(user, ts, tag, evId, etype, out, child, fwd, tol) =>
+      MergeAsOfExec(user, ts, tag, evId, etype, out, planLater(child), fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** Physical merge scan. `forward = false` (the default) matches each
+  * anchor to its latest strictly-EARLIER event; `forward = true` scans
+  * time DESCENDING and matches the earliest strictly-LATER event (the
+  * carry only overwrites on strictly-smaller ts, so equal-ts events
+  * resolve to the ascending-id winner — pandas merge_asof
+  * direction='forward' semantics). `toleranceUs` bounds the match gap:
+  * because the carried event is by construction the CLOSEST candidate
+  * in scan direction, one comparison at the anchor suffices — if it
+  * fails, no candidate can pass.
+  */
 final case class MergeAsOfExec(
     user: Expression, ts: Expression, tag: Expression,
     evId: Expression, etype: Expression,
     outputAttrs: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    forward: Boolean = false,
+    toleranceUs: Long = Long.MaxValue) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = outputAttrs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -63,7 +77,9 @@ final case class MergeAsOfExec(
     ClusteredDistribution(Seq(user)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(user, Ascending), SortOrder(ts, Ascending),
+    Seq(Seq(SortOrder(user, Ascending),
+      SortOrder(ts, if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+                    else Ascending),
       SortOrder(tag, Ascending), SortOrder(evId, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -83,20 +99,31 @@ final case class MergeAsOfExec(
         val u = r.getLong(0)
         if (!hasUser || u != curUser) { curUser = u; hasUser = true; hasLast = false }
         if (r.getInt(2) == 1) {
-          lastTs = r.getLong(1)
-          lastId = r.getLong(3)
-          lastType = if (r.isNullAt(4)) null else r.getUTF8String(4).clone()
-          hasLast = true
+          // backward: every event overwrites (carry = max ts, max id).
+          // forward (ts-descending scan): overwrite only on strictly
+          // smaller ts, so equal-ts events keep the FIRST (min id) — the
+          // (ts ASC, id ASC) tiebreak of the window formulation.
+          if (!forward || !hasLast || r.getLong(1) < lastTs) {
+            lastTs = r.getLong(1)
+            lastId = r.getLong(3)
+            lastType = if (r.isNullAt(4)) null else r.getUTF8String(4).clone()
+            hasLast = true
+          }
           Iterator.empty
         } else if (!hasLast) Iterator.empty
         else {
-          buf.update(0, r.getLong(3)) // anchor_id
-          buf.update(1, u)
-          buf.update(2, r.getLong(1)) // anchor_us
-          buf.update(3, lastId)
-          buf.update(4, lastType)
-          buf.update(5, lastTs)
-          Iterator.single(toUnsafe(buf).copy())
+          val anchorTs = r.getLong(1)
+          val gap = if (forward) lastTs - anchorTs else anchorTs - lastTs
+          if (gap > toleranceUs) Iterator.empty
+          else {
+            buf.update(0, r.getLong(3)) // anchor_id
+            buf.update(1, u)
+            buf.update(2, anchorTs)
+            buf.update(3, lastId)
+            buf.update(4, lastType)
+            buf.update(5, lastTs)
+            Iterator.single(toUnsafe(buf).copy())
+          }
         }
       }
     }, preservesPartitioning = true)

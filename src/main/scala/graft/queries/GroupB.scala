@@ -337,6 +337,22 @@ object GroupB {
           date_format(expr("timestamp_micros(prev_us)"),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("prev_ts"))
         .orderBy(col("anchor_id"))
+    }),
+
+    // B7b — FORWARD as-of with tolerance on the same merge-scan
+    // operator: each anchor's earliest strictly-later same-user event
+    // within 1 hour (pandas merge_asof direction='forward'). Same one
+    // exchange + one linear pass; the oracle is the quadratic
+    // join-then-window formulation the operator replaces.
+    "b7b_asof_forward" -> ((s, dir) => {
+      graft.operators.AsOf.nextWithin(load(s, dir, "events"), 20, 3600L * 1000000L)
+        .select(col("anchor_id"), col("user_id"),
+          date_format(expr("timestamp_micros(anchor_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor_ts"),
+          col("prev_id").as("next_id"), col("prev_type").as("next_type"),
+          date_format(expr("timestamp_micros(prev_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_ts"))
+        .orderBy(col("anchor_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -510,5 +526,22 @@ object GroupB {
         |       strftime(anchor_ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts,
         |       prev_id, prev_type,
         |       strftime(prev_ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_ts
+        |FROM joined WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
+    "b7b_asof_forward" ->
+      """WITH anchors AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+        |  FROM events WHERE event_id % 20 = 0),
+        |joined AS (
+        |  SELECT a.anchor_id, a.user_id, a.anchor_ts,
+        |         e.event_id AS next_id, e.event_type AS next_type, e.ts AS next_ts,
+        |         row_number() OVER (PARTITION BY a.anchor_id
+        |           ORDER BY e.ts, e.event_id) AS rn
+        |  FROM anchors a JOIN events e
+        |    ON a.user_id = e.user_id AND e.ts > a.anchor_ts
+        |   AND epoch_us(e.ts) - epoch_us(a.anchor_ts) <= 3600000000)
+        |SELECT anchor_id, user_id,
+        |       strftime(anchor_ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts,
+        |       next_id, next_type,
+        |       strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_ts
         |FROM joined WHERE rn = 1 ORDER BY anchor_id""".stripMargin)
 }

@@ -38,6 +38,51 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(merged.nonEmpty && merged == model)
   }
 
+  test("forward as-of with tolerance equals the join-then-window model") {
+    val ev = Tables.load(spark, dir, "events")
+    val tolUs = 3600L * 1000000L
+    val anchors = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("anchor_ts"))
+    val later = ev.select(col("user_id"), col("event_id").as("next_id"),
+      col("event_type").as("next_type"), col("ts").as("next_ts"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("next_ts"), col("next_id"))
+    val model = anchors.join(later, Seq("user_id"))
+      .filter(col("next_ts") > col("anchor_ts") &&
+        expr("unix_micros(next_ts) - unix_micros(anchor_ts)") <= tolUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("user_id"), expr("unix_micros(anchor_ts)"),
+        col("next_id"), col("next_type"), expr("unix_micros(next_ts)"))
+      .orderBy(col("anchor_id"))
+      .collect().map(_.toSeq).toSeq
+
+    val merged = AsOf.nextWithin(ev, 20, tolUs)
+      .orderBy(col("anchor_id"))
+      .collect().map(r => Seq(r.anchor_id, r.user_id, r.anchor_us,
+        r.prev_id, r.prev_type, r.prev_us)).toSeq
+
+    assert(merged.nonEmpty && merged == model)
+    // the tolerance actually bites: unbounded forward matches more anchors
+    val unbounded = AsOf.nextWithin(ev, 20, Long.MaxValue).count()
+    assert(unbounded > merged.size, "1h tolerance should exclude some matches")
+  }
+
+  test("backward tolerance inside the operator equals filter-after-join") {
+    val ev = Tables.load(spark, dir, "events")
+    val tolUs = 1800L * 1000000L
+    // model: unbounded latestPrior then filter the gap — equivalent ONLY
+    // because the carried event is the closest prior; the operator's
+    // internal single comparison must agree with it
+    val model = AsOf.latestPrior(ev, 20)
+      .filter(col("anchor_us") - col("prev_us") <= tolUs)
+      .orderBy(col("anchor_id")).collect().toSeq
+    val op = AsOf.latestPriorWithin(ev, 20, tolUs)
+      .orderBy(col("anchor_id")).collect().toSeq
+    assert(op == model && op.nonEmpty)
+    assert(op.size < AsOf.latestPrior(ev, 20).count(), "the bound should bite")
+  }
+
   test("plan: the MergeAsOf physical operator, no window or join, no encoders") {
     val p = AsOf.latestPrior(Tables.load(spark, dir, "events"), 20)
       .queryExecution.executedPlan.toString
