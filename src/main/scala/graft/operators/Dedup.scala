@@ -221,6 +221,40 @@ object Dedup {
     simhash(docs).select(col("doc_id") +: bandCols: _*)
   }
 
+  /** INCREMENTAL SimHash near-dup: new batch docs against an existing
+    * corpus — the shape periodic ingest needs (the near-dup twin of
+    * c21's exact incremental anti-join). Both sides fingerprint
+    * independently (a corpus bands table would be precomputed/persisted
+    * in production — fingerprints depend only on each doc's text, so
+    * splitting changes nothing); candidates are batch×corpus pairs
+    * sharing a 16-bit band (full recall ≤ Hamming 3 by pigeonhole),
+    * verified with exact popcounts on candidates only. Returns
+    * (da = batch doc, db = corpus doc, hamming).
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (max 3)")
+    val cb = simhashBands(corpus).localCheckpoint(true)
+    val bb = simhashBands(batch).localCheckpoint(true)
+    val cBanded = cb.selectExpr("doc_id AS db",
+      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+    val bBanded = bb.selectExpr("doc_id AS da",
+      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+    val cand = bBanded.join(cBanded, Seq("band_id", "bv"))
+      .select(col("da"), col("db")).distinct()
+    val ham: Column = (0 until 4)
+      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
+      .reduce(_ + _)
+    val left = bb.select(col("doc_id").as("da"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = cb.select(col("doc_id").as("db"), col("b0").as("e0"),
+      col("b1").as("e1"), col("b2").as("e2"), col("b3").as("e3"))
+    cand.join(left, "da").join(right, "db")
+      .select(col("da"), col("db"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`:
     * candidates share at least one whole 16-bit band (by pigeonhole, any
     * pair within Hamming ≤ 3 agrees on ≥1 of 4 bands — FULL recall up to

@@ -458,6 +458,26 @@ object ExtOps {
           coalesce(sum(when(keep, col("n_tokens"))), lit(0L)).as("kept_tokens"))
         .orderBy(col("source"))
     }),
+    // c44 — incremental NEAR-dup: the batch-vs-corpus twin of c21's
+    // exact incremental dedup, on the SimHash band machinery. Per lang:
+    // how many incoming docs near-collide with the existing corpus
+    // (Hamming ≤ 3) and how many corpus matches they hit — the admission
+    // report of a periodic ingest. At 100 TB the corpus bands table is
+    // precomputed and persisted; only the batch fingerprints fresh.
+    "c44_incremental_neardup" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val pairs = Dedup.incrementalNearDup(corpus, batch, 3)
+      val flagged = pairs.groupBy(col("da")).agg(count(lit(1)).as("n_matches"))
+      batch.select(col("doc_id").as("da"), col("lang"))
+        .join(flagged, Seq("da"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("n_matches").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+          coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
+        .orderBy(col("lang"))
+    }),
     // c43 — deterministic train/val/test split: the canonical 80/10/10
     // partition by content-hash gate (train: gate < 205, val: < 230,
     // test: rest — thresholds out of 256). A row's split is a pure
@@ -991,6 +1011,40 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c44_incremental_neardup" ->
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+         |dg AS (SELECT doc_id, $shDigits FROM h),
+         |s AS (SELECT doc_id,
+         |         $shSums
+         |      FROM dg GROUP BY doc_id),
+         |bands AS (SELECT doc_id, ${shBand(0)} AS b0, ${shBand(1)} AS b1,
+         |                 ${shBand(2)} AS b2, ${shBand(3)} AS b3 FROM s),
+         |cbd AS (
+         |  SELECT doc_id AS db, 0 AS band_id, b0 AS bv FROM bands WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, 1, b1 FROM bands WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, 3, b3 FROM bands WHERE doc_id % 2 = 0),
+         |bbd AS (
+         |  SELECT doc_id AS da, 0 AS band_id, b0 AS bv FROM bands WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id, 1, b1 FROM bands WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id, 3, b3 FROM bands WHERE doc_id % 2 = 1),
+         |cand AS (SELECT DISTINCT a.da, c.db
+         |  FROM bbd a JOIN cbd c ON a.band_id = c.band_id AND a.bv = c.bv),
+         |prs AS (SELECT c.da, c.db
+         |  FROM cand c JOIN bands x ON x.doc_id = c.da
+         |              JOIN bands y ON y.doc_id = c.db
+         |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3),
+         |fl AS (SELECT da, CAST(count(*) AS BIGINT) AS n_matches FROM prs GROUP BY da),
+         |b AS (SELECT doc_id AS da, lang FROM documents WHERE doc_id % 2 = 1)
+         |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_batch,
+         |       CAST(coalesce(sum(CASE WHEN fl.n_matches IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |         AS BIGINT) AS n_flagged,
+         |       CAST(coalesce(sum(fl.n_matches), 0) AS BIGINT) AS n_pairs
+         |FROM b LEFT JOIN fl ON b.da = fl.da
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
     "c43_dataset_split" ->
       """WITH g AS (SELECT lang, doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
