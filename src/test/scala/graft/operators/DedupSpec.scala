@@ -148,6 +148,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet == expected)
   }
 
+  test("incremental near-dup equals the full pairs restricted to batch x corpus") {
+    val d = docs(1L -> "spark shuffles data fast", 2L -> "spark shuffles data fast",
+      3L -> "unrelated content entirely", 4L -> "spark shuffles data fast quickly",
+      5L -> "spark shuffles data fast", 6L -> "other text altogether here")
+    val corpus = d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val batch = d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val inc = Dedup.incrementalNearDup(corpus, batch, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // model: all-pairs near-dup over the union, keep (odd, even) pairs
+    val all = Dedup.simhashNearDup(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = all.flatMap { case (a, b, h) =>
+      if (a % 2 == 1 && b % 2 == 0) Some((a, b, h))
+      else if (b % 2 == 1 && a % 2 == 0) Some((b, a, h))
+      else None
+    }.toSet
+    assert(inc == expected && inc.nonEmpty)
+    // batch-batch and corpus-corpus pairs must NOT appear
+    assert(inc.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 0 })
+  }
+
   test("dedupGroups: transitively connected near-dups form one component labeled by min id") {
     // 0-5-10 form a chain of identical docs (transitivity must merge
     // them); 15+20 identical pair; 25 unrelated singleton (excluded).
