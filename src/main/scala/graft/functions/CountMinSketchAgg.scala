@@ -99,6 +99,22 @@ object CountMinSketchAgg {
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
+  /** The bucket arithmetic as a Column — THE one SQL spelling of
+    * [[bucket]] (c42's point-estimate probe and the streaming twin both
+    * call this, so batch/stream/oracle can never drift apart;
+    * CountMinSketchAggSpec pins it to the JVM hash).
+    */
+  def bucketColumn(d: Int, tok: org.apache.spark.sql.Column, width: Int)
+      : org.apache.spark.sql.Column = {
+    require(width > 0 && width <= 65536,
+      "bucket ids come from 16 md5 bits: width must be in (0, 65536]")
+    import org.apache.spark.sql.{functions => F}
+    F.pmod(
+      F.conv(F.substring(F.md5(F.concat(F.lit(s"$d:"), tok).cast("binary")), 1, 4), 16, 10)
+        .cast("long"),
+      F.lit(width.toLong))
+  }
+
   /** bucket(d, tok) = int(first 2 md5 bytes of "d:tok") mod width —
     * identical to SQL `conv(substring(md5('<d>:' || tok), 1, 4), 16, 10)
     * % width` in Spark and the instr-decoded digits in DuckDB.

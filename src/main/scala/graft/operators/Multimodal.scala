@@ -229,7 +229,9 @@ object Multimodal {
           (16, be64(p, i + 8))
         } else if (size0 == 0L) (8, p.length.toLong - pos)
         else (8, size0)
-      if (size < hdr || pos + size > p.length) return None // malformed
+      // subtraction form: `pos + size` with a hostile 64-bit largesize
+      // near Long.MaxValue wraps negative and passes the naive check
+      if (size < hdr || size > p.length - pos) return None // malformed
       nTop += 1
       if (tpe == "moov") {
         // child walk within [i+hdr, i+size)
@@ -240,7 +242,7 @@ object Multimodal {
           val cSize0 = be32(p, ci)
           val cTpe = new String(p, ci + 4, 4, "US-ASCII")
           val cSize = if (cSize0 == 0L) end - cPos else cSize0
-          if (cSize < 8 || cPos + cSize > end) return None
+          if (cSize < 8 || cSize > end - cPos) return None
           if (cTpe == "mvhd" && ci + 8 + 4 <= p.length) {
             val version = p(ci + 8) & 0xFF
             if (version == 0 && ci + 8 + 4 + 8 + 8 <= p.length) {
@@ -256,7 +258,9 @@ object Multimodal {
       }
       pos += size
     }
-    if (timescale <= 0 || duration < 0) None
+    // duration > MaxValue/1000 would overflow the ms conversion —
+    // that's a corrupt mvhd (≈ 292k years at timescale 1000), not a clip
+    if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L) None
     else Some((brand, timescale, duration, nTop))
   }
 

@@ -516,9 +516,8 @@ object ExtOps {
           .toAggregateExpression()).as("cms"))
       val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok")).limit(20)
-      def bucket(d: Int) = pmod(
-        conv(substring(md5(concat(lit(s"$d:"), col("tok")).cast("binary")), 1, 4), 16, 10)
-          .cast("long"), lit(w.toLong))
+      def bucket(d: Int) =
+        graft.functions.CountMinSketchAgg.bucketColumn(d, col("tok"), w)
       val est = (0 until dep).map(d =>
         element_at(col("cms"), (lit(d * w) + bucket(d) + 1).cast("int")))
         .reduce(least(_, _))

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.functions.CountMinSketchAgg
 
 /** Streaming twin of the c42 Count-Min sketch: the sketch IS a keyed
   * count. Each token updates `depth` (d, bucket) cells; maintained as a
@@ -21,17 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitterStream {
 
-  private def bucket(d: Int, tok: Column, width: Int): Column = pmod(
-    conv(substring(md5(concat(lit(s"$d:"), tok).cast("binary")), 1, 4), 16, 10)
-      .cast("long"), lit(width.toLong))
-
   /** (d, b, cnt) counters for a (possibly streaming) frame of tokens.
-    * One pass: each row explodes to its `depth` cells inline.
+    * One pass: each row explodes to its `depth` cells inline. Bucket
+    * arithmetic comes from [[CountMinSketchAgg.bucketColumn]] — the one
+    * spelling shared with c42's probe, which also enforces the 16-bit
+    * width bound (a wider `width` would silently leave buckets ≥ 65536
+    * unreachable).
     */
   def counters(tokens: DataFrame, tokCol: String, depth: Int, width: Int): DataFrame =
     tokens
       .select(explode(array((0 until depth).map(d =>
-        struct(lit(d).as("d"), bucket(d, col(tokCol), width).as("b"))): _*)).as("cell"))
+        struct(lit(d).as("d"),
+          CountMinSketchAgg.bucketColumn(d, col(tokCol), width).as("b"))): _*)).as("cell"))
       .select(col("cell.d").as("d"), col("cell.b").as("b"))
       .groupBy(col("d"), col("b"))
       .agg(count(lit(1)).as("cnt"))
