@@ -57,6 +57,17 @@ final case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+
+  // Array[Byte] is reference-equal under the case-class equals, so two
+  // probes built from identical filter bytes would never canonicalize
+  // together (defeating subexpression elimination / plan reuse).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomMightContain {

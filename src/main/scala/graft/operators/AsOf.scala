@@ -54,8 +54,9 @@ object AsOf {
 
   /** Forward as-of with tolerance: for each anchor, the user's EARLIEST
     * strictly-later event no more than `toleranceUs` ahead (pandas
-    * merge_asof direction='forward' semantics; equal-ts later events
-    * resolve by ascending id). Same single merge scan — the carry
+    * merge_asof direction='forward' with allow_exact_matches=False —
+    * an equal-ts event is NOT a match; among equal-ts later events the
+    * ascending id wins). Same single merge scan — the carry
     * direction flips via the operator's descending ts ordering, and the
     * tolerance is one comparison at the anchor since the carried event
     * is always the closest candidate.

@@ -242,17 +242,28 @@ object Dedup {
       "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
     val cand = bBanded.join(cBanded, Seq("band_id", "bv"))
       .select(col("da"), col("db")).distinct()
+    verifyHamming(cand, bb, cb, maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Shared verify step of the banded SimHash joins: join the (da, db)
+    * candidate pairs back to their band tables and keep pairs whose
+    * exact popcount Hamming distance is ≤ `maxHamming`. Unordered —
+    * callers append their own total ORDER BY.
+    */
+  private def verifyHamming(
+      cand: DataFrame, leftBands: DataFrame, rightBands: DataFrame,
+      maxHamming: Int): DataFrame = {
     val ham: Column = (0 until 4)
       .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
       .reduce(_ + _)
-    val left = bb.select(col("doc_id").as("da"), col("b0").as("a0"),
+    val left = leftBands.select(col("doc_id").as("da"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val right = cb.select(col("doc_id").as("db"), col("b0").as("e0"),
+    val right = rightBands.select(col("doc_id").as("db"), col("b0").as("e0"),
       col("b1").as("e1"), col("b2").as("e2"), col("b3").as("e3"))
     cand.join(left, "da").join(right, "db")
       .select(col("da"), col("db"), ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("da"), col("db"))
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`:
@@ -281,16 +292,7 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
       .distinct()
-    val ham: Column = (0 until 4)
-      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
-      .reduce(_ + _)
-    val left = bands.select(col("doc_id").as("da"), col("b0").as("a0"),
-      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val right = bands.select(col("doc_id").as("db"), col("b0").as("e0"),
-      col("b1").as("e1"), col("b2").as("e2"), col("b3").as("e3"))
-    cand.join(left, "da").join(right, "db")
-      .select(col("da"), col("db"), ham.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    verifyHamming(cand, bands, bands, maxHamming)
       .orderBy(col("hamming"), col("da"), col("db"))
   }
 

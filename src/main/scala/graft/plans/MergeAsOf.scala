@@ -56,7 +56,8 @@ object MergeAsOfStrategy extends SparkStrategy {
   * time DESCENDING and matches the earliest strictly-LATER event (the
   * carry only overwrites on strictly-smaller ts, so equal-ts events
   * resolve to the ascending-id winner — pandas merge_asof
-  * direction='forward' semantics). `toleranceUs` bounds the match gap:
+  * direction='forward' with allow_exact_matches=False: an equal-ts
+  * event never matches in either direction). `toleranceUs` bounds the match gap:
   * because the carried event is by construction the CLOSEST candidate
   * in scan direction, one comparison at the anchor suffices — if it
   * fails, no candidate can pass.

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.TextAnalysis
 import graft.operators.Dedup
+import graft.queries.ExtOps
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,18 +93,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       fenced.withColumn("w256", least(lit(240L), lit(16L) + col("nt").cast("long") * 2)),
       col("doc_id"), col("w256"))
 
-    // Stage 3: 64/48 token-window chunking (the c35 shape).
+    // Stage 3: token-window chunking (the c35 shape, same geometry).
+    val (w, st) = (ExtOps.CHUNK_W, ExtOps.CHUNK_S)
     val chunks = sampled
       .select(col("doc_id"), col("lang"),
         expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .withColumn("n", size(col("toks")).cast("long")).filter(col("n") > 0)
       .withColumn("n_chunks",
-        when(col("n") <= 64, lit(1L)).otherwise(expr("(n - 64 + 47) div 48 + 1L")))
+        when(col("n") <= w, lit(1L)).otherwise(expr(s"(n - $w + ${st - 1}) div $st + 1L")))
       .select(col("doc_id"), col("lang"), col("toks"), col("n"),
         explode(expr("sequence(0L, n_chunks - 1)")).as("i"))
-      .withColumn("clen", least(lit(64L), col("n") - col("i") * 48))
+      .withColumn("clen", least(lit(w.toLong), col("n") - col("i") * st))
       .withColumn("chunk_text", concat_ws(" ",
-        expr("slice(toks, CAST(i * 48 + 1 AS INT), CAST(clen AS INT))")))
+        expr(s"slice(toks, CAST(i * $st + 1 AS INT), CAST(clen AS INT))")))
       .select(col("doc_id"), col("lang"), col("i"), col("clen"), col("chunk_text"))
 
     // Stage 4: sharded JSONL hand-off keyed by (doc, window).
@@ -120,7 +122,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val parentIds = back.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(parentIds.subsetOf(sampledIds) && sampledIds.subsetOf(fencedIds))
     // every chunk respects the window geometry
-    val bad = back.filter(col("clen") > 64 || col("clen") < 1).count()
+    val bad = back.filter(col("clen") > w || col("clen") < 1).count()
     assert(bad == 0)
   }
 }
