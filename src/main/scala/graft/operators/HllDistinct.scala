@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Oracle-replayable HyperLogLog distinct counting.
+  *
+  * Spark's own `approx_count_distinct` (HLL++, used by c24) is the
+  * production path, but its sketch is engine-private: no other system
+  * can reproduce its estimate, so the correctness harness can only
+  * rows-check it. This operator is the c42 discipline applied to
+  * distinct counting — every bit of the sketch is derived from md5 and
+  * every arithmetic step is 64-bit integer, so DuckDB replays the
+  * ENTIRE estimator and the results hash-match cross-engine:
+  *
+  *   - register index = first 8 md5 bits of the key, mod [[M]];
+  *   - rank = leading-zero count (+1) of the next 32 md5 bits,
+  *     spelled `33 - length(bin(x))` — identical in Spark and DuckDB;
+  *   - registers = `max(rank)` per (group, bucket) — max is duplicate-
+  *     insensitive, so no `distinct` shuffle anywhere on the sketch
+  *     path, and partial aggregation combines map-side (at 100 TB only
+  *     the ≤ M longs per group cross the wire, like any HLL);
+  *   - the harmonic mean runs scaled by 2^33: each register contributes
+  *     `1 << (33 - M_j)`, the estimate is `(AlphaPpm·M²·2^33) div S div
+  *     10^6` — floor division on positive longs, bit-identical in both
+  *     engines, no float anywhere.
+  *
+  * The estimator is the raw HLL of Flajolet/Fusy/Gandouet/Meunier 2007
+  * (alpha_32 as the fixed rational [[AlphaPpm]] ppm); we deliberately
+  * skip the small-range linear-counting correction because it needs
+  * `ln`, which is exactly the cross-engine float hazard this operator
+  * exists to avoid. `n_empty` (empty registers) is emitted so a reader
+  * can see when a group is in that small-range regime; accuracy is
+  * σ ≈ 1.04/√32 ≈ 18% by the published analysis, measured ≤ ~20% in
+  * HllDistinctSpec.
+  */
+object HllDistinct {
+
+  /** Register count (2^5 buckets from the first 8 md5 bits, mod 32). */
+  val M = 32
+
+  /** alpha_32 = 0.7213/(1 + 1.079/32) ≈ 0.697, fixed at 697000 ppm so
+    * the estimate is a pure integer expression.
+    */
+  val AlphaPpm = 697000L
+
+  /** AlphaPpm · M² · 2^33 — the scaled numerator (≈ 6.13e18, fits a
+    * long with the max-rank-33 scaling; that headroom is why the rank
+    * tops out at 33 = 32 hash bits + 1).
+    */
+  val Num: Long = AlphaPpm * M.toLong * M.toLong * (1L << 33)
+
+  /** Per-group distinct estimate next to the exact count.
+    * Output: (g, n_exact, n_est, n_empty) ordered by g.
+    */
+  def estimate(rows: DataFrame, group: Column, key: Column): DataFrame = {
+    val spark = rows.sparkSession
+    val h = rows.select(group.as("g"), md5(key.cast("binary")).as("h"))
+    val ranked = h.select(col("g"),
+        expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $M").as("bucket"),
+        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("x"))
+      .withColumn("rank",
+        expr("CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END"))
+    val regs0 = ranked.groupBy(col("g"), col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+    // Empty registers still contribute 2^33 to the harmonic sum — the
+    // (group × all buckets) frame restores them (tiny: |groups| · M).
+    val frame = h.select(col("g")).distinct()
+      .crossJoin(spark.range(M).select(col("id").as("bucket")))
+    val regs = frame.join(regs0, Seq("g", "bucket"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+    val agg = regs.groupBy(col("g")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"),
+      sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_empty"))
+    // The exact count exists to GRADE the sketch (like c42's exact_n);
+    // a production rollup reads only the register path above.
+    val exact = h.groupBy(col("g")).agg(countDistinct(col("h")).as("n_exact"))
+    exact.join(agg, "g")
+      .select(col("g"), col("n_exact"),
+        expr(s"(${Num}L div s) div 1000000").as("n_est"), col("n_empty"))
+      .orderBy(col("g"))
+  }
+}

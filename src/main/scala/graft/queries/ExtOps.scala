@@ -126,6 +126,15 @@ object ExtOps {
             .as("rel_err"))
         .orderBy(col("source"))
     }),
+    // c45 — oracle-replayable HLL distinct counting: c24's sketch idea
+    // with every bit md5-derived and every step 64-bit integer, so the
+    // DuckDB oracle replays the ESTIMATOR itself (registers, harmonic
+    // sum, alpha correction) and the estimates hash-match — the c42
+    // discipline applied to distinct counting. See operators.HllDistinct.
+    "c45_hll_distinct" -> ((s, dir) =>
+      graft.operators.HllDistinct.estimate(
+          load(s, dir, "documents"), col("lang"), col("text"))
+        .withColumnRenamed("g", "lang")),
     // c17 — curation decisions per (lang, reason): first-match drop
     // reason, integer-exact thresholds.
     "c22_repetition" -> ((s, dir) =>
@@ -477,6 +486,26 @@ object ExtOps {
           sum(when(col("n_matches").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
           coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
+    }),
+    // c46 — dataset snapshot diff: two deterministic snapshots carved
+    // from the documents table (v1 drops doc_id%10=3; v2 drops %10=7
+    // and revises every %7=0 text), classified added/removed/changed/
+    // unchanged by content hash (operators.Versioning — full-outer join
+    // on (id, md5), ~24 bytes/row shuffled at any document size). The
+    // per-(lang, status) rollup is the refresh audit a corpus rebuild
+    // reads before deciding what re-enters the pipeline.
+    "c46_snapshot_diff" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      graft.operators.Versioning.diff(v1, v2, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .orderBy(col("lang"), col("status"))
     }),
     // c43 — deterministic train/val/test split: the canonical 80/10/10
     // partition by content-hash gate (train: gate < 205, val: < 230,
@@ -1010,6 +1039,52 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c46_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+        |       FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |        CASE WHEN h1 IS NULL THEN 'added'
+        |             WHEN h2 IS NULL THEN 'removed'
+        |             WHEN h1 <> h2 THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc.lang, d.status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(d.id) AS min_doc, max(d.id) AS max_doc
+        |FROM d JOIN documents doc ON d.id = doc.doc_id
+        |GROUP BY doc.lang, d.status ORDER BY doc.lang, d.status""".stripMargin,
+    "c45_hll_distinct" -> {
+      // Positional hex decode (the c42 technique): digit k of the md5
+      // hex string as an integer 0..15.
+      def digit(k: Int) = s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      // x = md5 hex digits 3..10 as the 32-bit rank source.
+      val x = (3 to 10).map(k => s"${digit(k)} * ${1L << (4 * (10 - k))}")
+        .mkString("\n         + ")
+      s"""WITH h AS (SELECT lang, md5(text) AS h FROM documents),
+         |d AS (SELECT lang,
+         |        (${digit(1)} * 16 + ${digit(2)}) % ${graft.operators.HllDistinct.M} AS bucket,
+         |        CAST($x AS BIGINT) AS x
+         |      FROM h),
+         |rk AS (SELECT lang, bucket,
+         |         CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END AS rank FROM d),
+         |regs0 AS (SELECT lang, bucket, max(rank) AS mj FROM rk GROUP BY lang, bucket),
+         |frame AS (SELECT l.lang, b.bucket FROM (SELECT DISTINCT lang FROM h) l,
+         |          (SELECT unnest(range(0, ${graft.operators.HllDistinct.M})) AS bucket) b),
+         |regs AS (SELECT f.lang, coalesce(r.mj, 0) AS mj
+         |         FROM frame f LEFT JOIN regs0 r
+         |           ON f.lang = r.lang AND f.bucket = r.bucket),
+         |agg AS (SELECT lang, CAST(sum(1::BIGINT << (33 - mj)) AS BIGINT) AS s,
+         |               CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |        FROM regs GROUP BY lang),
+         |ex AS (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+         |       FROM h GROUP BY lang)
+         |SELECT ex.lang, ex.n_exact,
+         |       CAST((${graft.operators.HllDistinct.Num}::BIGINT // agg.s) // 1000000
+         |         AS BIGINT) AS n_est,
+         |       agg.n_empty
+         |FROM ex JOIN agg ON ex.lang = agg.lang ORDER BY ex.lang""".stripMargin
+    },
     "c44_incremental_neardup" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
