@@ -487,6 +487,44 @@ object ExtOps {
           coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
     }),
+    // c47 — KMV quantile sketch: per lang, the token-count median
+    // estimated from a 32-row k-minimum-values sample (operators.
+    // KmvSketch — deterministic md5-rank sample riding the TopKPerKey
+    // bounded heaps) next to the exact median. The exact side is
+    // computed from the (lang, n_tokens) HISTOGRAM + a cumulative sum
+    // over it — the value-domain-bounded spelling, never a per-lang
+    // full-row sort (the c20 lesson). Both medians use the same type-1
+    // lower-median rule (smallest value with cum ≥ ceil(n/2)), integer
+    // end to end, replayed exactly by the oracle.
+    "c47_kmv_quantile" -> ((s, dir) => {
+      val k = 32
+      val docs = load(s, dir, "documents").select(col("lang"), col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tokens"))
+      val samp = graft.operators.KmvSketch.sample(docs, "lang", col("doc_id"), k)
+      // sample median: rank the ≤ k sample rows (tiny per group)
+      val sw = Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
+      val sc = Window.partitionBy(col("lang"))
+      val sampMed = samp
+        .withColumn("rn", row_number().over(sw))
+        .withColumn("cnt", count(lit(1)).over(sc))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("lang"), col("n_tokens").as("kmv_med"), col("cnt").as("n_sample"))
+      // exact median: histogram + cumulative count (bounded by the
+      // value domain, not the corpus)
+      val hist = docs.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("c"))
+      val hw = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      val exactMed = hist
+        .withColumn("cum", sum(col("c")).over(hw))
+        .withColumn("tot", sum(col("c")).over(sc))
+        .filter(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy(col("lang"))
+        .agg(min(col("n_tokens")).as("exact_med"), max(col("tot")).as("n_docs"))
+      exactMed.join(sampMed, "lang")
+        .select(col("lang"), col("n_docs"), col("n_sample"),
+          col("exact_med"), col("kmv_med"))
+        .orderBy(col("lang"))
+    }),
     // c46 — dataset snapshot diff: two deterministic snapshots carved
     // from the documents table (v1 drops doc_id%10=3; v2 drops %10=7
     // and revises every %7=0 text), classified added/removed/changed/
@@ -1039,6 +1077,33 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c47_kmv_quantile" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id, n_tokens FROM (
+        |        SELECT lang, doc_id, n_tokens,
+        |               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rh
+        |        FROM d) WHERE rh <= 32),
+        |sm AS (SELECT lang, n_tokens AS kmv_med, cnt AS n_sample FROM (
+        |         SELECT lang, n_tokens, doc_id,
+        |                row_number() OVER (PARTITION BY lang
+        |                  ORDER BY n_tokens, doc_id) AS rn,
+        |                count(*) OVER (PARTITION BY lang) AS cnt
+        |         FROM s) WHERE rn = (cnt + 1) // 2),
+        |hist AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c
+        |         FROM d GROUP BY lang, n_tokens),
+        |ch AS (SELECT lang, n_tokens,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS tot
+        |       FROM hist),
+        |em AS (SELECT lang, min(n_tokens) AS exact_med, CAST(max(tot) AS BIGINT) AS n_docs
+        |       FROM ch WHERE cum >= (tot + 1) // 2 GROUP BY lang)
+        |SELECT em.lang, em.n_docs, CAST(sm.n_sample AS BIGINT) AS n_sample,
+        |       em.exact_med, sm.kmv_med
+        |FROM em JOIN sm ON em.lang = sm.lang ORDER BY em.lang""".stripMargin,
     "c46_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 3),
         |v2 AS (SELECT doc_id,

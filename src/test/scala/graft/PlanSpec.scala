@@ -202,4 +202,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Join") || p.contains("HashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("c45 HLL: registers partial-aggregate map-side; frame cross is the tiny Range") {
+    val p = plan("c45_hll_distinct")
+    assert(p.contains("partial_max"),
+      "the register max must combine map-side before its exchange")
+    assert(!p.contains("CartesianProduct"),
+      "the (groups × buckets) frame must broadcast (Range build side), not cartesian")
+    assert(p.contains("Range"), "the bucket frame comes from a Range, not a scan")
+  }
+
+  test("c46 snapshot diff: only (id, md5) crosses the full-outer join") {
+    val p = plan("c46_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be one full-outer join")
+    assert(p.contains("md5"), "content must reduce to md5 below the join exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("c47 KMV: sample rides bounded TopKPerKey heaps, windows stay off raw rows") {
+    val p = plan("c47_kmv_quantile")
+    assert(p.contains("TopKPerKey"), "the sample must use the heap operator")
+    // two Window pairs are legitimate: over the ≤k-row sample and over
+    // the (lang, n_tokens) histogram — both bounded by k / value domain.
+    // A fifth window would mean raw corpus rows are being sorted.
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 4, s"unexpected Window over raw rows ($windows found):\n$p")
+  }
 }
