@@ -487,6 +487,34 @@ object ExtOps {
           coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
     }),
+    // c48 — snapshot drift report over the c46 snapshots: per lang, the
+    // L1 distance between v1's and v2's token-count histograms (the
+    // monitoring twin of c46's id-level diff — "did the refresh move
+    // the length distribution?"). Histograms are value-domain-bounded
+    // (the d8/c47 discipline); the full-outer histogram join moves
+    // |langs|·|distinct n_tokens| rows at any corpus size. Integer
+    // arithmetic end to end.
+    "c48_snapshot_drift" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val toks = expr(
+        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("lang"), toks.as("n_tokens"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .select(col("lang"), toks.as("n_tokens"))
+      val h1 = v1.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("c1"))
+      val h2 = v2.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("c2"))
+      h1.join(h2, Seq("lang", "n_tokens"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .groupBy(col("lang"))
+        .agg(sum(expr("abs(c1 - c2)")).as("l1_drift"),
+          sum(col("c1")).as("n_v1"), sum(col("c2")).as("n_v2"))
+        .orderBy(col("lang"))
+    }),
     // c47 — KMV quantile sketch: per lang, the token-count median
     // estimated from a 32-row k-minimum-values sample (operators.
     // KmvSketch — deterministic md5-rank sample riding the TopKPerKey
@@ -1077,6 +1105,27 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c48_snapshot_drift" ->
+      """WITH v1 AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT lang,
+        |    CAST(len(list_filter(string_split(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END, ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |h1 AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c1
+        |       FROM v1 GROUP BY lang, n_tokens),
+        |h2 AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c2
+        |       FROM v2 GROUP BY lang, n_tokens),
+        |j AS (SELECT coalesce(h1.lang, h2.lang) AS lang,
+        |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |      FROM h1 FULL OUTER JOIN h2
+        |        ON h1.lang = h2.lang AND h1.n_tokens = h2.n_tokens)
+        |SELECT lang, CAST(sum(abs(c1 - c2)) AS BIGINT) AS l1_drift,
+        |       CAST(sum(c1) AS BIGINT) AS n_v1, CAST(sum(c2) AS BIGINT) AS n_v2
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "c47_kmv_quantile" ->
       """WITH d AS (SELECT lang, doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)

@@ -251,6 +251,55 @@ object Relational {
     // the rewrite this shape exists to avoid at 100 TB. All measures
     // are order-independent (no sums of raw doubles), so cross-engine
     // exactness holds without scaling.
+    // d23 — ordered funnel: view → click → purchase, each step within 7
+    // days of the previous, first qualifying event per user per step.
+    // Shape: per-step conditional-min aggregates joined back on user_id
+    // — each step table is one row per surviving user (broadcast- or
+    // hash-joinable at any scale), never a per-user event sort. All
+    // comparisons in unix micros — integer end to end.
+    "d23_funnel" -> ((s, dir) => {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + weekUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + weekUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val c1 = s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit("view").as("event_type"), col("n_users"))
+      val c2 = s2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("click").as("event_type"), col("n_users"))
+      val c3 = s3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("purchase").as("event_type"), col("n_users"))
+      c1.unionByName(c2).unionByName(c3).orderBy(col("step"))
+    }),
+
+    // d24 — cohort retention: users bucketed by first-activity day
+    // (integer day index = micros div 86400e6 — no date functions to
+    // disagree on), n_active per (cohort, day offset ≤ 7) next to the
+    // cohort size. The (user, cohort, offset) distinct bounds state to
+    // users × 8, and every aggregate partial-combines map-side.
+    "d24_retention" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("offset"))
+        .filter(col("offset") <= 7)
+        .distinct()
+        .groupBy(col("cohort"), col("offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
     "d22_table_profile" -> ((s, dir) => {
       load(s, dir, "lineitem")
         .selectExpr(
@@ -500,6 +549,30 @@ object Relational {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d23_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 AND us <= t1 + 604800000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 604800000000
+        |       GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "d24_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS "offset"
+        |      FROM e JOIN f USING (user_id) WHERE e.day - f.cohort <= 7),
+        |r AS (SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_active
+        |      FROM a GROUP BY cohort, "offset")
+        |SELECT r.cohort, r."offset", r.n_active, sz.cohort_size
+        |FROM r JOIN sz USING (cohort) ORDER BY r.cohort, r."offset"""".stripMargin,
     "d22_table_profile" ->
       """WITH u AS (
         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem
