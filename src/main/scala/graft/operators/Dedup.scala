@@ -236,15 +236,28 @@ object Dedup {
       s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (max 3)")
     val cb = simhashBands(corpus).localCheckpoint(true)
     val bb = simhashBands(batch).localCheckpoint(true)
-    val cBanded = cb.selectExpr("doc_id AS db",
-      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
-    val bBanded = bb.selectExpr("doc_id AS da",
-      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+    val cBanded = cb.selectExpr("doc_id AS db", BandStackSql)
+    val bBanded = bb.selectExpr("doc_id AS da", BandStackSql)
     val cand = bBanded.join(cBanded, Seq("band_id", "bv"))
       .select(col("da"), col("db")).distinct()
     verifyHamming(cand, bb, cb, maxHamming)
       .orderBy(col("da"), col("db"))
   }
+
+  /** THE one SQL spelling of the 4-band (band_id, bv) explode of a
+    * bands table — every banded candidate join (batch and streaming)
+    * must use it so band count/width can never silently diverge.
+    */
+  private[graft] val BandStackSql =
+    "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)"
+
+  /** Exact Hamming distance between band vectors projected as
+    * (a0..a3) and (e0..e3) — the verify expression shared with the
+    * streaming ingest gate.
+    */
+  private[graft] def hammingExpr: Column = (0 until 4)
+    .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
+    .reduce(_ + _)
 
   /** Shared verify step of the banded SimHash joins: join the (da, db)
     * candidate pairs back to their band tables and keep pairs whose
@@ -254,15 +267,12 @@ object Dedup {
   private def verifyHamming(
       cand: DataFrame, leftBands: DataFrame, rightBands: DataFrame,
       maxHamming: Int): DataFrame = {
-    val ham: Column = (0 until 4)
-      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
-      .reduce(_ + _)
     val left = leftBands.select(col("doc_id").as("da"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val right = rightBands.select(col("doc_id").as("db"), col("b0").as("e0"),
       col("b1").as("e1"), col("b2").as("e2"), col("b3").as("e3"))
     cand.join(left, "da").join(right, "db")
-      .select(col("da"), col("db"), ham.as("hamming"))
+      .select(col("da"), col("db"), hammingExpr.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -284,8 +294,7 @@ object Dedup {
     // recomputes the full token scan + 64-sum aggregation. The table is
     // tiny (one row of 5 longs per doc) — checkpoint it once.
     val bands = simhashBands(docs).localCheckpoint(true)
-    val banded = bands.selectExpr("doc_id",
-      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+    val banded = bands.selectExpr("doc_id", BandStackSql)
     val cand = banded.select(col("band_id"), col("bv"), col("doc_id").as("da"))
       .join(banded.select(col("band_id"), col("bv"), col("doc_id").as("db")),
         Seq("band_id", "bv"))

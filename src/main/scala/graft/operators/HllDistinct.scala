@@ -51,11 +51,15 @@ object HllDistinct {
   val Num: Long = AlphaPpm * M.toLong * M.toLong * (1L << 33)
 
   /** Per-group distinct estimate next to the exact count.
-    * Output: (g, n_exact, n_est, n_empty) ordered by g.
+    * Output: (g, n_exact, n_est, n_empty) ordered by g. Rows with a
+    * NULL group are excluded up front — the final equi-join on the
+    * group key is not null-safe, so a NULL group would otherwise be
+    * counted on both sides and then silently dropped from the output.
     */
   def estimate(rows: DataFrame, group: Column, key: Column): DataFrame = {
     val spark = rows.sparkSession
-    val h = rows.select(group.as("g"), md5(key.cast("binary")).as("h"))
+    val h = rows.filter(group.isNotNull)
+      .select(group.as("g"), md5(key.cast("binary")).as("h"))
     val ranked = h.select(col("g"),
         expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $M").as("bucket"),
         expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("x"))

@@ -24,10 +24,14 @@ object KmvSketch {
   /** The k sample rows per `group` value, selected by ascending
     * md5(id) (id as its decimal-string bytes; doc_id tiebreak keeps the
     * heap deterministic even under hash collision). Output schema =
-    * input schema + `kmv_h`.
+    * input schema + `kmv_h`. NULL ids are excluded: md5(NULL) is NULL,
+    * which the ascending heap would sort FIRST (catalyst nulls-first),
+    * letting keyless rows crowd out the entire sample — and diverging
+    * from engines whose default is nulls-last.
     */
   def sample(df: DataFrame, group: String, id: Column, k: Int): DataFrame = {
-    val withH = df.withColumn("kmv_h", md5(id.cast("string").cast("binary")))
+    val withH = df.filter(id.isNotNull)
+      .withColumn("kmv_h", md5(id.cast("string").cast("binary")))
       .withColumn("kmv_id", id)
     TopK.perKey(withH, Seq(group), Seq(("kmv_h", true), ("kmv_id", true)), k)
       .drop("kmv_id")

@@ -241,9 +241,18 @@ object Multimodal {
           val ci = cPos.toInt
           val cSize0 = be32(p, ci)
           val cTpe = new String(p, ci + 4, 4, "US-ASCII")
-          val cSize = if (cSize0 == 0L) end - cPos else cSize0
-          if (cSize < 8 || cSize > end - cPos) return None
-          if (cTpe == "mvhd" && ci + 8 + 4 <= p.length) {
+          // same three size forms as the top-level walk: 1 = 64-bit
+          // largesize follows, 0 = to end of parent box
+          val (cHdr, cSize) =
+            if (cSize0 == 1L) {
+              if (cPos + 16 > end) return None
+              (16L, be64(p, ci + 8))
+            } else if (cSize0 == 0L) (8L, end - cPos)
+            else (8L, cSize0)
+          if (cSize < cHdr || cSize > end - cPos) return None
+          // mvhd field offsets below assume the compact 8-byte header
+          // (no real mvhd needs largesize — skip rather than misread)
+          if (cTpe == "mvhd" && cHdr == 8L && ci + 8 + 4 <= p.length) {
             val version = p(ci + 8) & 0xFF
             if (version == 0 && ci + 8 + 4 + 8 + 8 <= p.length) {
               timescale = be32(p, ci + 20)

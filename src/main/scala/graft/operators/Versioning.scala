@@ -24,13 +24,17 @@ object Versioning {
     * v2: "added" = only in v2).
     */
   def diff(v1: DataFrame, v2: DataFrame, id: Column, content: Column): DataFrame = {
-    val a = v1.select(id.as("id"), md5(content.cast("binary")).as("h1"))
-    val b = v2.select(id.as("id"), md5(content.cast("binary")).as("h2"))
+    // presence is a flag of its own — md5(NULL) is NULL, so testing the
+    // hash would misread a NULL-content row as an absent row
+    val a = v1.select(id.as("id"), md5(content.cast("binary")).as("h1"),
+      lit(true).as("in1"))
+    val b = v2.select(id.as("id"), md5(content.cast("binary")).as("h2"),
+      lit(true).as("in2"))
     a.join(b, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h2").isNull, lit("removed"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
+        when(col("in1").isNull, lit("added"))
+          .when(col("in2").isNull, lit("removed"))
+          .when(!(col("h1") <=> col("h2")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 }

@@ -487,6 +487,44 @@ object ExtOps {
           coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
     }),
+    // c49 — the curation funnel, end to end in ONE DAG: raw → quality
+    // keep (c17's integer-exact decision) → exact dedup (min doc_id per
+    // content hash, b1's discipline) → near-dup collapse (min doc_id
+    // per 64-bit SimHash fingerprint — the native kernel, replayed
+    // bit-for-bit by the oracle's 64-sum formulation) → stratified
+    // sample (c16's md5 gates). Emits per-stage doc and token counts —
+    // the funnel report every corpus build publishes. Each stage's keep
+    // set shuffles only (hash, doc_id) pairs; stage stats are scalar
+    // aggregates unioned at the end (5 rows).
+    "c49_curation_funnel" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val base = load(s, dir, "documents").withColumn("n_tokens",
+        expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"))
+      val quality = TextAnalysis.qualityDecisions(base)
+        .filter(col("reason") === "keep").drop("reason")
+      val withH = quality.withColumn("h", md5(col("text").cast("binary")))
+      val exact = withH.join(
+        withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("h", "doc_id")).drop("h")
+      val withFp = exact.withColumn("fp",
+        org.apache.spark.sql.GraftBridge.column(graft.functions.SimHash64(
+          org.apache.spark.sql.GraftBridge.expression(col("text")))))
+      val nearDup = withFp.join(
+        withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("fp", "doc_id")).drop("fp")
+      val sampled = Sampling.stratifiedSample(nearDup,
+        col("doc_id"), col("lang"), Map("en" -> 32, "de" -> 64), 128)
+      def stage(df: DataFrame, id: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("sum_tokens"))
+      stage(base, 0, "raw")
+        .unionByName(stage(quality, 1, "quality_keep"))
+        .unionByName(stage(exact, 2, "exact_dedup"))
+        .unionByName(stage(nearDup, 3, "neardup_keep"))
+        .unionByName(stage(sampled, 4, "sampled"))
+        .orderBy(col("stage_id"))
+    }),
     // c48 — snapshot drift report over the c46 snapshots: per lang, the
     // L1 distance between v1's and v2's token-count histograms (the
     // monitoring twin of c46's id-level diff — "did the refresh move
@@ -1105,6 +1143,49 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c49_curation_funnel" ->
+      s"""WITH base AS (SELECT doc_id, lang, text, n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |feat AS (SELECT doc_id, lang, text, n_chars, n_tokens,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+         |      AS BIGINT) AS n_distinct,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+         |  FROM base),
+         |q AS (SELECT doc_id, lang, text, n_tokens FROM feat
+         |      WHERE n_chars >= 50 AND n_chars <= 5000
+         |        AND n_alpha * 10 >= n_chars * 6
+         |        AND n_distinct * 10 >= n_tokens * 3),
+         |ex AS (SELECT q.* FROM q
+         |       JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) m
+         |         ON q.doc_id = m.doc_id),
+         |raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ex),
+         |hh AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+         |dg AS (SELECT doc_id, $shDigits FROM hh),
+         |sm AS (SELECT doc_id,
+         |         $shSums
+         |       FROM dg GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $shBits AS fp FROM sm),
+         |ndk AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |nd AS (SELECT ex.* FROM ex JOIN ndk ON ex.doc_id = ndk.doc_id),
+         |samp AS (SELECT nd.* FROM nd
+         |  WHERE (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+         |      < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM base
+         |  UNION ALL SELECT 1, 'quality_keep', CAST(count(*) AS BIGINT),
+         |    CAST(sum(n_tokens) AS BIGINT) FROM q
+         |  UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+         |    CAST(sum(n_tokens) AS BIGINT) FROM ex
+         |  UNION ALL SELECT 3, 'neardup_keep', CAST(count(*) AS BIGINT),
+         |    CAST(sum(n_tokens) AS BIGINT) FROM nd
+         |  UNION ALL SELECT 4, 'sampled', CAST(count(*) AS BIGINT),
+         |    CAST(sum(n_tokens) AS BIGINT) FROM samp)
+         |ORDER BY stage_id""".stripMargin,
     "c48_snapshot_drift" ->
       """WITH v1 AS (SELECT lang,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
@@ -1154,14 +1235,16 @@ object ExtOps {
         |       em.exact_med, sm.kmv_med
         |FROM em JOIN sm ON em.lang = sm.lang ORDER BY em.lang""".stripMargin,
     "c46_snapshot_diff" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 3),
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1, true AS in1
+        |            FROM documents WHERE doc_id % 10 <> 3),
         |v2 AS (SELECT doc_id,
-        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h2,
+        |         true AS in2
         |       FROM documents WHERE doc_id % 10 <> 7),
         |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
-        |        CASE WHEN h1 IS NULL THEN 'added'
-        |             WHEN h2 IS NULL THEN 'removed'
-        |             WHEN h1 <> h2 THEN 'changed'
+        |        CASE WHEN in1 IS NULL THEN 'added'
+        |             WHEN in2 IS NULL THEN 'removed'
+        |             WHEN h1 IS DISTINCT FROM h2 THEN 'changed'
         |             ELSE 'unchanged' END AS status
         |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT doc.lang, d.status, CAST(count(*) AS BIGINT) AS n_docs,

@@ -35,15 +35,12 @@ object IngestDedupStream {
       s"maxHamming=$maxHamming exceeds the 4-band recall guarantee (max 3)")
     val cBanded = Dedup.simhashBands(corpus).selectExpr(
       "doc_id AS db", "b0 AS e0", "b1 AS e1", "b2 AS e2", "b3 AS e3",
-      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
+      Dedup.BandStackSql)
     val bBanded = Dedup.simhashBands(batch).selectExpr(
       "doc_id AS da", "b0 AS a0", "b1 AS a1", "b2 AS a2", "b3 AS a3",
-      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, bv)")
-    val ham = (0 until 4)
-      .map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"e$k"))).cast("long"))
-      .reduce(_ + _)
+      Dedup.BandStackSql)
     bBanded.join(cBanded, Seq("band_id", "bv"))
-      .select(col("da"), col("db"), ham.as("hamming"))
+      .select(col("da"), col("db"), Dedup.hammingExpr.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       // same pair can match on several bands; min == the value (the
       // Hamming distance of a pair is band-independent)

@@ -37,6 +37,16 @@ class HllDistinctSpec extends AnyFunSuite with SparkSpec {
     assert(a == b, "exact-duplicate rows must not change any register")
   }
 
+  test("NULL groups are excluded deliberately, not dropped by the join") {
+    import spark.implicits._
+    val df = Seq((Some("en"), "a"), (Some("en"), "b"), (None, "c"))
+      .toDF("lang", "text")
+    val out = HllDistinct.estimate(df, col("lang"), col("text")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("en"),
+      "exactly the non-null groups appear — nothing half-counted")
+    assert(out.head.getLong(1) == 2L)
+  }
+
   test("numerator constant stays in long range with max-rank headroom") {
     // 33 = 32 hash bits + 1 is the largest rank; Num * 1 register of
     // rank 33 scales the harmonic term to exactly Num >> 0 — the

@@ -40,6 +40,15 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
     assert(ids(merged) == ids(KmvSketch.sample(docs, "lang", col("doc_id"), k)))
   }
 
+  test("NULL ids never enter the sample") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "en"), (Some(2L), "en"), (None, "en"), (None, "en"))
+      .toDF("doc_id", "lang")
+    val s = KmvSketch.sample(df, "lang", col("doc_id"), 3)
+    val got = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), "nulls-first hashes must not crowd out real rows")
+  }
+
   test("plans as the TopKPerKey heap operator, not a window sort") {
     val plan = KmvSketch.sample(docs, "lang", col("doc_id"), 8)
       .queryExecution.executedPlan.toString
