@@ -487,6 +487,39 @@ object ExtOps {
           coalesce(sum(col("n_matches")), lit(0L)).as("n_pairs"))
         .orderBy(col("lang"))
     }),
+    // c50 — collocation mining: the top bigrams by LIFT, where lift is
+    // the PMI family's ratio P(ab)/(P(a)P(b)) kept as an INTEGER
+    // (n_ab·N·1000 div (n_a·n_b)) — no log, no float, so the ranking is
+    // bit-exact cross-engine where real PMI never is. Bigrams ride the
+    // TokenNgrams kernel (one compiled pass, skipEmpty); an n_ab ≥ 5
+    // support floor kills hapax noise, mirrored in the oracle. All
+    // shuffles carry (lang, token/bigram) counts — corpus-size-bounded
+    // by vocabulary, the c23 shape.
+    "c50_collocations" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val toks = d.select(col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      val uni = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n_u"))
+      val tot = uni.groupBy(col("lang")).agg(sum(col("n_u")).as("n_tot"))
+      val bg = d.select(col("lang"),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 2, maxStarts = Int.MaxValue, skipEmpty = true))).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      bg.withColumn("ta", expr("split(bigram, ' ')[0]"))
+        .withColumn("tb", expr("split(bigram, ' ')[1]"))
+        .join(uni.select(col("lang"), col("tok").as("ta"), col("n_u").as("n_a")),
+          Seq("lang", "ta"))
+        .join(uni.select(col("lang"), col("tok").as("tb"), col("n_u").as("n_b")),
+          Seq("lang", "tb"))
+        .join(tot, "lang")
+        .select(col("lang"), col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * n_tot * 1000 div (n_a * n_b)").as("lift_x1000"))
+        .orderBy(col("lift_x1000").desc, col("lang"), col("bigram"))
+        .limit(20)
+    }),
     // c49 — the curation funnel, end to end in ONE DAG: raw → quality
     // keep (c17's integer-exact decision) → exact dedup (min doc_id per
     // content hash, b1's discipline) → near-dup collapse (min doc_id
@@ -1143,6 +1176,32 @@ object ExtOps {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c50_collocations" ->
+      """WITH toks AS (SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_u
+        |        FROM toks GROUP BY lang, tok),
+        |tot AS (SELECT lang, CAST(sum(n_u) AS BIGINT) AS n_tot FROM uni GROUP BY lang),
+        |t AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |      FROM documents),
+        |bg0 AS (SELECT lang,
+        |    unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])) AS bigram
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bg0 GROUP BY lang, bigram HAVING count(*) >= 5),
+        |j AS (SELECT bg.lang, bg.bigram, bg.n_ab, ua.n_u AS n_a, ub.n_u AS n_b,
+        |             tot.n_tot
+        |      FROM bg
+        |      JOIN uni ua ON bg.lang = ua.lang
+        |        AND string_split(bg.bigram, ' ')[1] = ua.tok
+        |      JOIN uni ub ON bg.lang = ub.lang
+        |        AND string_split(bg.bigram, ' ')[2] = ub.tok
+        |      JOIN tot ON bg.lang = tot.lang)
+        |SELECT lang, bigram, n_ab, n_a, n_b,
+        |       (n_ab * n_tot * 1000) // (n_a * n_b) AS lift_x1000
+        |FROM j ORDER BY lift_x1000 DESC, lang, bigram LIMIT 20""".stripMargin,
     "c49_curation_funnel" ->
       s"""WITH base AS (SELECT doc_id, lang, text, n_chars,
          |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)

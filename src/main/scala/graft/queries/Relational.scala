@@ -251,6 +251,26 @@ object Relational {
     // the rewrite this shape exists to avoid at 100 TB. All measures
     // are order-independent (no sums of raw doubles), so cross-engine
     // exactness holds without scaling.
+    // d25 — week-over-week growth: event counts per (type, week index)
+    // with the previous week's count and an integer-permille RATIO
+    // (n·1000 div prev — 1000 = flat; kept positive because Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, so a
+    // negative delta would round differently). The lag window runs over
+    // the AGGREGATED (type, week) table — |types|·|weeks| rows, never
+    // raw events.
+    "d25_wow_growth" -> ((s, dir) => {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val wk = load(s, dir, "events")
+        .select(expr(s"unix_micros(ts) div $weekUs").as("week"), col("event_type"))
+        .groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+          when(col("prev_n").isNotNull,
+            expr("n * 1000 div prev_n")).as("ratio_pml"))
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     // d23 — ordered funnel: view → click → purchase, each step within 7
     // days of the previous, first qualifying event per user per step.
     // Shape: per-step conditional-min aggregates joined back on user_id
@@ -549,6 +569,17 @@ object Relational {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d25_wow_growth" ->
+      """WITH wk AS (SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY event_type, week),
+        |l AS (SELECT event_type, week, n,
+        |        lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |      FROM wk)
+        |SELECT event_type, week, n, prev_n,
+        |       CASE WHEN prev_n IS NOT NULL
+        |            THEN n * 1000 // prev_n END AS ratio_pml
+        |FROM l ORDER BY event_type, week""".stripMargin,
     "d23_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
