@@ -240,12 +240,21 @@ object ExtOps {
     }),
     // c26 — tokenizer-vocabulary coverage (the BPE-prep profile): the
     // minimal vocab size (tokens ranked by frequency) covering 50/90/95/
-    // 99% of token OCCURRENCES. The ranking window runs over the VOCAB
-    // (counts table), which is orders of magnitude smaller than the
-    // corpus — at 100 TB the corpus-side work is one groupBy(token); if
-    // the vocab itself outgrows a task, the c20 two-level prefix sum
-    // applies to it unchanged. Integer cross-multiplication (cum·100 ≥
-    // pct·total) keeps the threshold exact — no float shares.
+    // 99% of token OCCURRENCES. The corpus-side work is one
+    // groupBy(token); the vocab-side ranked cumulative sum is the c20
+    // two-level prefix sum applied to the VOCAB — a global
+    // Window.orderBy would funnel a web-scale vocab (billions of rows)
+    // through ONE task. Level 1: repartitionByRange on the exact sort
+    // key (n desc, tok) — Spark's own global-sort partitioner, whose
+    // sampled boundaries split even the Zipf n=1 tail across token
+    // ranges — then a per-range-partition local row_number + running
+    // sum. Level 2: a ≤ numPartitions-row offset table (rows/tokens in
+    // partitions before each) combined via a broadcast triangular join,
+    // so no WindowExec in the plan is unpartitioned (PlanSpec asserts
+    // this). rn = lrn + rn_off and cum = lcum + cum_off are
+    // bit-identical to the serial spelling — the unchanged oracle proves
+    // it. Integer cross-multiplication (cum·100 ≥ pct·total) keeps the
+    // threshold exact — no float shares.
     "c26_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
       val counts = load(s, dir, "documents")
@@ -253,11 +262,26 @@ object ExtOps {
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       val tot = counts.agg(sum(col("n")).as("total"))
-      val ord = Window.orderBy(col("n").desc, col("tok"))
-      val cum = counts
-        .withColumn("rn", row_number().over(ord).cast("long"))
-        .withColumn("cum", sum(col("n")).over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // partition i holds a contiguous slice of the global (n desc, tok)
+      // order, so global rank = local rank + rows in partitions < i.
+      val parted = counts
+        .repartitionByRange(32, col("n").desc, col("tok"))
+        .withColumn("pid", spark_partition_id())
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("n").desc, col("tok"))
+      val local = parted
+        .withColumn("lrn", row_number().over(wLoc).cast("long"))
+        .withColumn("lcum", sum(col("n")).over(
+          wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bkt = local.groupBy(col("pid"))
+        .agg(count(lit(1)).as("p_rows"), sum(col("n")).as("p_tokens"))
+      val offs = bkt.as("a")
+        .join(broadcast(bkt.as("b")), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.p_rows")), lit(0L)).as("rn_off"),
+          coalesce(sum(col("b.p_tokens")), lit(0L)).as("cum_off"))
+      val cum = local.join(broadcast(offs), Seq("pid"))
+        .withColumn("rn", col("lrn") + col("rn_off"))
+        .withColumn("cum", col("lcum") + col("cum_off"))
       val th = Seq(50L, 90L, 95L, 99L).toDF("pct")
       // cum is increasing in rn, so min(cum) over qualifying rows is the
       // coverage AT the min(rn) vocab cut — one aggregate, no join-back.

@@ -70,14 +70,33 @@ object GroupA {
     }),
 
     // A3 — size-weighted bin packing (reference getSplits greedy packing,
-    // DistExec.java:132-177) as a running-sum window. Partitioned by root
-    // so the window parallelizes (a single global ORDER BY would serialize
-    // at 100 TB).
+    // DistExec.java:132-177) spelled as the TWO-LEVEL distributed prefix
+    // sum (the production R7 shape, Manifest.binPack): a per-root window
+    // alone serializes exactly when it matters — the common single-root
+    // job puts the whole 100 TB tree through ONE task. Level 1: bucket
+    // by a fixed-length prefix of the path-below-root (any fixed prefix
+    // is a coarsening of lexicographic order, so buckets are CONTIGUOUS
+    // in path order; 8 chars ≈ the first directory component here —
+    // prefix length is a knob, Manifest.binPack uses 1), local running
+    // sums per (root, bucket). Level 2: a tiny per-root window over
+    // bucket byte totals provides each bucket's offset. cum = lcum + off
+    // is bit-identical to the serial spelling — the unchanged oracle
+    // proves it.
     "a3_bin_pack" -> ((s, dir) => {
-      val w = Window.partitionBy(col("root")).orderBy(col("path"))
+      val files = manifest(s, dir)
+        .withColumn("bkt", expr("substring(path, length(root) + 2, 8)"))
+      val wLocal = Window.partitionBy(col("root"), col("bkt")).orderBy(col("path"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      manifest(s, dir)
-        .withColumn("cum_bytes", sum(col("length")).over(w))
+      val wOffset = Window.partitionBy(col("root")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = files.groupBy(col("root"), col("bkt"))
+        .agg(sum(col("length")).as("bkt_bytes"))
+        .withColumn("off", coalesce(sum(col("bkt_bytes")).over(wOffset), lit(0L)))
+        .select(col("root"), col("bkt"), col("off"))
+      files
+        .withColumn("lcum", sum(col("length")).over(wLocal))
+        .join(offsets, Seq("root", "bkt"))
+        .withColumn("cum_bytes", col("lcum") + col("off"))
         .withColumn("bin", expr("(cum_bytes - length) div 1048576"))
         .select(col("root"), col("path"), col("length"), col("cum_bytes"), col("bin"))
         .orderBy(col("root"), col("path"))

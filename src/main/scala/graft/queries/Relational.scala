@@ -320,35 +320,81 @@ object Relational {
         .orderBy(col("cohort"), col("offset"))
     }),
 
+    // d22 — one-pass table profile: all 5 columns aggregated in ONE
+    // Aggregate over ONE scan (count / exact countDistinct / min / max
+    // per column; Catalyst plans the 5 exact distincts with a single
+    // Expand + map-side partial dedup, so the shuffle carries only
+    // per-partition distinct values — never the previous spelling's
+    // 5N-row (col_name, v) unpivot through a groupBy). The 1×20
+    // aggregate row is then unpivoted to the 5-row profile — stack over
+    // ONE row, not the corpus. The oracle spells the 5-scan UNION this
+    // avoids.
     "d22_table_profile" -> ((s, dir) => {
-      load(s, dir, "lineitem")
-        .selectExpr(
-          """stack(5,
-            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
-            | 'l_partkey', CAST(l_partkey AS DOUBLE),
-            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
-            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
-            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
-        .groupBy(col("col_name"))
-        .agg(count(col("v")).as("n"),
-          countDistinct(col("v")).as("n_distinct"),
-          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity")
+      val li = load(s, dir, "lineitem")
+        .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"n_$i"),
+          countDistinct(col(c)).as(s"d_$i"),
+          min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+        s"'$c', n_$i, d_$i, mn_$i, mx_$i"
+      }.mkString(", ")
+      one.selectExpr(
+          s"stack(5, $stackArgs) AS (col_name, n, n_distinct, vmin, vmax)")
         .orderBy(col("col_name"))
     }),
 
-    // d8 — exact interpolated percentiles per group: both engines
-    // implement the standard (n−1)·p rank + linear interpolation
-    // definition over the SAME double values, so results hash-match
-    // (approx_percentile/t-digest would not). At 100 TB exact
-    // percentiles are a sort-per-group; the approximate path is a knob
-    // swap, traded here for oracle-checkable exactness.
+    // d8 — exact interpolated percentiles per group: the standard
+    // (n−1)·p rank + linear interpolation definition, hash-matching
+    // DuckDB's quantile_cont (approx_percentile/t-digest would not).
+    // NOT spelled with percentile(): that ImperativeAggregate buffers
+    // every value of a group in ONE aggregation buffer — at 100 TB an
+    // OOM, not a slowdown. Instead the c47 exact-median discipline
+    // generalized: (1) a (event_type, value) HISTOGRAM — the only
+    // corpus-size shuffle, map-side combined; (2) a running count over
+    // the histogram (per-group window over DISTINCT values, spilling
+    // WindowExec state, never a per-group in-memory array); (3) each
+    // percentile's two bracketing ranks (0-indexed floor/ceil of
+    // (n−1)·p) located by a broadcast join — rank k lands in the unique
+    // histogram row with cum−c < k ≤ cum; (4) Spark/DuckDB's shared
+    // interpolation (hi−pos)·v_lo + (pos−lo)·v_hi on those two rows
+    // only. Same doubles, bounded memory.
     "d8_percentiles" -> ((s, dir) => {
-      load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.95)").as("p95"),
-          expr("percentile(value, 0.99)").as("p99"),
-          count(lit(1)).as("n"))
+      import s.implicits._
+      val hist = load(s, dir, "events")
+        .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val ns = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val ps = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)).toDF("p", "frac")
+      val targets = ns.crossJoin(broadcast(ps))
+        .withColumn("pos", (col("n") - 1).cast("double") * col("frac"))
+        .withColumn("lo", floor(col("pos")).cast("long"))
+        .withColumn("hi", ceil(col("pos")).cast("long"))
+      val tk = targets.withColumnRenamed("event_type", "et")
+        .select(col("et"), col("p"), col("pos"), col("lo"), col("hi"), col("n"),
+          explode(array(col("lo") + 1, col("hi") + 1)).as("k"))
+      val br = cum.join(broadcast(tk),
+        col("event_type") === col("et") &&
+          col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      val perP = br.groupBy(col("event_type"), col("p"))
+        .agg(min(when(col("k") === col("lo") + 1, col("value"))).as("v_lo"),
+          min(when(col("k") === col("hi") + 1, col("value"))).as("v_hi"),
+          min(col("pos")).as("pos"), min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"), min(col("n")).as("n"))
+        .withColumn("q", when(col("hi") === col("lo"), col("v_lo"))
+          .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
+            (col("pos") - col("lo").cast("double")) * col("v_hi")))
+      perP.groupBy(col("event_type"))
+        .agg(max(when(col("p") === "p50", col("q"))).as("p50"),
+          max(when(col("p") === "p95", col("q"))).as("p95"),
+          max(when(col("p") === "p99", col("q"))).as("p99"),
+          min(col("n")).as("n"))
         .orderBy(col("event_type"))
     }),
 

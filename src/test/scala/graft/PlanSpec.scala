@@ -95,6 +95,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "a lang-only window may only run over per-bucket aggregates")
   }
 
+  test("c26 vocab coverage: ranked cumsum is range-partitioned, no single-task window") {
+    val q = SparkEntry.queries("c26_vocab_coverage")(spark, dir)
+    val p = q.queryExecution.sparkPlan
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "the ranked cumsum must still be a window")
+    // a Window with an empty partitionSpec is WindowExec's "moving all
+    // data to a single partition" path — a web-scale vocab through one
+    // task. Every window must carry the range-partition id.
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "no window may run unpartitioned; the vocab ranking must ride the " +
+        "range-partition id")
+    assert(p.toString.toLowerCase.contains("rangepartitioning"),
+      "the vocab must be range-partitioned on the sort key so local " +
+        "ranks + a 32-row offset table reconstruct the global rank")
+  }
+
   test("d7 edit distance: blocking tokens are df-capped") {
     val p = plan("d7_edit_distance")
     assert(p.contains(s"<= ${queries.Relational.D7_DF_CAP}"),
