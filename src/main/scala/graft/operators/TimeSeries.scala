@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** (user_id, hour, v) — hourly value sums in cents. */
+  /** (user_id, hour, v) — hourly value sums in cents. Hour-of-day is
+    * integer micros arithmetic, not `hour(ts)` — the d24 discipline: no
+    * date functions for the two engines to disagree on.
+    */
   def hourlyProfile(events: DataFrame): DataFrame =
-    events.select(col("user_id"), hour(col("ts")).as("hour"),
+    events.select(col("user_id"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
       .groupBy(col("user_id"), col("hour"))
       .agg(sum(col("vc")).as("v"))

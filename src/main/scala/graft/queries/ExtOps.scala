@@ -869,7 +869,19 @@ object ExtOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("lang"), col("pack_id"))
-    }))
+    }),
+    // c51 — time-series similarity search: the 20 most-similar user
+    // pairs by exact L1 distance between 24-hour activity profiles,
+    // searched among banded-signature candidates (operators.TimeSeries
+    // — the SimHash banding discipline applied to per-user series; 4 ×
+    // 6-bit bands of the above-average sign bit per hour give full
+    // recall up to signature Hamming 3 by pigeonhole). Every shuffle
+    // carries (band, value) keys or (pair, hour) contributions — the
+    // O(n²) pair space never materializes (PlanSpec: no cartesian).
+    // Integer cents end to end; the oracle replays
+    // profile→signature→bands→L1 exactly.
+    "c51_ts_similar_users" -> ((s, dir) =>
+      graft.operators.TimeSeries.topKSimilarPairs(load(s, dir, "events"), 20)))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -1787,5 +1799,40 @@ object ExtOps {
         |       CAST(sum(height) AS BIGINT) AS sum_height,
         |       CAST(sum(frames) AS BIGINT) AS sum_frames,
         |       CAST(sum(least(frames, 8)) AS BIGINT) AS sum_sampled
-        |FROM f GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+    // c51 replay: hourly cents profile → 24-bit above-average signature
+    // → 4 × 6-bit bands → distinct candidate pairs → sparse L1 (signed
+    // per-hour contributions, |·| summed) → total-order top 20.
+    "c51_ts_similar_users" ->
+      """WITH prof AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS tot FROM prof GROUP BY 1),
+        |sig AS (
+        |  SELECT p.user_id,
+        |         CAST(sum(CASE WHEN p.v * 24 > t.tot
+        |                       THEN (CAST(1 AS BIGINT) << CAST(p.hour AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS sig
+        |  FROM prof p JOIN tot t USING (user_id) GROUP BY p.user_id),
+        |banded AS (
+        |  SELECT user_id, b.band_id,
+        |         CASE b.band_id WHEN 0 THEN sig & 63 WHEN 1 THEN (sig >> 6) & 63
+        |              WHEN 2 THEN (sig >> 12) & 63 ELSE (sig >> 18) & 63 END AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+        |cand AS (
+        |  SELECT DISTINCT a.user_id AS da, b.user_id AS db
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id),
+        |contrib AS (
+        |  SELECT c.da, c.db, p.hour, p.v AS x
+        |  FROM cand c JOIN prof p ON p.user_id = c.da
+        |  UNION ALL
+        |  SELECT c.da, c.db, p.hour, -p.v AS x
+        |  FROM cand c JOIN prof p ON p.user_id = c.db),
+        |d AS (SELECT da, db, hour, CAST(sum(x) AS BIGINT) AS d
+        |      FROM contrib GROUP BY 1, 2, 3)
+        |SELECT da, db, CAST(sum(abs(d)) AS BIGINT) AS l1_cents
+        |FROM d GROUP BY da, db
+        |ORDER BY l1_cents, da, db LIMIT 20""".stripMargin)
 }

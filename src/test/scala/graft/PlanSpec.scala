@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         "ranks + a 32-row offset table reconstruct the global rank")
   }
 
+  test("c51 ts similarity: banded candidate join, no all-pairs product") {
+    val p = plan("c51_ts_similar_users")
+    assert(!p.contains("CartesianProduct"),
+      "the user-pair space must come from the band-bucket join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must join on (band_id, band_value) equi-keys")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must ride a bounded heap, not a global sort")
+  }
+
   test("d7 edit distance: blocking tokens are df-capped") {
     val p = plan("d7_edit_distance")
     assert(p.contains(s"<= ${queries.Relational.D7_DF_CAP}"),
