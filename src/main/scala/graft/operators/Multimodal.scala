@@ -151,6 +151,106 @@ object Multimodal {
     else Some((sampleRate, channels, bits, dataSize / blockAlign))
   }
 
+  private def be24(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xFF) << 16) | ((p(i + 1) & 0xFF) << 8) | (p(i + 2) & 0xFF)
+
+  private[operators] def looksLikeFlac(p: Array[Byte]): Boolean =
+    p.length >= 42 &&
+      p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+
+  /** FLAC STREAMINFO parse — fixed-offset byte arithmetic like the WAV
+    * path, no codec: the mandatory first metadata block (type 0, ≥ 34
+    * bytes) packs sample rate (20 bits), channels−1 (3), bits−1 (5) and
+    * total samples (36) at bytes 10–17 of the block. None on malformed
+    * or truncated headers — caller falls back, job continues.
+    */
+  private[operators] def flacInfo(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (!looksLikeFlac(p)) return None
+    // metadata block header at 4: 1 bit last-block, 7 bits type (must be
+    // 0 = STREAMINFO first, per spec), 24-bit BE length ≥ 34
+    if ((p(4) & 0x7F) != 0 || be24(p, 5) < 34) return None
+    val s = 8 // STREAMINFO data start
+    val b = (i: Int) => p(s + i) & 0xFF
+    val rate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+    val channels = ((b(12) >> 1) & 7) + 1
+    val bits = (((b(12) & 1) << 4) | (b(13) >> 4)) + 1
+    val nSamples = ((b(13) & 0x0F).toLong << 32) |
+      ((b(14).toLong << 24) | (b(15) << 16) | (b(16) << 8) | b(17))
+    if (rate <= 0) None else Some((rate, channels, bits, nSamples))
+  }
+
+  /** MPEG-audio bitrate table, kbps: (versionBits, layerBits) → index
+    * 1–14. Version bits: 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5; layer bits:
+    * 3 = Layer I, 2 = Layer II, 1 = Layer III (ISO/IEC 11172-3 header).
+    */
+  private val Mp3Bitrates: Map[(Int, Int), Array[Int]] = {
+    val v1l1 = Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val v1l2 = Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val v1l3 = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l1 = Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val v2l23 = Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    Map((3, 3) -> v1l1, (3, 2) -> v1l2, (3, 1) -> v1l3,
+      (2, 3) -> v2l1, (2, 2) -> v2l23, (2, 1) -> v2l23,
+      (0, 3) -> v2l1, (0, 2) -> v2l23, (0, 1) -> v2l23)
+  }
+
+  private val Mp3Rates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000)) // MPEG2.5
+
+  private[operators] def looksLikeMp3(p: Array[Byte]): Boolean =
+    (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
+      (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xE0) == 0xE0)
+
+  /** MP3 frame-header parse — version/layer/bitrate/samplerate from the
+    * first sync frame (after skipping an ID3v2 tag: syncsafe 28-bit
+    * size, +10 footer when flagged), then the standard CBR estimate:
+    * frames = data / frameLen, frameLen = spf/8·bitrate/rate (+pad).
+    * bits_per_sample is 0 — not a PCM concept for a lossy codec. Pure
+    * table+integer arithmetic; None on malformed headers.
+    */
+  private[operators] def mp3Info(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (!looksLikeMp3(p)) return None
+    var off = 0
+    if (p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val syncsafe = ((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+        ((p(8) & 0x7F) << 7) | (p(9) & 0x7F)
+      off = 10 + syncsafe + (if ((p(5) & 0x10) != 0) 10 else 0)
+      if (off < 0) return None // hostile tag size wrapping int
+    }
+    // bounded forward scan for the first frame sync (files pad after the
+    // tag); 2 KiB keeps hostile payloads from turning this into O(n)
+    val limit = math.min(off + 2048L, p.length.toLong - 4L)
+    while (off <= limit &&
+      !((p(off) & 0xFF) == 0xFF && (p(off + 1) & 0xE0) == 0xE0)) off += 1
+    if (off > limit) return None
+    val h = be32(p, off)
+    val ver = ((h >> 19) & 3).toInt
+    val layer = ((h >> 17) & 3).toInt
+    val brIdx = ((h >> 12) & 15).toInt
+    val srIdx = ((h >> 10) & 3).toInt
+    val pad = ((h >> 9) & 1).toInt
+    if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+      return None // reserved / free-format / bad — not parseable headers
+    val kbps = Mp3Bitrates((ver, layer))(brIdx - 1)
+    val rate = Mp3Rates(ver)(srIdx)
+    val channels = if (((h >> 6) & 3) == 3) 1 else 2
+    // samples per frame: Layer I 384; Layer II 1152; Layer III 1152
+    // (MPEG1) / 576 (MPEG2/2.5)
+    val spf = layer match {
+      case 3 => 384
+      case 2 => 1152
+      case _ => if (ver == 3) 1152 else 576
+    }
+    val frameLen =
+      if (layer == 3) (12 * kbps * 1000 / rate + pad) * 4
+      else spf / 8 * kbps * 1000 / rate + pad
+    if (frameLen <= 0) return None
+    val nFrames = (p.length - off).toLong / frameLen
+    Some((rate, channels, nFrames * spf))
+  }
+
   /** Deterministic fake audio decode for non-WAV payloads (same role as
     * [[decodeStub]] for non-image payloads).
     */
@@ -161,15 +261,29 @@ object Multimodal {
       n_samples = n / 2, duration_ms = (n / 2) * 1000 / 8000)
   }
 
-  /** Decode one audio row: real RIFF header fields for WAV payloads,
-    * stub arithmetic otherwise.
+  /** Decode one audio row: real header fields for WAV (RIFF chunks),
+    * FLAC (STREAMINFO) and MP3 (frame header + CBR estimate) payloads —
+    * all pure byte arithmetic; the stub only remains for genuinely
+    * unknown payloads.
     */
   def decodeAudio(r: MediaRow): AudioFeatures = wavInfo(r.payload) match {
     case Some((rate, ch, bits, nSamples)) =>
       AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
         sample_rate = rate, channels = ch, bits_per_sample = bits,
         n_samples = nSamples, duration_ms = nSamples * 1000L / rate)
-    case None => audioStub(r)
+    case None => flacInfo(r.payload) match {
+      case Some((rate, ch, bits, nSamples)) =>
+        AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          sample_rate = rate, channels = ch, bits_per_sample = bits,
+          n_samples = nSamples, duration_ms = nSamples * 1000L / rate)
+      case None => mp3Info(r.payload) match {
+        case Some((rate, ch, nSamples)) =>
+          AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
+            sample_rate = rate, channels = ch, bits_per_sample = 0,
+            n_samples = nSamples, duration_ms = nSamples * 1000L / rate)
+        case None => audioStub(r)
+      }
+    }
   }
 
   /** Audio feature extraction over a typed media Dataset — the audio

@@ -52,9 +52,13 @@ object Sampling {
     * row itself (a quality score, a length ramp, a source prior). The
     * quality-weighted corpus downsample every curation pipeline runs —
     * same replayability contract as [[stratifiedSample]], generalized
-    * from per-stratum constants to per-row weights. E[kept] = Σ w/256
-    * exactly, so the caller can audit actual vs expected counts.
+    * from per-stratum constants to per-row weights. Weights are clamped
+    * to [0, 256] (keep-probability is a probability): w > 256 keeps
+    * always, w < 0 drops always — the clamp makes that explicit, so
+    * E[kept] = Σ clamp(w)/256 holds EXACTLY for any input and the
+    * caller's actual-vs-expected audit (c37) never silently drifts on
+    * out-of-range weights.
     */
   def weightedSample(df: DataFrame, key: Column, weight256: Column): DataFrame =
-    df.filter(hashGate(key) < weight256)
+    df.filter(hashGate(key) < greatest(lit(0), least(lit(256), weight256)))
 }

@@ -159,7 +159,9 @@ object Similarity {
     * assignment; each query searches its `nProbe` closest cells (its own
     * plus the next nProbe−1 by centroid cosine — single-probe missed
     * ~70% of true neighbors on the synthetic data because near-boundary
-    * neighbors land one cell over). Every step is exact scaled-long
+    * neighbors land one cell over; the shipped c12 config is 5 probes of
+    * 8 cells, recall ≥ 0.9 asserted, swept in IvfSweep). Every step is
+    * exact scaled-long
     * arithmetic, so the DuckDB oracle replays the training loop
     * bit-for-bit. The centroid table is tiny and broadcast at each step;
     * the cell id is the join key, so at 100 TB each query touches

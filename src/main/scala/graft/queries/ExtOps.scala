@@ -43,7 +43,14 @@ object ExtOps {
     "c9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))),
     "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
     "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
-    "c12_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8)),
+    // c12 config: 8 cells × 5 probes. The synthetic embeddings are
+    // near-uniform (no cluster structure), so recall tracks the scanned
+    // fraction — the IvfSweep harness measured 0.93/0.90 recall@3 at
+    // sf0.001/0.01 for this config (floor ≥ 0.9 asserted in
+    // SimilaritySpec; clustered real-world corpora reach it at far
+    // smaller probe fractions).
+    "c12_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8, 2, 5)),
     // c28 — int8-quantized ANN: the memory-scale path (64 bytes/vector).
     // Same query batch as c5, so SimilaritySpec can measure quantization
     // recall against the exact baseline.
@@ -540,7 +547,13 @@ object ExtOps {
           Seq("lang", "tb"))
         .join(tot, "lang")
         .select(col("lang"), col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-          expr("n_ab * n_tot * 1000 div (n_a * n_b)").as("lift_x1000"))
+          // the numerator is widened to DECIMAL(38,0) (oracle: HUGEINT):
+          // at a 100 TB corpus n_ab·n_tot·1000 ≈ 1e12·1e12·1e3 = 1e27
+          // overflows BIGINT — Spark would wrap silently in non-ANSI
+          // mode while DuckDB errors. Exact 128-bit products keep the
+          // division identical at every scale.
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tot * 1000 " +
+            "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_x1000"))
         .orderBy(col("lift_x1000").desc, col("lang"), col("bigram"))
         .limit(20)
     }),
@@ -806,8 +819,13 @@ object ExtOps {
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
           .cast("long").as("ym"))
+        // revenue stays the SCALED INTEGER (cents × discount-x10000 =
+        // micros of currency): a double division here would be
+        // bit-identical to the oracle's exact-decimal sum only while
+        // the per-group sum stays under 2^53 — a latent sf100-scale
+        // precision break. Presentation divides by 1e6.
         .agg(count(lit(1)).as("n_items"),
-          (sum(col("pd")).cast("double") / 1.0e6).as("revenue"))
+          sum(col("pd")).as("revenue_micros"))
         .orderBy(col("ym"))
     }),
     // c38 — z-order locality profile: interleave (user_id, event-time)
@@ -1236,7 +1254,8 @@ object ExtOps {
         |        AND string_split(bg.bigram, ' ')[2] = ub.tok
         |      JOIN tot ON bg.lang = tot.lang)
         |SELECT lang, bigram, n_ab, n_a, n_b,
-        |       (n_ab * n_tot * 1000) // (n_a * n_b) AS lift_x1000
+        |       CAST((CAST(n_ab AS HUGEINT) * n_tot * 1000)
+        |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_x1000
         |FROM j ORDER BY lift_x1000 DESC, lang, bigram LIMIT 20""".stripMargin,
     "c49_curation_funnel" ->
       s"""WITH base AS (SELECT doc_id, lang, text, n_chars,
@@ -1493,8 +1512,9 @@ object ExtOps {
     "c36_bloom_join" ->
       """SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
         |       CAST(count(*) AS BIGINT) AS n_items,
-        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-        |                CAST(1 - l.l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue
+        |       CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                CAST(CAST(1 - l.l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT))
+        |         AS BIGINT) AS revenue_micros
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY ym ORDER BY ym""".stripMargin,
@@ -1710,7 +1730,7 @@ object ExtOps {
         |  FROM cos)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2,
-      nProbe = 3),
+      nProbe = 5),
     // c28 oracle: replays the int8 quantization — double multiply/divide
     // (left-assoc, IEEE-identical), half-away DECIMAL(16,0) cast, exact
     // integer dot sums (< 2^53), same /1e8 normalization tree as c5.

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * run, every retry, and every engine — so downstream loaders can cache,
   * diff, or resume per shard. `repartition(n, shard)` makes shard
   * placement the ONLY shuffle, and the within-partition sort makes each
-  * file's line order deterministic too. Parquet stays the processing
+  * file's line order deterministic too — including among DUPLICATE
+  * keys: the sort carries a content-hash tiebreak (md5 of the whole
+  * row's json), so key ties still land in one fixed order, and rows
+  * identical in every column are interchangeable by construction.
+  * Parquet stays the processing
   * format ([[CorpusSink]]); this is the hand-off boundary.
   */
 object JsonlSink {
@@ -34,7 +38,8 @@ object JsonlSink {
       gzip: Boolean = false): Unit = {
     val out = df.withColumn("shard", shardOf(key, nShards))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), key)
+      .sortWithinPartitions(col("shard"), key,
+        md5(to_json(struct(df.columns.map(col): _*))))
     val w = out.write.mode("overwrite").partitionBy("shard")
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }

@@ -17,9 +17,13 @@ import graft.functions.CountMinSketchAgg
   * CountMinSketchAggSpec) to `CountMinSketchAgg.bucket`, so the final
   * streamed counter table equals the batch sketch array cell for cell —
   * HeavyHitterStreamSpec asserts exactly that. A point estimate is then
-  * `min over d of cnt` exactly as in batch; ingest-time heavy-hitter
-  * gating (e.g. "flag tokens past a threshold while loading") reads the
-  * same table.
+  * `min over d of cnt` exactly as in batch — with the caveat that this
+  * table only materializes cells with cnt > 0: a token whose (d, b)
+  * cell is ABSENT has count 0 there, and the min must include it. Probe
+  * with a LEFT join + coalesce(cnt, 0) (as the spec does), never an
+  * inner join, or a zero cell silently drops out of the min and the
+  * estimate overcounts. Ingest-time heavy-hitter gating (e.g. "flag
+  * tokens past a threshold while loading") reads the same table.
   */
 object HeavyHitterStream {
 

@@ -48,15 +48,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     val standIn = recall(0, 1)
     val kmeans = recall(2, 1)
-    val multi = recall(2, 3)
+    val multi = recall(2, 5)
     info(f"recall@3: stand-in $standIn%.3f, k-means single-probe $kmeans%.3f, " +
-      f"3-probe $multi%.3f")
+      f"5-probe $multi%.3f")
     assert(kmeans >= standIn)
-    // the shipped c12 config (8 cells, 2 Lloyd iters, 3 probes): the
-    // index must find most true neighbors while scanning ~3/8 of the
-    // corpus per query
+    // the shipped c12 config (8 cells, 2 Lloyd iters, 5 probes — swept
+    // in IvfSweep): production-grade recall, same floor c28 holds
+    // itself to. The synthetic embeddings are near-uniform, so recall
+    // tracks the scanned fraction; clustered real corpora reach the
+    // floor at much smaller probe fractions.
     assert(multi >= kmeans)
-    assert(multi >= 0.7)
+    assert(multi >= 0.9)
   }
 
   test("int8-quantized ANN recalls nearly all exact top-k neighbors") {
