@@ -341,7 +341,9 @@ object DistExecJob {
     def created: Boolean = out != null
   }
 
-  private def executeOne(
+  // private[operators] so DistExecJobSpec can race two attempts of the
+  // same file head-on (the speculation scenario) without reflection
+  private[operators] def executeOne(
       conf: Configuration,
       dstFs: FileSystem,
       e: FileEntry,

@@ -200,4 +200,50 @@ class DistExecJobSpec extends AnyFunSuite with SparkSpec {
     val lines = spark.read.textFile(logPath.toString).collect()
     assert(lines.length == 3 && lines.forall(_.startsWith("FAIL ")))
   }
+
+  test("speculation race: two attempts of one file — last rename wins, no partial output") {
+    // The R15/R20 claim driven adversarially: Spark speculation runs the
+    // SAME file in two concurrent attempts. Each writes an
+    // attempt-unique tmp and atomically renames into place, so the
+    // surviving dst must be one attempt's COMPLETE output — never a
+    // torn interleave, never a leftover tmp. Repeat to shake
+    // interleavings.
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val conf = new Configuration()
+    val payload = "speculation payload\n" * 200
+    for (round <- 1 to 10) {
+      val src = Files.createTempDirectory(s"graft-spec-src$round")
+      Files.writeString(src.resolve("f.txt"), payload)
+      val dst = tmpDst()
+      Files.createDirectories(dst)
+      val dstFs = new Path(dst.toString).getFileSystem(conf)
+      val entry = graft.fs.FileEntry(src.resolve("f.txt").toString,
+        src.toString, "f.txt", payload.length.toLong, isDir = false, 0L)
+      val tmpRoot = dst.resolve("_distexec_tmp_race").toString
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[ExecStatus]()
+      val threads = Seq("0-1", "1-2").map { attempt =>
+        new Thread(() => {
+          barrier.await()
+          results.add(DistExecJob.executeOne(conf, dstFs, entry, dst.toString,
+            tmpRoot, attempt, "cat", redirectErrorToOut = false,
+            acceptExitCodes = Set(0), special = false))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val rs = results.toArray(Array.empty[ExecStatus])
+      assert(rs.exists(_.ok), s"round $round: at least one attempt must publish")
+      // the dst file is exactly one attempt's complete output
+      assert(Files.readString(dst.resolve("f.txt")) == payload,
+        s"round $round: dst must be a complete copy, never torn")
+      // no attempt-tmp residue anywhere under dst
+      val leftovers = Files.walk(dst).iterator()
+      val tmps = Iterator.continually(leftovers)
+        .takeWhile(_.hasNext).map(_.next().toString)
+        .filter(p => p.contains("_distexec_tmp_race/") && !Files.isDirectory(java.nio.file.Paths.get(p)))
+        .toList
+      assert(tmps.isEmpty, s"round $round: tmp residue $tmps")
+    }
+  }
 }
