@@ -320,31 +320,29 @@ object Relational {
         .orderBy(col("cohort"), col("offset"))
     }),
 
-    // d22 — one-pass table profile: all 5 columns aggregated in ONE
-    // Aggregate over ONE scan (count / exact countDistinct / min / max
-    // per column; Catalyst plans the 5 exact distincts with a single
-    // Expand + map-side partial dedup, so the shuffle carries only
-    // per-partition distinct values — never the previous spelling's
-    // 5N-row (col_name, v) unpivot through a groupBy). The 1×20
-    // aggregate row is then unpivoted to the 5-row profile — stack over
-    // ONE row, not the corpus. The oracle spells the 5-scan UNION this
-    // avoids.
+    // d22 — table profile: ONE scan, stack() unpivot to (col_name, v),
+    // then count/exact-distinct/min/max per column. The oracle spells
+    // the 5-scan UNION this avoids. The alternative single multi-
+    // distinct Aggregate (5 countDistincts in one agg) was A/B'd
+    // (D22Ab, sf0.1 warm): Catalyst plans it as an Expand to the same
+    // 5N rows but evaluates 20 aggregate expressions over the wider
+    // expanded row — consistently ~1.5× SLOWER (1.65 s vs 1.12 s) with
+    // identical shuffle mass (both partial-dedup (column, value) pairs
+    // map-side), so the stack spelling stays. Both are scale-safe: the
+    // shuffle carries only distinct pairs either way.
     "d22_table_profile" -> ((s, dir) => {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "l_quantity")
-      val li = load(s, dir, "lineitem")
-        .select(cols.map(c => col(c).cast("double").as(c)): _*)
-      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(count(col(c)).as(s"n_$i"),
-          countDistinct(col(c)).as(s"d_$i"),
-          min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
-      }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-        s"'$c', n_$i, d_$i, mn_$i, mx_$i"
-      }.mkString(", ")
-      one.selectExpr(
-          s"stack(5, $stackArgs) AS (col_name, n, n_distinct, vmin, vmax)")
+      load(s, dir, "lineitem")
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"))
+        .agg(count(col("v")).as("n"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
         .orderBy(col("col_name"))
     }),
 
