@@ -899,7 +899,75 @@ object ExtOps {
     // Integer cents end to end; the oracle replays
     // profile→signature→bands→L1 exactly.
     "c51_ts_similar_users" -> ((s, dir) =>
-      graft.operators.TimeSeries.topKSimilarPairs(load(s, dir, "events"), 20)))
+      graft.operators.TimeSeries.topKSimilarPairs(load(s, dir, "events"), 20)),
+    // c52 — static mixture reweighting (the data-mixing step a
+    // DoReMi-style pipeline runs before sampling): per source, compare
+    // actual token mass to a UNIFORM target share and emit the sampling
+    // weight that equalizes the mixture — weight_x1000 = min(1000,
+    // target·1000 div actual): never upsample past 1.0, keep-all for
+    // under-represented sources — plus the effective token count the
+    // weight yields. Distinct from c33 (apply a fixed budget) and c30
+    // (fixed row quota): this COMPUTES the mixture from the corpus
+    // itself. One scan + one per-source aggregate; the corpus total
+    // rides a broadcast of the tiny per-source table. Integer-exact
+    // end to end (integer division mirrored in the oracle); products
+    // stay < 2^63 up to ~10^15-token corpora (target·1000 ≈ 10^15·1000),
+    // far past 100 TB of text.
+    "c52_mixture_weights" -> ((s, dir) => {
+      val perSrc = load(s, dir, "documents")
+        .select(col("source"),
+          size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("actual_tokens"))
+      val tot = perSrc.agg(sum(col("actual_tokens")).as("tot_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("tot_tokens div n_sources"))
+        .withColumn("weight_x1000", expr(
+          "least(CAST(1000 AS BIGINT), target_tokens * 1000 div greatest(actual_tokens, 1))"))
+        .withColumn("effective_tokens",
+          expr("actual_tokens * weight_x1000 div 1000"))
+        .select(col("source"), col("n_docs"), col("actual_tokens"),
+          col("target_tokens"), col("weight_x1000"), col("effective_tokens"))
+        .orderBy(col("source"))
+    }),
+    // c53 — document rarity scoring: mean corpus document-frequency of
+    // a doc's tokens — the log-free surprisal proxy quality pipelines
+    // use to flag gibberish (rare-token-heavy docs score LOW mean df;
+    // c17/c8 catch length/shape outliers, this catches vocabulary
+    // outliers). Per lang: doc count, docs rarer than the lang average
+    // — the comparison is the integer cross-multiply sum_df·lang_toks <
+    // n_toks·lang_df in DECIMAL(38,0) (no division, no float, exact at
+    // any corpus size) — and the lang df rate as a ×1000 integer
+    // division. Shapes: token→df is a vocab-keyed aggregate; df joins
+    // back by token (keyed shuffle join — the posting table is
+    // vocab-sized, NEVER broadcast at scale); per-doc and per-lang
+    // aggregates are map-side partial. No df cap needed: unlike the
+    // pair queries (b2/c3/c27) nothing here is quadratic in df — each
+    // token row joins exactly one df row.
+    "c53_rarity_score" -> ((s, dir) => {
+      val toks = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dfTab = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val perDoc = toks.join(dfTab, "tok")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("df")).as("sum_df"))
+      val perLang = perDoc.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("lang_toks"), sum(col("sum_df")).as("lang_df"))
+      perDoc.join(broadcast(perLang), "lang")
+        .withColumn("is_rare", when(
+          expr("CAST(sum_df AS DECIMAL(38,0)) * lang_toks" +
+            " < CAST(n_toks AS DECIMAL(38,0)) * lang_df"), 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_rare")).as("n_rare_docs"),
+          max(col("lang_toks")).as("lang_tokens"),
+          expr("CAST(CAST(max(lang_df) AS DECIMAL(38,0)) * 1000" +
+            " div max(lang_toks) AS BIGINT)").as("avg_df_x1000"))
+        .orderBy(col("lang"))
+    }))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -1854,5 +1922,43 @@ object ExtOps {
         |      FROM contrib GROUP BY 1, 2, 3)
         |SELECT da, db, CAST(sum(abs(d)) AS BIGINT) AS l1_cents
         |FROM d GROUP BY da, db
-        |ORDER BY l1_cents, da, db LIMIT 20""".stripMargin)
+        |ORDER BY l1_cents, da, db LIMIT 20""".stripMargin,
+    "c52_mixture_weights" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_tokens) AS BIGINT) AS actual_tokens
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(actual_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM s),
+        |w AS (SELECT source, n_docs, actual_tokens,
+        |             tot_tokens // n_sources AS target_tokens,
+        |             least(CAST(1000 AS BIGINT), (tot_tokens // n_sources) * 1000
+        |                   // greatest(actual_tokens, 1)) AS weight_x1000
+        |      FROM s CROSS JOIN t)
+        |SELECT source, n_docs, actual_tokens,
+        |       CAST(target_tokens AS BIGINT) AS target_tokens,
+        |       CAST(weight_x1000 AS BIGINT) AS weight_x1000,
+        |       CAST(actual_tokens * weight_x1000 // 1000 AS BIGINT) AS effective_tokens
+        |FROM w ORDER BY source""".stripMargin,
+    "c53_rarity_score" ->
+      """WITH raw AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |perdoc AS (SELECT t.lang, t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |                  CAST(sum(df) AS BIGINT) AS sum_df
+        |           FROM toks t JOIN dft ON t.tok = dft.tok GROUP BY 1, 2),
+        |perlang AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_toks,
+        |                   CAST(sum(sum_df) AS BIGINT) AS lang_df
+        |            FROM perdoc GROUP BY lang)
+        |SELECT p.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (CAST(sum_df AS HUGEINT) * lang_toks
+        |            < CAST(n_toks AS HUGEINT) * lang_df) AS BIGINT) AS n_rare_docs,
+        |       CAST(max(lang_toks) AS BIGINT) AS lang_tokens,
+        |       CAST(CAST(max(lang_df) AS HUGEINT) * 1000 // max(lang_toks) AS BIGINT)
+        |         AS avg_df_x1000
+        |FROM perdoc p JOIN perlang l ON p.lang = l.lang
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin)
 }

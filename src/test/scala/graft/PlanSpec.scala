@@ -247,6 +247,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("c52 mixture: 1-row corpus total broadcasts; per-source aggs partial") {
+    val p = plan("c52_mixture_weights")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast (like c19's nDf), not shuffle")
+    assert(p.contains("HashAggregate"),
+      "the per-source token sums must hash-aggregate map-side")
+  }
+
+  test("c53 rarity: df joins by token key — no cartesian, no nested loop") {
+    val p = plan("c53_rarity_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "token→df must be a keyed join; the vocab table never nested-loops")
+    assert(p.contains("HashAggregate"),
+      "df and per-doc sums must hash-aggregate (map-side partials)")
+  }
+
   test("c47 KMV: sample rides bounded TopKPerKey heaps, windows stay off raw rows") {
     val p = plan("c47_kmv_quantile")
     assert(p.contains("TopKPerKey"), "the sample must use the heap operator")
