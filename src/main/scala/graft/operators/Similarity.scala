@@ -36,7 +36,7 @@ object Similarity {
     * decimal(12,4) quantization as an exact scaled long, so the fold runs
     * in primitive long arithmetic instead of BigDecimal.
     */
-  private def scaled(a: String): String =
+  private[graft] def scaled(a: String): String =
     s"transform($a, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT))"
 
   /** Exact dot product of two pre-scaled long-array columns (|sum| ≤
@@ -48,7 +48,7 @@ object Similarity {
     * huge-method JIT limit (~25 µs/pair interpreted); the loop is ~100
     * ns/pair and keeps the pair join inside whole-stage codegen.
     */
-  private def dot(a: String, b: String): Column = {
+  private[graft] def dot(a: String, b: String): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(graft.functions.LongArrayDot(
       GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
@@ -56,9 +56,9 @@ object Similarity {
   }
 
   /** L2 norm of a pre-scaled long-array column. */
-  private def norm(a: String): Column = sqrt(dot(a, a))
+  private[graft] def norm(a: String): Column = sqrt(dot(a, a))
 
-  private def topK(cos: DataFrame, k: Int): DataFrame = {
+  private[graft] def topK(cos: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cos.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -115,7 +115,7 @@ object Similarity {
     * the cell ASSIGNMENT; ranks 2..P are the extra cells a multi-probe
     * query searches.
     */
-  private def rankCells(base: DataFrame, centroids: DataFrame, maxRank: Int): DataFrame = {
+  private[graft] def rankCells(base: DataFrame, centroids: DataFrame, maxRank: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     base.crossJoin(broadcast(centroids))
@@ -175,7 +175,7 @@ object Similarity {
     * round N never recomputes rounds 1..N−1 (and the broadcast of the
     * centroid table ships 8 rows, not a plan).
     */
-  private def trained(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
+  private[graft] def trained(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
     val seed = base.filter(col("vec_id") < nCells)

@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+  test("probe from the persisted layout equals the in-memory ivfTopK") {
+    val e = spark.read.parquet(emb)
+    val dir = Files.createTempDirectory("ivfidx").toFile.getAbsolutePath
+    IvfIndexLayout.write(e, dir, nCells = 8, lloydIters = 2)
+
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val fromIndex = IvfIndexLayout.probe(spark, dir, queries, k = 3, nProbe = 5)
+      .collect().map(_.toString).toSeq
+    val inMemory = Similarity
+      .ivfTopK(e, queryMod = 50, k = 3, nCells = 8, lloydIters = 2, nProbe = 5)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex == inMemory,
+      "persisted-index probe must replay the exact in-memory IVF result")
+  }
+
+  test("probe scan mass is the probed cells only (partition pruning)") {
+    val e = spark.read.parquet(emb)
+    val dir = Files.createTempDirectory("ivfidx2").toFile.getAbsolutePath
+    IvfIndexLayout.write(e, dir, nCells = 8, lloydIters = 2)
+
+    // one query, 2 probes → at most 2 of the 8 cell directories
+    val one = e.filter(col("vec_id") === 0)
+    val cells = IvfIndexLayout.probedCells(spark, dir, one, nProbe = 2)
+    assert(cells.size <= 2, s"one query with nProbe=2 probes ${cells.size} cells")
+
+    def filesUnder(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles.toSeq.flatMap(filesUnder)
+      else if (d.getName.endsWith(".parquet")) Seq(d) else Nil
+    val vecDir = new java.io.File(s"$dir/vectors")
+    val total = filesUnder(vecDir).size
+    val probed = vecDir.listFiles
+      .filter(f => cells.map(c => s"cell=$c").contains(f.getName))
+      .toSeq.flatMap(filesUnder).size
+    assert(probed < total,
+      s"probed cells must cover strictly fewer files ($probed vs $total)")
+
+    // and the scan plan carries the cell partition filter, so Spark
+    // never lists the non-probed directories into the scan
+    val plan = IvfIndexLayout.probe(spark, dir, one, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"vector scan must prune on the cell partition column:\n$plan")
+  }
+}
