@@ -110,25 +110,65 @@ object Similarity {
     topK(cos, k)
   }
 
-  /** Rank `centroids(cid, ce, cn)` per vector of `base(vec_id, ie, nv)`
-    * by cosine (ties → lowest cid), keeping ranks 1..`maxRank`. Rank 1 is
-    * the cell ASSIGNMENT; ranks 2..P are the extra cells a multi-probe
-    * query searches.
+  /** One trained centroid, collected to the driver: id, quantized-mean
+    * scaled-long vector, norm. The set is BOUNDED by the index parameter
+    * `nCells` (8 here; thousands at 100 TB — still kilobytes), which is
+    * what makes the driver-side collect sanctioned: every production IVF
+    * implementation ships its centroid codebook to the planner.
     */
-  private[graft] def rankCells(base: DataFrame, centroids: DataFrame, maxRank: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    base.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("ie"), col("nv"), col("cid"),
-        (dot("ie", "ce") / (col("nv") * col("cn"))).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= maxRank)
-      .select(col("vec_id"), col("ie"), col("nv"), col("cid").as("cell"), col("arn"))
+  private[graft] case class Cent(cid: Long, ce: Seq[Long], cn: Double)
+
+  private def collectCents(df: DataFrame): Seq[Cent] =
+    df.select(col("cid").cast("long"), col("ce"), col("cn")).collect()
+      .map(r => Cent(r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .toSeq.sortBy(_.cid)
+
+  /** Cosine of the `ie` column against one LITERAL centroid vector —
+    * the same LongArrayDot codegen loop as the pair path, with the
+    * centroid as a constant array operand.
+    */
+  private def cosLit(c: Cent): Column = {
+    import org.apache.spark.sql.GraftBridge
+    (GraftBridge.column(graft.functions.LongArrayDot(
+      GraftBridge.expression(col("ie")), GraftBridge.expression(lit(c.ce.toArray))))
+      .cast("double") / 1.0e8) / (col("nv") * c.cn)
   }
 
-  /** Assign every vector to its max-cosine centroid (rank-1 cell). */
-  private def assignCells(base: DataFrame, centroids: DataFrame): DataFrame =
-    rankCells(base, centroids, 1).drop("arn")
+  /** Cell ASSIGNMENT as a pure projection: argmax over the literal
+    * centroids as ONE linear expression — `array_max` over (cos, −cid)
+    * structs, so the max cosine wins and ties go to the LOWEST cid
+    * (highest −cid), matching the previous window formulation's
+    * `orderBy(ccos desc, cid)` exactly (incl. NaN-greatest doubles).
+    * Each cosine is evaluated exactly once; a when-chain fold was tried
+    * first and is a trap: `getField(CaseWhen)` is expanded by
+    * SimplifyExtractValueOps into a CaseWhen of getFields, doubling the
+    * tree per centroid — exponential in nCells. This projection
+    * replaced a crossJoin(broadcast(centroids)) +
+    * Window.partitionBy(vec_id), which shuffled nCells× the vector
+    * table PER LLOYD ROUND — now only the nCells-row mean aggregate
+    * exchanges data (A/B in PERF.md).
+    */
+  private[graft] def withCell(df: DataFrame, cents: Seq[Cent]): DataFrame = {
+    val arr = array(cents.map(c =>
+      struct(cosLit(c).as("c"), lit(-c.cid).as("negcell"))): _*)
+    df.withColumn("cell", (-array_max(arr).getField("negcell")).cast("long"))
+  }
+
+  /** Ranks 1..`maxRank` of the literal centroids per row (ties → lowest
+    * cid) — the multi-probe cell list. Explode + window over
+    * nCells×|df| rows: only ever applied to the QUERY subset, never the
+    * full corpus (assignment is [[withCell]]'s projection).
+    */
+  private def withCellRanks(df: DataFrame, cents: Seq[Cent], maxRank: Int): DataFrame = {
+    val arr = array(cents.map(c =>
+      struct(cosLit(c).as("ccos"), lit(c.cid).as("cell"))): _*)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc.ccos").desc, col("cc.cell"))
+    df.select(col("vec_id"), col("ie"), col("nv"), explode(arr).as("cc"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= maxRank)
+      .select(col("vec_id"), col("ie"), col("nv"), col("cc.cell").as("cell"), col("arn"))
+  }
 
   /** Elementwise-mean centroids of an assignment, quantized back to the
     * scaled-long domain so one arithmetic (and one oracle formulation)
@@ -163,48 +203,50 @@ object Similarity {
     * 8 cells, recall ≥ 0.9 asserted, swept in IvfSweep). Every step is
     * exact scaled-long
     * arithmetic, so the DuckDB oracle replays the training loop
-    * bit-for-bit. The centroid table is tiny and broadcast at each step;
-    * the cell id is the join key, so at 100 TB each query touches
-    * ~nProbe·N/nCells vectors — the recall/cost dial every IVF index
-    * exposes (recall floor asserted in SimilaritySpec).
+    * bit-for-bit. The centroid codebook is collected to the driver
+    * (bounded by nCells) and assignment is a literal-centroid codegen
+    * projection; the cell id is the join key, so at 100 TB each query
+    * touches ~nProbe·N/nCells vectors — the recall/cost dial every IVF
+    * index exposes (recall floor asserted in SimilaritySpec).
     */
   /** Deterministically seeded Lloyd training shared by the IVF index,
     * SemDeDup and the cluster profile: returns (base, centroids). Each
-    * round's centroid table is nCells tiny rows but its lineage contains
-    * the previous round's crossjoin+window — checkpoint per round so
-    * round N never recomputes rounds 1..N−1 (and the broadcast of the
-    * centroid table ships 8 rows, not a plan).
+    * round collects the nCells mean rows to the driver (bounded by the
+    * index parameter — the rounding arithmetic stays in Spark, so the
+    * oracle replay is untouched) and the next round's assignment is a
+    * literal-centroid projection: per round, ONE scan + one
+    * nCells×64-long aggregate, no crossjoin, no window, no checkpoint.
     */
-  private[graft] def trained(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
+  private[graft] def trainedLit(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, Seq[Cent]) = {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
-    val seed = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn"))
-    val centroids = (1 to lloydIters).foldLeft(seed) { (c, _) =>
-      meanCentroids(assignCells(base, c)).localCheckpoint(true)
+    val seed = collectCents(base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn")))
+    val cents = (1 to lloydIters).foldLeft(seed) { (c, _) =>
+      collectCents(meanCentroids(withCell(base, c)))
     }
-    (base, centroids)
+    (base, cents)
   }
 
   /** Final cell assignment (vec_id → cell) after Lloyd training — the
     * join surface for cross-modal cluster analysis (see c34).
     */
   def cellAssignments(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2): DataFrame = {
-    val (base, centroids) = trained(emb, nCells, lloydIters)
-    assignCells(base, centroids)
+    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+    withCell(base, cents)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
   def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
       lloydIters: Int = 2, nProbe: Int = 3): DataFrame = {
-    val (base, centroids) = trained(emb, nCells, lloydIters)
-    // Consumed twice (query batch + probe side) — checkpoint so the
-    // crossjoin+window ranking, the query's dominant stage, runs once.
-    val ranked = rankCells(base, centroids, nProbe).localCheckpoint(true)
-    val assigned = ranked.filter(col("arn") === 1)
+    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+    // Full-corpus side: assignment is a pure projection (no shuffle).
+    val assigned = withCell(base, cents)
     // One row per (query, probed cell): rank ≤ nProbe. A neighbor appears
-    // at most once per query — it lives in exactly one rank-1 cell.
-    val queries = ranked.filter(col("vec_id") % queryMod === 0)
+    // at most once per query — it lives in exactly one rank-1 cell. The
+    // explode+window ranking touches only the query subset.
+    val queries = withCellRanks(
+        base.filter(col("vec_id") % queryMod === 0), cents, nProbe)
       .select(col("vec_id").as("qid"), col("cell"), col("ie").as("qe"), col("nv").as("qn"))
     val cos = assigned.join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("vec_id"))
@@ -228,10 +270,10 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2,
       tau: Double = 0.42): DataFrame = {
-    val (base, centroids) = trained(emb, nCells, lloydIters)
+    val (base, cents) = trainedLit(emb, nCells, lloydIters)
     // Final assignment feeds three consumers (both pair sides + the per-
-    // cell census) — materialize once, as in ivfTopK.
-    val assigned = assignCells(base, centroids).localCheckpoint(true)
+    // cell census) — materialize once so the scan+projection runs once.
+    val assigned = withCell(base, cents).localCheckpoint(true)
     val pairs = assigned
       .select(col("cell"), col("vec_id").as("va"), col("ie").as("ia"), col("nv").as("na"))
       .join(assigned.select(col("cell"), col("vec_id").as("vb"),

@@ -32,11 +32,14 @@ object IvfIndexLayout {
   /** Train (the deterministic c12 Lloyd loop) and write the index. */
   def write(emb: DataFrame, path: String, nCells: Int = 8,
       lloydIters: Int = 2): Unit = {
-    val (base, centroids) = Similarity.trained(emb, nCells, lloydIters)
-    Similarity.rankCells(base, centroids, 1)
+    val (base, cents) = Similarity.trainedLit(emb, nCells, lloydIters)
+    Similarity.withCell(base, cents)
       .select(col("vec_id"), col("ie"), col("nv"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.map(c => (c.cid, c.ce, c.cn)).toDF("cid", "ce", "cn")
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Rank the stored centroids per query (exact scaled-long cosine,
