@@ -42,6 +42,28 @@ object IvfIndexLayout {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental ingest: assign a NEW vector batch to the EXISTING
+    * codebook (no retraining — the production pattern: the codebook is
+    * versioned separately and refreshed on its own cadence) and append
+    * under the same cell directories. The batch-sized job touches no
+    * existing file; probes see old + new vectors the moment the append
+    * commits, with identical arithmetic because assignment replays
+    * [[Similarity.withCell]] against the stored centroids.
+    */
+  def append(spark: SparkSession, path: String, emb: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("ce"), col("cn"))
+    val centSeq = cents.collect().toSeq
+      .map(r => Similarity.Cent(r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .sortBy(_.cid)
+    val base = emb.select(col("vec_id"),
+        expr(Similarity.scaled("embedding")).as("ie"))
+      .withColumn("nv", Similarity.norm("ie"))
+    Similarity.withCell(base, centSeq)
+      .select(col("vec_id"), col("ie"), col("nv"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Rank the stored centroids per query (exact scaled-long cosine,
     * ties → lowest cid — the c12 ranking), keeping each query's top
     * `nProbe` cells. Queries are (vec_id, embedding) rows.

@@ -27,6 +27,45 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       "persisted-index probe must replay the exact in-memory IVF result")
   }
 
+  test("append assigns new vectors to the existing codebook; probe sees both") {
+    val e = spark.read.parquet(emb)
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val fresh = e.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("ivfapp").toFile.getAbsolutePath
+    IvfIndexLayout.write(old, dir, nCells = 8, lloydIters = 2)
+    IvfIndexLayout.append(spark, dir, fresh)
+
+    // model equivalence: each appended vector's stored cell must be the
+    // argmax cosine against the STORED centroids, spelled here with an
+    // independent HOF formulation (aggregate/zip_with) + window rank
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$dir/centroids")
+    def hofDot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        .cast("double") / 1.0e8
+    val base = fresh.selectExpr("vec_id",
+        "transform(embedding, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT)) AS ie")
+      .withColumn("nv", sqrt(hofDot("ie", "ie")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val expected = base.crossJoin(cents)
+      .withColumn("ccos", hofDot("ie", "ce") / (col("nv") * col("cn")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stored == expected,
+      "appended vectors must land in their argmax cell of the stored codebook")
+
+    // and appended vectors are reachable through probes
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val odds = IvfIndexLayout.probe(spark, dir, queries, k = 3, nProbe = 8)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(odds > 0, "appended vectors must be reachable by probes")
+  }
+
   test("probe scan mass is the probed cells only (partition pruning)") {
     val e = spark.read.parquet(emb)
     val dir = Files.createTempDirectory("ivfidx2").toFile.getAbsolutePath
