@@ -64,6 +64,42 @@ object AsOf {
   def nextWithin(ev: DataFrame, anchorMod: Int, toleranceUs: Long): Dataset[AsOfHit] =
     asOfJoin(ev, anchorMod, forward = true, toleranceUs = toleranceUs)
 
+  /** NEAREST as-of with tolerance (pandas merge_asof
+    * direction='nearest' with allow_exact_matches=False): each anchor
+    * takes the CLOSER of its backward and forward matches within
+    * `toleranceUs`; on an exact distance tie the PRIOR event wins
+    * (pandas resolves nearest ties backward). Spelled as the two merge
+    * scans composed through a full-outer pick on the anchor id — each
+    * direction keeps its optimal one-exchange linear shape, and the
+    * pick join moves only matched-anchor rows (|events|/anchorMod at
+    * most). A single-pass nearest inside the exec would need an
+    * unbounded pending-anchor buffer (an anchor's forward match is
+    * unknown until a later event arrives), so the composition IS the
+    * scale-safe shape.
+    */
+  def nearestWithin(ev: DataFrame, anchorMod: Int, toleranceUs: Long): Dataset[AsOfHit] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val b = latestPriorWithin(ev, anchorMod, toleranceUs).toDF()
+      .select(col("anchor_id"), col("user_id").as("b_user"),
+        col("anchor_us").as("b_anchor_us"), col("prev_id").as("b_id"),
+        col("prev_type").as("b_type"), col("prev_us").as("b_us"))
+    val f = nextWithin(ev, anchorMod, toleranceUs).toDF()
+      .select(col("anchor_id"), col("user_id").as("f_user"),
+        col("anchor_us").as("f_anchor_us"), col("prev_id").as("f_id"),
+        col("prev_type").as("f_type"), col("prev_us").as("f_us"))
+    val useBack = col("f_id").isNull || (col("b_id").isNotNull &&
+      (col("b_anchor_us") - col("b_us")) <= (col("f_us") - col("f_anchor_us")))
+    b.join(f, Seq("anchor_id"), "full_outer")
+      .select(col("anchor_id"),
+        coalesce(col("b_user"), col("f_user")).as("user_id"),
+        coalesce(col("b_anchor_us"), col("f_anchor_us")).as("anchor_us"),
+        when(useBack, col("b_id")).otherwise(col("f_id")).as("prev_id"),
+        when(useBack, col("b_type")).otherwise(col("f_type")).as("prev_type"),
+        when(useBack, col("b_us")).otherwise(col("f_us")).as("prev_us"))
+      .as[AsOfHit]
+  }
+
   private def asOfJoin(
       ev: DataFrame, anchorMod: Int,
       forward: Boolean, toleranceUs: Long): Dataset[AsOfHit] = {

@@ -353,6 +353,22 @@ object GroupB {
           date_format(expr("timestamp_micros(prev_us)"),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_ts"))
         .orderBy(col("anchor_id"))
+    }),
+
+    // B7c — NEAREST as-of with tolerance (the third merge_asof
+    // direction): the closer of an anchor's backward and forward
+    // matches within 1 hour, ties to the prior event. Two merge scans
+    // + a full-outer pick on the anchor id; the oracle replays both
+    // quadratic join-then-window formulations and the same pick.
+    "b7c_asof_nearest" -> ((s, dir) => {
+      graft.operators.AsOf.nearestWithin(load(s, dir, "events"), 20, 3600L * 1000000L)
+        .select(col("anchor_id"), col("user_id"),
+          date_format(expr("timestamp_micros(anchor_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("anchor_ts"),
+          col("prev_id").as("near_id"), col("prev_type").as("near_type"),
+          date_format(expr("timestamp_micros(prev_us)"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("near_ts"))
+        .orderBy(col("anchor_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -543,5 +559,43 @@ object GroupB {
         |       strftime(anchor_ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts,
         |       next_id, next_type,
         |       strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_ts
-        |FROM joined WHERE rn = 1 ORDER BY anchor_id""".stripMargin)
+        |FROM joined WHERE rn = 1 ORDER BY anchor_id""".stripMargin,
+    "b7c_asof_nearest" ->
+      """WITH anchors AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS anchor_ts
+        |  FROM events WHERE event_id % 20 = 0),
+        |back AS (
+        |  SELECT a.anchor_id, a.user_id, a.anchor_ts,
+        |         e.event_id AS b_id, e.event_type AS b_type, e.ts AS b_ts,
+        |         row_number() OVER (PARTITION BY a.anchor_id
+        |           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM anchors a JOIN events e
+        |    ON a.user_id = e.user_id AND e.ts < a.anchor_ts
+        |   AND epoch_us(a.anchor_ts) - epoch_us(e.ts) <= 3600000000),
+        |fwd AS (
+        |  SELECT a.anchor_id, a.user_id, a.anchor_ts,
+        |         e.event_id AS f_id, e.event_type AS f_type, e.ts AS f_ts,
+        |         row_number() OVER (PARTITION BY a.anchor_id
+        |           ORDER BY e.ts, e.event_id) AS rn
+        |  FROM anchors a JOIN events e
+        |    ON a.user_id = e.user_id AND e.ts > a.anchor_ts
+        |   AND epoch_us(e.ts) - epoch_us(a.anchor_ts) <= 3600000000),
+        |b1 AS (SELECT * FROM back WHERE rn = 1),
+        |f1 AS (SELECT * FROM fwd WHERE rn = 1),
+        |j AS (SELECT coalesce(b1.anchor_id, f1.anchor_id) AS anchor_id,
+        |             coalesce(b1.user_id, f1.user_id) AS user_id,
+        |             coalesce(b1.anchor_ts, f1.anchor_ts) AS anchor_ts,
+        |             b_id, b_type, b_ts, f_id, f_type, f_ts,
+        |             (f_id IS NULL OR (b_id IS NOT NULL AND
+        |              epoch_us(coalesce(b1.anchor_ts, f1.anchor_ts)) - epoch_us(b_ts)
+        |              <= epoch_us(f_ts) - epoch_us(coalesce(b1.anchor_ts, f1.anchor_ts))))
+        |               AS use_back
+        |      FROM b1 FULL JOIN f1 ON b1.anchor_id = f1.anchor_id)
+        |SELECT anchor_id, user_id,
+        |       strftime(anchor_ts, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts,
+        |       CASE WHEN use_back THEN b_id ELSE f_id END AS near_id,
+        |       CASE WHEN use_back THEN b_type ELSE f_type END AS near_type,
+        |       strftime(CASE WHEN use_back THEN b_ts ELSE f_ts END,
+        |                '%Y-%m-%d %H:%M:%S.%f') AS near_ts
+        |FROM j ORDER BY anchor_id""".stripMargin)
 }

@@ -83,6 +83,43 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(op.size < AsOf.latestPrior(ev, 20).count(), "the bound should bite")
   }
 
+  test("nearest as-of equals the min-distance join-then-window model, ties backward") {
+    val ev = Tables.load(spark, dir, "events")
+    val tolUs = 3600L * 1000000L
+    // independent model: ALL in-tolerance neighbors either side, ranked
+    // by (distance, direction: backward first, then id order within the
+    // direction's tie rule) — rank 1 is the nearest with backward ties
+    val anchors = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts").as("anchor_ts"))
+    val cand = ev.select(col("user_id"), col("event_id").as("c_id"),
+      col("event_type").as("c_type"), col("ts").as("c_ts"))
+    val dist = abs(expr("unix_micros(c_ts) - unix_micros(anchor_ts)"))
+    val isBack = expr("unix_micros(c_ts) < unix_micros(anchor_ts)")
+    // within equal distance: backward beats forward; among equal-ts
+    // backward events the HIGHEST id wins (b7 rule), among forward the
+    // LOWEST id wins (b7b rule)
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("d"),
+      col("back").desc, when(col("back"), -col("c_id")).otherwise(col("c_id")))
+    val model = anchors.join(cand, Seq("user_id"))
+      .filter(col("c_ts") =!= col("anchor_ts") && dist <= tolUs)
+      .withColumn("d", dist).withColumn("back", isBack)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("user_id"), expr("unix_micros(anchor_ts)"),
+        col("c_id"), col("c_type"), expr("unix_micros(c_ts)"))
+      .orderBy(col("anchor_id"))
+      .collect().map(_.toSeq).toSeq
+
+    val merged = AsOf.nearestWithin(ev, 20, tolUs)
+      .orderBy(col("anchor_id"))
+      .collect().map(r => Seq(r.anchor_id, r.user_id, r.anchor_us,
+        r.prev_id, r.prev_type, r.prev_us)).toSeq
+    assert(merged.nonEmpty && merged == model)
+    // nearest covers at least every anchor either direction matched
+    val nBack = AsOf.latestPriorWithin(ev, 20, tolUs).count()
+    val nFwd = AsOf.nextWithin(ev, 20, tolUs).count()
+    assert(merged.size >= math.max(nBack, nFwd))
+  }
+
   test("plan: the MergeAsOf physical operator, no window or join, no encoders") {
     val p = AsOf.latestPrior(Tables.load(spark, dir, "events"), 20)
       .queryExecution.executedPlan.toString
