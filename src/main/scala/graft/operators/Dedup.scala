@@ -317,6 +317,43 @@ object Dedup {
     */
   val ShingleDfCap = 256
 
+  /** DIRECTED containment (subsumption) report: pairs (da → db) where at
+    * least `tauX1000`/1000 of da's 4-token-shingle set also appears in
+    * db — the ASYMMETRIC twin of [[shingleJaccard]]. An excerpt, a
+    * quoted block, or a superset page scores near-1 containment at low
+    * Jaccard, which is exactly the inclusion case a symmetric threshold
+    * misses (both directions emit independently: A-in-B and B-in-A are
+    * different findings). Shingles ride the native TokenNgrams kernel;
+    * the same [[ShingleDfCap]] bounds the postings self-join; the
+    * threshold is the integer cross-multiply inter·1000 ≥ τ·|A| and the
+    * reported score is inter·1000 div |A| — exact at any corpus size.
+    */
+  def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50): DataFrame = {
+    val sh0 = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenNgrams(
+            org.apache.spark.sql.GraftBridge.expression(col("text")),
+            n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+      .select(col("doc_id"), md5(col("g0").cast("binary")).as("sh"))
+      .distinct()
+    val sh = sh0.join(
+      sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap).select(col("sh")),
+      "sh")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("sh"))
+    val b = sh.select(col("doc_id").as("db"), col("sh"))
+    a.join(b, "sh").filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+      .filter(col("inter") * 1000 >= lit(tauX1000.toLong) * col("size_a"))
+      .select(col("da"), col("db"), col("inter"), col("size_a"),
+        expr("inter * 1000 div size_a").as("containment_x1000"))
+      .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+      .limit(k)
+  }
+
   def shingleJaccard(docs: DataFrame, sampleMod: Int, k: Int = 20): DataFrame = {
     // Positions capped at 2047 (matches the oracle's constant range — a
     // prefix-window bound, like fingerprinting the first ~2 KB); texts

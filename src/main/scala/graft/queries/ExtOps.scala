@@ -967,7 +967,49 @@ object ExtOps {
           expr("CAST(CAST(max(lang_df) AS DECIMAL(38,0)) * 1000" +
             " div max(lang_toks) AS BIGINT)").as("avg_df_x1000"))
         .orderBy(col("lang"))
-    }))
+    }),
+    // c54 — fluency scoring: mean corpus bigram CONDITIONAL probability
+    // over each doc's transitions — the log-free analog of the KenLM
+    // perplexity filter (low mean P(w2|w1) = the doc's transitions are
+    // unusual for the corpus = scrambled/gibberish text). c23 counts a
+    // lang's UNSEEN-bigram mass, c50 ranks corpus-level collocations;
+    // this SCORES each doc. P(w2|w1) is the exact rational
+    // c(w1w2)·10⁶ div c(w1·), with c(w1·) = bigrams starting w1 (the
+    // conditionals per w1 sum to ≤ 1); a doc's score is the integer
+    // mean over its bigram instances. Bigrams ride the TokenNgrams
+    // kernel; count tables are vocab-keyed aggregates joined back on
+    // the bigram key (keyed shuffles only); per-doc/per-lang aggregates
+    // are map-side partial. c_bg·10⁶ stays < 2^63 up to 10¹²-bigram
+    // corpora — the 100 TB envelope, noted like c50's bound.
+    "c54_fluency_score" -> ((s, dir) => {
+      val bg = load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 2, maxStarts = Int.MaxValue, skipEmpty = true))).as("bg"))
+      val cBg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      val cW1 = bg.select(expr("split(bg, ' ')[0]").as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+      val perDoc = bg.join(cBg, "bg")
+        .withColumn("w1", expr("split(bg, ' ')[0]"))
+        .join(cW1, "w1")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(expr("c_bg * 1000000 div c_w1")).as("sum_p"))
+        .withColumn("score", expr("sum_p div n_bg"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+    // c55 — containment (subsumption) near-dup: directed pairs where
+    // ≥ 80% of one doc's 4-token shingles appear in another — the
+    // excerpt/quote/superset case symmetric Jaccard (c3) misses. See
+    // Dedup.shingleContainment for the df-cap + integer-threshold
+    // scale shape.
+    "c55_containment" -> ((s, dir) =>
+      Dedup.shingleContainment(load(s, dir, "documents"), 800, 50)))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -1960,5 +2002,48 @@ object ExtOps {
         |       CAST(CAST(max(lang_df) AS HUGEINT) * 1000 // max(lang_toks) AS BIGINT)
         |         AS avg_df_x1000
         |FROM perdoc p JOIN perlang l ON p.lang = l.lang
-        |GROUP BY p.lang ORDER BY p.lang""".stripMargin)
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
+    "c54_fluency_score" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t2 AS (SELECT lang, doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT lang, doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' '))) AS bg
+        |  FROM t2),
+        |cbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY bg),
+        |cw1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c_w1
+        |        FROM bg GROUP BY 1),
+        |perdoc AS (SELECT b.lang, b.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+        |       CAST(sum(c_bg * 1000000 // c_w1) AS BIGINT) AS sum_p
+        |  FROM bg b JOIN cbg USING (bg)
+        |  JOIN cw1 ON string_split(b.bg, ' ')[1] = cw1.w1
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT lang, doc_id, sum_p // n_bg AS score FROM perdoc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(score) AS BIGINT) AS sum_score,
+        |       CAST(min(score) AS BIGINT) AS min_score,
+        |       CAST(max(score) AS BIGINT) AS max_score
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c55_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t4 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+        |shing AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 2),
+        |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' '))) AS g0
+        |  FROM t4),
+        |shd AS (SELECT DISTINCT doc_id, md5(g0) AS sh FROM shing),
+        |kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+        |         WHERE df <= 256),
+        |s2 AS (SELECT shd.doc_id, shd.sh FROM shd JOIN kept USING (sh)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM s2 GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+        |          FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, inter, sz AS size_a,
+        |       CAST(inter * 1000 // sz AS BIGINT) AS containment_x1000
+        |FROM pairs JOIN sizes ON pairs.da = sizes.doc_id
+        |WHERE inter * 1000 >= 800 * sz
+        |ORDER BY containment_x1000 DESC, da, db LIMIT 50""".stripMargin)
 }

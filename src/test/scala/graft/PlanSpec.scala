@@ -143,6 +143,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "common trigrams must be dropped, else their postings join is quadratic")
   }
 
+  test("c55 containment: shingle universe df-capped; n-grams on the native kernel") {
+    val p = plan("c55_containment")
+    assert(p.contains(s"<= ${operators.Dedup.ShingleDfCap}"),
+      "boilerplate shingles must drop, else their postings join is quadratic")
+    assert(p.contains("token_ngrams"), "shingles must ride the TokenNgrams kernel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("c54 fluency: count tables join on the bigram key — no cartesian") {
+    val p = plan("c54_fluency_score")
+    assert(p.contains("token_ngrams"), "bigrams must ride the TokenNgrams kernel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("similarity dot products stay native (no interpreted higher-order functions)") {
     val p = plan("c4_embed_neardup") + plan("c5_ann_brute") + plan("c6_ann_lsh")
     assert(p.contains("long_array_dot"), "LongArrayDot must power the dot products")
