@@ -603,25 +603,17 @@ object ExtOps {
     // |langs|·|distinct n_tokens| rows at any corpus size. Integer
     // arithmetic end to end.
     "c48_snapshot_drift" -> ((s, dir) => {
+      // Histogram + L1 readout live in streaming.DriftStream — ONE
+      // spelling shared with the ingest-time monitor (DriftStreamSpec
+      // proves streamed state reproduces this exact result).
       val docs = load(s, dir, "documents")
-      val toks = expr(
-        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
       val v1 = docs.filter(col("doc_id") % 10 =!= 3)
-        .select(col("lang"), toks.as("n_tokens"))
       val v2 = docs.filter(col("doc_id") % 10 =!= 7)
         .withColumn("text", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-        .select(col("lang"), toks.as("n_tokens"))
-      val h1 = v1.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("c1"))
-      val h2 = v2.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("c2"))
-      h1.join(h2, Seq("lang", "n_tokens"), "full_outer")
-        .select(col("lang"),
-          coalesce(col("c1"), lit(0L)).as("c1"),
-          coalesce(col("c2"), lit(0L)).as("c2"))
-        .groupBy(col("lang"))
-        .agg(sum(expr("abs(c1 - c2)")).as("l1_drift"),
-          sum(col("c1")).as("n_v1"), sum(col("c2")).as("n_v2"))
-        .orderBy(col("lang"))
+      graft.streaming.DriftStream.drift(
+        graft.streaming.DriftStream.histogram(v1),
+        graft.streaming.DriftStream.histogram(v2))
     }),
     // c47 — KMV quantile sketch: per lang, the token-count median
     // estimated from a 32-row k-minimum-values sample (operators.
