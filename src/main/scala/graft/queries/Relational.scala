@@ -271,6 +271,36 @@ object Relational {
         .orderBy(col("event_type"), col("week"))
     }),
 
+    // d26 — first-touch attribution: every purchase credits the FIRST
+    // event type of its session (d4's 30-min-gap sessionization rule,
+    // all users). Three windows, all partitioned by user or
+    // (user, session) — no global ordering anywhere; purchase value in
+    // exact cents (the b4/c51 scaled-long contract). The marketing-
+    // attribution readout every event pipeline ships next to its funnel
+    // (d23) and retention (d24) reports.
+    "d26_attribution" -> ((s, dir) => {
+      val ev = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sess.withColumn("first_touch", first(col("event_type")).over(wSess))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("first_touch"))
+    }),
+
     // d23 — ordered funnel: view → click → purchase, each step within 7
     // days of the previous, first qualifying event per user per step.
     // Shape: per-step conditional-min aggregates joined back on user_id
@@ -624,6 +654,24 @@ object Relational {
         |       CASE WHEN prev_n IS NOT NULL
         |            THEN n * 1000 // prev_n END AS ratio_pml
         |FROM l ORDER BY event_type, week""".stripMargin,
+    "d26_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |lg AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |       FROM ev),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk FROM lg),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |ft AS (SELECT *, first_value(event_type) OVER (
+        |         PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+        |       FROM s)
+        |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM ft WHERE event_type = 'purchase'
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
     "d23_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
