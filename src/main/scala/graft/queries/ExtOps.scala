@@ -1001,7 +1001,26 @@ object ExtOps {
     // Dedup.shingleContainment for the df-cap + integer-threshold
     // scale shape.
     "c55_containment" -> ((s, dir) =>
-      Dedup.shingleContainment(load(s, dir, "documents"), 800, 50)))
+      Dedup.shingleContainment(load(s, dir, "documents"), 800, 50)),
+    // c56 — diversity (cluster-balanced) sampling: SemDeDup's curation
+    // counterpart — instead of DROPPING semantic near-dups (c31), draw
+    // an equal quota from every learned k-means cell so each region of
+    // the embedding space is represented (the c30 quota discipline on
+    // c12's cells). The draw rides the TopKPerKey bounded heaps in
+    // content-hash order (PlanSpec) — no cell ever sorts its full
+    // membership. Deterministic end to end: the Lloyd loop is the c12
+    // replayed-by-the-oracle training, the draw a pure function of
+    // vec_id.
+    "c56_diverse_sample" -> ((s, dir) => {
+      val cells = Similarity.cellAssignments(load(s, dir, "embeddings"), 8, 2)
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      graft.plans.TopK.perKey(cells, Seq("cell"),
+          Seq("h" -> true, "vec_id" -> true), 40)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("cell"))
+    }))
 
   private val minhashCols =
     (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
@@ -2037,5 +2056,15 @@ object ExtOps {
         |       CAST(inter * 1000 // sz AS BIGINT) AS containment_x1000
         |FROM pairs JOIN sizes ON pairs.da = sizes.doc_id
         |WHERE inter * 1000 >= 800 * sz
-        |ORDER BY containment_x1000 DESC, da, db LIMIT 50""".stripMargin)
+        |ORDER BY containment_x1000 DESC, da, db LIMIT 50""".stripMargin,
+    "c56_diverse_sample" ->
+      s"""WITH ${kmeansCtes(nCells = 8, iters = 2, finalProbe = 1)},
+         |hh AS (SELECT vec_id, cell, md5(CAST(vec_id AS VARCHAR)) AS h FROM a3),
+         |r AS (SELECT vec_id, cell,
+         |        row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rn
+         |      FROM hh)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_kept,
+         |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM r WHERE rn <= 40
+         |GROUP BY cell ORDER BY cell""".stripMargin)
 }

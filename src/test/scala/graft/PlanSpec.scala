@@ -151,6 +151,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("c56 diverse sample: per-cell quota rides the TopKPerKey heap") {
+    val p = plan("c56_diverse_sample")
+    assert(p.contains("TopKPerKey"),
+      "the rn<=quota draw must plan as bounded heaps, not a per-cell sort")
+  }
+
   test("c54 fluency: count tables join on the bigram key — no cartesian") {
     val p = plan("c54_fluency_score")
     assert(p.contains("token_ngrams"), "bigrams must ride the TokenNgrams kernel")
