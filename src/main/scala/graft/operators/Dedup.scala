@@ -329,6 +329,9 @@ object Dedup {
     * reported score is inter·1000 div |A| — exact at any corpus size.
     */
   def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50): DataFrame = {
+    // Materialized once: the distinct shingle table feeds the df cap,
+    // both postings sides and the sizes — without the checkpoint the
+    // scan + n-gram + md5 projection executes once per reference.
     val sh0 = docs
       .select(col("doc_id"),
         explode(org.apache.spark.sql.GraftBridge.column(
@@ -337,6 +340,7 @@ object Dedup {
             n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
       .select(col("doc_id"), md5(col("g0").cast("binary")).as("sh"))
       .distinct()
+      .localCheckpoint(true)
     val sh = sh0.join(
       sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("sh")),
@@ -359,12 +363,15 @@ object Dedup {
     // prefix-window bound, like fingerprinting the first ~2 KB); texts
     // under 3 chars have no shingles (sequence() would DESCEND for a
     // negative span — the length filter is load-bearing).
+    // Materialized once (the c55 discipline): feeds the df cap and the
+    // capped join below.
     val shingles0 = docs.filter(col("doc_id") % sampleMod === 0)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(expr("sequence(1, least(length(text) - 2, 2047))")).as("i"), col("text"))
       .select(col("doc_id"), expr("substring(text, i, 3)").as("sh"))
       .distinct()
+      .localCheckpoint(true)
     val shingles = shingles0.join(
       shingles0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("sh")),
