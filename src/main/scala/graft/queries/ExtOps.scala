@@ -570,18 +570,26 @@ object ExtOps {
       import graft.functions.TextAnalysis
       val base = load(s, dir, "documents").withColumn("n_tokens",
         expr("CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT)"))
+      // Each stage is materialized ONCE (localCheckpoint): the funnel's
+      // 5-way union and the per-stage self-joins (withH/withFp feed both
+      // the min-id side and the probe side) would otherwise re-derive
+      // every upstream stage per reference — base alone evaluated 5×,
+      // the md5/SimHash passes 2-3× each.
       val quality = TextAnalysis.qualityDecisions(base)
         .filter(col("reason") === "keep").drop("reason")
+        .localCheckpoint(true)
       val withH = quality.withColumn("h", md5(col("text").cast("binary")))
       val exact = withH.join(
         withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")),
         Seq("h", "doc_id")).drop("h")
+        .localCheckpoint(true)
       val withFp = exact.withColumn("fp",
         org.apache.spark.sql.GraftBridge.column(graft.functions.SimHash64(
           org.apache.spark.sql.GraftBridge.expression(col("text")))))
       val nearDup = withFp.join(
         withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
         Seq("fp", "doc_id")).drop("fp")
+        .localCheckpoint(true)
       val sampled = Sampling.stratifiedSample(nearDup,
         col("doc_id"), col("lang"), Map("en" -> 32, "de" -> 64), 128)
       def stage(df: DataFrame, id: Int, name: String) =
