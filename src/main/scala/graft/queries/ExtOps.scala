@@ -323,6 +323,9 @@ object ExtOps {
               n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
         .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
         .distinct()
+        // Materialized once (the c49/c55 discipline): eval + both train
+        // references would otherwise re-run the 8-gram scan 3×.
+        .localCheckpoint(true)
       val evalN = ng.filter(col("doc_id") % 97 === 0)
       val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
       val trainN = trainN0.join(
