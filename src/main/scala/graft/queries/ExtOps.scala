@@ -1031,6 +1031,41 @@ object ExtOps {
         .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("min_vec"),
           max(col("vec_id")).as("max_vec"))
         .orderBy(col("cell"))
+    }),
+    // c57 — duplicated-n-gram fraction: the share of each doc's
+    // distinct 8-grams that ALSO appear in another document — the
+    // cross-document boilerplate signal of the published quality-filter
+    // families (c22 measures WITHIN-doc repetition; c32 lists the hot
+    // spans themselves; this scores every doc for filtering). Per lang:
+    // mean fraction ×1000 (one exact-integer division) and docs above
+    // the 50% boilerplate line via integer cross-multiply. The n-gram
+    // df table is md5-keyed (16-byte shuffles); each doc's n-grams join
+    // exactly one df row — nothing quadratic, no cap needed.
+    "c57_dup_ngram_fraction" -> ((s, dir) => {
+      val ng = load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+        .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
+        .distinct()
+        // Materialized once: feeds the df table and the per-doc join
+        // (the c27 discipline — same 8-gram scan).
+        .localCheckpoint(true)
+      val dfTab = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val perDoc = ng.join(dfTab, "g")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_ng"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ng")).as("sum_ngrams"), sum(col("n_dup")).as("sum_dup"),
+          expr("CAST(CAST(sum(n_dup) AS DECIMAL(38,0)) * 1000" +
+            " div sum(n_ng) AS BIGINT)").as("dup_fraction_x1000"),
+          sum(when(col("n_dup") * 2 >= col("n_ng"), 1L).otherwise(0L))
+            .as("n_boilerplate_docs"))
+        .orderBy(col("lang"))
     }))
 
   private val minhashCols =
@@ -2077,5 +2112,25 @@ object ExtOps {
          |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_kept,
          |       min(vec_id) AS min_vec, max(vec_id) AS max_vec
          |FROM r WHERE rn <= 40
-         |GROUP BY cell ORDER BY cell""".stripMargin)
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+    "c57_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t8 AS (SELECT doc_id, lang, toks FROM t WHERE len(toks) >= 8),
+        |ng0 AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))) AS g0
+        |  FROM t8),
+        |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
+        |dft AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY g),
+        |perdoc AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_ng,
+        |       CAST(count(*) FILTER (df >= 2) AS BIGINT) AS n_dup
+        |  FROM ng JOIN dft USING (g) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_ng) AS BIGINT) AS sum_ngrams,
+        |       CAST(sum(n_dup) AS BIGINT) AS sum_dup,
+        |       CAST(CAST(sum(n_dup) AS HUGEINT) * 1000 // sum(n_ng) AS BIGINT)
+        |         AS dup_fraction_x1000,
+        |       CAST(count(*) FILTER (n_dup * 2 >= n_ng) AS BIGINT) AS n_boilerplate_docs
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)
 }
