@@ -328,11 +328,17 @@ object Dedup {
     * threshold is the integer cross-multiply inter·1000 ≥ τ·|A| and the
     * reported score is inter·1000 div |A| — exact at any corpus size.
     */
-  def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50): DataFrame = {
+  /** `materialize = false` skips the shingle-table checkpoint so plan
+    * tests can inspect the full lineage (the checkpoint hides its
+    * upstream — the TokenNgrams scan — behind an RDD scan); production
+    * keeps it (A/B'd 2.04→1.33 s, PERF.md).
+    */
+  def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50,
+      materialize: Boolean = true): DataFrame = {
     // Materialized once: the distinct shingle table feeds the df cap,
     // both postings sides and the sizes — without the checkpoint the
     // scan + n-gram + md5 projection executes once per reference.
-    val sh0 = docs
+    val sh1 = docs
       .select(col("doc_id"),
         explode(org.apache.spark.sql.GraftBridge.column(
           graft.functions.TokenNgrams(
@@ -340,7 +346,7 @@ object Dedup {
             n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
       .select(col("doc_id"), md5(col("g0").cast("binary")).as("sh"))
       .distinct()
-      .localCheckpoint(true)
+    val sh0 = if (materialize) sh1.localCheckpoint(true) else sh1
     val sh = sh0.join(
       sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("sh")),

@@ -144,7 +144,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("c55 containment: shingle universe df-capped; n-grams on the native kernel") {
-    val p = plan("c55_containment")
+    // materialize=false: the production checkpoint hides the upstream
+    // (scan + kernel) behind an RDD scan — inspect the full lineage
+    import graft.queries.Tables
+    val p = operators.Dedup
+      .shingleContainment(Tables.load(spark, dir, "documents"), 800, 50,
+        materialize = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains(s"<= ${operators.Dedup.ShingleDfCap}"),
       "boilerplate shingles must drop, else their postings join is quadratic")
     assert(p.contains("token_ngrams"), "shingles must ride the TokenNgrams kernel")
