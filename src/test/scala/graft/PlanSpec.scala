@@ -157,6 +157,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("b7c nearest as-of: two merge scans, no window, no nested loop") {
+    val p = plan("b7c_asof_nearest")
+    assert("MergeAsOf".r.findAllIn(p).size >= 2,
+      "both directions must run the custom merge-scan operator")
+    assert(!p.contains("WindowExec"),
+      "no join-then-window formulation may reappear")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("c56 diverse sample: per-cell quota rides the TopKPerKey heap") {
     val p = plan("c56_diverse_sample")
     assert(p.contains("TopKPerKey"),

@@ -201,6 +201,33 @@ class DistExecJobSpec extends AnyFunSuite with SparkSpec {
     assert(lines.length == 3 && lines.forall(_.startsWith("FAIL ")))
   }
 
+  test("large payload streams: 32 MB through cat, exact bytes, bounded heap") {
+    // R10/R12 claim the exec operator never materializes a file in
+    // memory: stdin pump reads 1 KiB chunks over a 128 KiB buffer,
+    // stdout streams to the (lazy) output. A payload far larger than
+    // any pump buffer must arrive byte-exact with matching counters.
+    val src = Files.createTempDirectory("graft-exec-big")
+    val n = 32 * 1024 * 1024
+    val line = ("x" * 63) + "\n"
+    val big = new StringBuilder(n)
+    while (big.length < n) big.append(line)
+    Files.writeString(src.resolve("big.txt"), big.toString)
+    // a second file keeps the run on the normal tree path (a lone file
+    // into a nonexistent dst would trigger the R18 dst-is-the-file rule)
+    Files.writeString(src.resolve("small.txt"), "tiny\n")
+    val dst = tmpDst()
+    val status = DistExecJob.run(spark, Seq(src.toString), dst.toString, "cat")
+    val c = DistExecJob.counters(status)
+    assert(c.executed == 2 && c.failed == 0)
+    assert(c.bytesExecuted == big.length.toLong + 5 &&
+      c.bytesWritten == big.length.toLong + 5)
+    val out = dst.resolve("big.txt")
+    assert(Files.size(out) == big.length.toLong, "output must be byte-exact")
+    // spot-check content edges rather than loading the file whole
+    val head = new String(java.nio.file.Files.newInputStream(out).readNBytes(64))
+    assert(head == line)
+  }
+
   test("speculation race: two attempts of one file — last rename wins, no partial output") {
     // The R15/R20 claim driven adversarially: Spark speculation runs the
     // SAME file in two concurrent attempts. Each writes an
