@@ -323,6 +323,131 @@ object Similarity {
     topK(cos, k).withColumnRenamed("cos", "qcos")
   }
 
+  /** Product quantization (PQ) ANN — the memory-scale path PAST c28's
+    * scalar int8: the 64-dim vector splits into `nSub` subvectors, each
+    * encoded as the id of its nearest subspace centroid (min exact L2
+    * over scaled longs), so a vector stores as `nSub` small ints —
+    * 8 bytes/vector at the default nSub=8/nCent=16 (4 bits each),
+    * 32× smaller than float32. Search is
+    * asymmetric distance (ADC): per query, a tiny nSub×k lookup table
+    * of exact subspace distances; a candidate's approximate distance is
+    * the sum of its codes' table entries — here a flat codegen CASE
+    * chain, no join wider than the (broadcast) query batch. Training
+    * reuses the literal-centroid Lloyd discipline per subspace
+    * (driver-collected codebooks, bounded by nSub·k rows). Everything
+    * is exact integer/scaled-long arithmetic; SimilaritySpec measures
+    * recall against the exact c5 baseline and asserts the floor.
+    */
+  def pqTopK(emb: DataFrame, queryMod: Int, k: Int, nSub: Int = 8,
+      nCent: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val topN = k
+    require(Dims % nSub == 0, "subspaces must tile the dimensions")
+    val subDims = Dims / nSub
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+    // subvector s covers dims s*subDims+1 .. (s+1)*subDims
+    def subCol(s: Int): Column =
+      expr(s"slice(ie, ${s * subDims + 1}, $subDims)")
+    // exact squared L2 between a subvector column and a literal centroid:
+    // ||x||² − 2·x·c + ||c||², all in scaled-long domain (≤ 16·(10⁵)²·4)
+    def sq(v: Seq[Long]): Long = v.map(x => x * x).sum
+    def dotLit(c: Column, ce: Seq[Long]): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.LongArrayDot(
+        GraftBridge.expression(c), GraftBridge.expression(lit(ce.toArray))))
+    }
+    def d2(c: Column, selfSq: Column, ce: Seq[Long]): Column =
+      selfSq - lit(2L) * dotLit(c, ce) + lit(sq(ce))
+    // per-subspace codebooks, trained by the literal-centroid Lloyd loop
+    // (assignment = min exact L2, ties → lowest centroid id)
+    val codebooks: Seq[Seq[Seq[Long]]] = (0 until nSub).map { s =>
+      // seed: the nCent lowest-id subvectors
+      var cents: Seq[Seq[Long]] = base.filter(col("vec_id") < nCent)
+        .select(col("vec_id"), subCol(s).as("sv")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Long](1).toSeq).toSeq
+      for (_ <- 1 to lloydIters) {
+        val withSq = base.select(col("vec_id"), subCol(s).as("sv"))
+          .withColumn("ssq", {
+            import org.apache.spark.sql.GraftBridge
+            GraftBridge.column(graft.functions.LongArrayDot(
+              GraftBridge.expression(col("sv")), GraftBridge.expression(col("sv"))))
+          })
+        // ties → lowest centroid index: struct(d, i) min-orders by
+        // distance then id, no negation needed (contrast withCell's max)
+        val arr = array(cents.zipWithIndex.map { case (ce, i) =>
+          struct(d2(col("sv"), col("ssq"), ce).as("d"), lit(i.toLong).as("c"))
+        }: _*)
+        val assigned = withSq.withColumn("code", array_min(arr).getField("c"))
+        // quantized means per code, the meanCentroids rounding discipline
+        val sums = (1 to subDims).map(j =>
+          sum(expr(s"try_element_at(sv, $j)")).as(s"s$j")) :+ count(lit(1)).as("cnt")
+        val meanCols = (1 to subDims).map(j => coalesce(
+          expr(s"CAST(CAST(CAST(s$j AS DOUBLE) / cnt AS DECIMAL(16,0)) AS BIGINT)"),
+          lit(0L)))
+        val next = assigned.groupBy(col("code")).agg(sums.head, sums.tail: _*)
+          .select(col("code"), array(meanCols: _*).as("ce"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+          .sortBy(_._1)
+        cents = next.map(_._2)
+      }
+      cents
+    }
+    // encode every vector: nSub codes via the same min-L2 argmin
+    def codeCol(s: Int): Column = {
+      val sv = subCol(s)
+      val ssq = {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.column(graft.functions.LongArrayDot(
+          GraftBridge.expression(sv), GraftBridge.expression(sv)))
+      }
+      val arr = array(codebooks(s).zipWithIndex.map { case (ce, i) =>
+        struct(d2(sv, ssq, ce).as("d"), lit(i.toLong).as("c"))
+      }: _*)
+      array_min(arr).getField("c").as(s"code$s")
+    }
+    val encoded = base.select(
+      (col("vec_id") +: (0 until nSub).map(codeCol)): _*)
+    // queries carry their per-subspace distance tables as literal-free
+    // columns: d(q, centroid c of subspace s) for every (s, c)
+    val queries0 = base.filter(col("vec_id") % queryMod === 0)
+    val qCols = for (s <- 0 until nSub; c <- codebooks(s).indices) yield {
+      val sv = subCol(s)
+      val ssq = {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.column(graft.functions.LongArrayDot(
+          GraftBridge.expression(sv), GraftBridge.expression(sv)))
+      }
+      d2(sv, ssq, codebooks(s)(c)).as(s"q_${s}_$c")
+    }
+    val queries = queries0.select(
+      (col("vec_id").as("qid") +: qCols): _*)
+    // ADC: approximate distance = Σ_s table[s][code_s] — a flat CASE
+    // chain over the (tiny, broadcast) query batch join
+    val adc = (0 until nSub).map { s =>
+      codebooks(s).indices.foldLeft(lit(0L)) { (acc, c) =>
+        when(col(s"code$s") === c.toLong, col(s"q_${s}_$c")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), adc.as("adist"))
+    // PQ is a SHORTLIST generator: exact-cosine rerank of the ADC
+    // top-`shortlist` per query (the production two-stage shape — the
+    // compressed scan touches only codes; full vectors are fetched for
+    // shortlist·|queries| rows, never the corpus).
+    val shortlist = math.max(topN * 20, 100)
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val short = scored.withColumn("srn", row_number().over(wA))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    val withNv = base.withColumn("nv", norm("ie"))
+    val qVec = withNv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("ie").as("qe"), col("nv").as("qn"))
+    val cos = short.join(withNv, "vec_id").join(broadcast(qVec), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot("ie", "qe") / (col("qn") * col("nv"))).as("cos"))
+    topK(cos, topN)
+  }
+
   /** Sign-LSH bands: `nBands` rows per vector, each a 4-bit integer from
     * the sign bits of 4 consecutive dimensions (band b covers dims
     * 4b+1..4b+4). Two vectors are near-dup CANDIDATES iff they agree on
