@@ -271,6 +271,28 @@ object Relational {
         .orderBy(col("event_type"), col("week"))
     }),
 
+    // d27 — explicit GROUPING SETS (the arbitrary-set sibling of d2's
+    // ROLLUP and d18's CUBE): per (returnflag, linestatus), per
+    // linestatus alone, and the grand total — a set list neither
+    // rollup nor cube produces. Runs through the SQL entry (one Expand
+    // over the scan, map-side partials per set); grouping_id
+    // disambiguates real NULLs from subtotal rows cross-engine. Cents
+    // stay scaled longs (the b4 contract).
+    "d27_grouping_sets" -> ((s, dir) => {
+      load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
+        .createOrReplaceTempView("d27_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_items,
+               CAST(sum(qc) AS BIGINT) AS qty_cents
+        FROM d27_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    }),
+
     // d26 — first-touch attribution: every purchase credits the FIRST
     // event type of its session (d4's 30-min-gap sessionization rule,
     // all users). Three windows, all partitioned by user or
@@ -654,6 +676,15 @@ object Relational {
         |       CASE WHEN prev_n IS NOT NULL
         |            THEN n * 1000 // prev_n END AS ratio_pml
         |FROM l ORDER BY event_type, week""".stripMargin,
+    "d27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "d26_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
