@@ -338,95 +338,121 @@ object Similarity {
     * is exact integer/scaled-long arithmetic; SimilaritySpec measures
     * recall against the exact c5 baseline and asserts the floor.
     */
-  def pqTopK(emb: DataFrame, queryMod: Int, k: Int, nSub: Int = 8,
-      nCent: Int = 16, lloydIters: Int = 2): DataFrame = {
-    val topN = k
-    require(Dims % nSub == 0, "subspaces must tile the dimensions")
-    val subDims = Dims / nSub
-    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
-    // subvector s covers dims s*subDims+1 .. (s+1)*subDims
-    def subCol(s: Int): Column =
+  /** Trained PQ codebooks: `codebooks(s)(c)` is centroid c of subspace
+    * s (scaled-long subvectors). Bounded driver state like [[Cent]]:
+    * nSub·nCent rows.
+    */
+  private[graft] case class PqModel(nSub: Int, codebooks: Seq[Seq[Seq[Long]]]) {
+    val subDims: Int = Dims / nSub
+
+    /** Subvector s of the `ie` column (dims s·subDims+1 ..). */
+    private def subCol(s: Int): Column =
       expr(s"slice(ie, ${s * subDims + 1}, $subDims)")
-    // exact squared L2 between a subvector column and a literal centroid:
-    // ||x||² − 2·x·c + ||c||², all in scaled-long domain (≤ 16·(10⁵)²·4)
-    def sq(v: Seq[Long]): Long = v.map(x => x * x).sum
-    def dotLit(c: Column, ce: Seq[Long]): Column = {
+
+    private def sq(v: Seq[Long]): Long = v.map(x => x * x).sum
+
+    private[Similarity] def dotLit(c: Column, ce: Seq[Long]): Column = {
       import org.apache.spark.sql.GraftBridge
       GraftBridge.column(graft.functions.LongArrayDot(
         GraftBridge.expression(c), GraftBridge.expression(lit(ce.toArray))))
     }
-    def d2(c: Column, selfSq: Column, ce: Seq[Long]): Column =
-      selfSq - lit(2L) * dotLit(c, ce) + lit(sq(ce))
-    // per-subspace codebooks, trained by the literal-centroid Lloyd loop
-    // (assignment = min exact L2, ties → lowest centroid id)
-    val codebooks: Seq[Seq[Seq[Long]]] = (0 until nSub).map { s =>
-      // seed: the nCent lowest-id subvectors
+
+    private def selfSq(c: Column): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.LongArrayDot(
+        GraftBridge.expression(c), GraftBridge.expression(c)))
+    }
+
+    /** Exact squared L2 between a subvector column and a literal
+      * centroid: ||x||² − 2·x·c + ||c||², scaled-long domain.
+      */
+    private[Similarity] def d2(c: Column, ssq: Column, ce: Seq[Long]): Column =
+      ssq - lit(2L) * dotLit(c, ce) + lit(sq(ce))
+
+    /** code_s = argmin exact L2 over subspace s's codebook (ties →
+      * lowest centroid id: struct(d, i) under array_min needs no
+      * negation, contrast [[withCell]]'s max).
+      */
+    def codeCol(s: Int): Column = {
+      val sv = subCol(s)
+      val arr = array(codebooks(s).zipWithIndex.map { case (ce, i) =>
+        struct(d2(sv, selfSq(sv), ce).as("d"), lit(i.toLong).as("c"))
+      }: _*)
+      array_min(arr).getField("c").as(s"code$s")
+    }
+
+    def codeCols: Seq[Column] = (0 until nSub).map(codeCol)
+
+    /** Per-query ADC lookup columns: d(q_s, centroid c) for every
+      * (s, c) — the nSub×nCent table a PQ query ships instead of its
+      * vector.
+      */
+    def queryDistCols: Seq[Column] =
+      for (s <- 0 until nSub; c <- codebooks(s).indices) yield {
+        val sv = subCol(s)
+        d2(sv, selfSq(sv), codebooks(s)(c)).as(s"q_${s}_$c")
+      }
+
+    /** ADC distance: Σ_s table[s][code_s] — a flat codegen CASE chain
+      * over code columns + query table columns.
+      */
+    def adcExpr: Column = (0 until nSub).map { s =>
+      codebooks(s).indices.foldLeft(lit(0L)) { (acc, c) =>
+        when(col(s"code$s") === c.toLong, col(s"q_${s}_$c")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Train per-subspace PQ codebooks over `base(vec_id, ie)` — the
+    * literal-centroid Lloyd discipline per subspace (min exact L2,
+    * quantized means, deterministic lowest-id seeding).
+    */
+  private[graft] def trainPq(base: DataFrame, nSub: Int, nCent: Int,
+      lloydIters: Int): PqModel = {
+    require(Dims % nSub == 0, "subspaces must tile the dimensions")
+    val subDims = Dims / nSub
+    val m0 = PqModel(nSub, Seq.fill(nSub)(Nil))
+    def subExpr(s: Int) = expr(s"slice(ie, ${s * subDims + 1}, $subDims)")
+    val codebooks = (0 until nSub).map { s =>
       var cents: Seq[Seq[Long]] = base.filter(col("vec_id") < nCent)
-        .select(col("vec_id"), subCol(s).as("sv")).collect()
+        .select(col("vec_id"), subExpr(s).as("sv")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Long](1).toSeq).toSeq
       for (_ <- 1 to lloydIters) {
-        val withSq = base.select(col("vec_id"), subCol(s).as("sv"))
+        val withSq = base.select(col("vec_id"), subExpr(s).as("sv"))
           .withColumn("ssq", {
             import org.apache.spark.sql.GraftBridge
             GraftBridge.column(graft.functions.LongArrayDot(
               GraftBridge.expression(col("sv")), GraftBridge.expression(col("sv"))))
           })
-        // ties → lowest centroid index: struct(d, i) min-orders by
-        // distance then id, no negation needed (contrast withCell's max)
         val arr = array(cents.zipWithIndex.map { case (ce, i) =>
-          struct(d2(col("sv"), col("ssq"), ce).as("d"), lit(i.toLong).as("c"))
+          struct(m0.d2(col("sv"), col("ssq"), ce).as("d"), lit(i.toLong).as("c"))
         }: _*)
         val assigned = withSq.withColumn("code", array_min(arr).getField("c"))
-        // quantized means per code, the meanCentroids rounding discipline
         val sums = (1 to subDims).map(j =>
           sum(expr(s"try_element_at(sv, $j)")).as(s"s$j")) :+ count(lit(1)).as("cnt")
         val meanCols = (1 to subDims).map(j => coalesce(
           expr(s"CAST(CAST(CAST(s$j AS DOUBLE) / cnt AS DECIMAL(16,0)) AS BIGINT)"),
           lit(0L)))
-        val next = assigned.groupBy(col("code")).agg(sums.head, sums.tail: _*)
+        cents = assigned.groupBy(col("code")).agg(sums.head, sums.tail: _*)
           .select(col("code"), array(meanCols: _*).as("ce"))
           .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
-          .sortBy(_._1)
-        cents = next.map(_._2)
+          .sortBy(_._1).map(_._2).toSeq
       }
       cents
     }
-    // encode every vector: nSub codes via the same min-L2 argmin
-    def codeCol(s: Int): Column = {
-      val sv = subCol(s)
-      val ssq = {
-        import org.apache.spark.sql.GraftBridge
-        GraftBridge.column(graft.functions.LongArrayDot(
-          GraftBridge.expression(sv), GraftBridge.expression(sv)))
-      }
-      val arr = array(codebooks(s).zipWithIndex.map { case (ce, i) =>
-        struct(d2(sv, ssq, ce).as("d"), lit(i.toLong).as("c"))
-      }: _*)
-      array_min(arr).getField("c").as(s"code$s")
-    }
-    val encoded = base.select(
-      (col("vec_id") +: (0 until nSub).map(codeCol)): _*)
-    // queries carry their per-subspace distance tables as literal-free
-    // columns: d(q, centroid c of subspace s) for every (s, c)
-    val queries0 = base.filter(col("vec_id") % queryMod === 0)
-    val qCols = for (s <- 0 until nSub; c <- codebooks(s).indices) yield {
-      val sv = subCol(s)
-      val ssq = {
-        import org.apache.spark.sql.GraftBridge
-        GraftBridge.column(graft.functions.LongArrayDot(
-          GraftBridge.expression(sv), GraftBridge.expression(sv)))
-      }
-      d2(sv, ssq, codebooks(s)(c)).as(s"q_${s}_$c")
-    }
-    val queries = queries0.select(
-      (col("vec_id").as("qid") +: qCols): _*)
-    // ADC: approximate distance = Σ_s table[s][code_s] — a flat CASE
-    // chain over the (tiny, broadcast) query batch join
-    val adc = (0 until nSub).map { s =>
-      codebooks(s).indices.foldLeft(lit(0L)) { (acc, c) =>
-        when(col(s"code$s") === c.toLong, col(s"q_${s}_$c")).otherwise(acc)
-      }
-    }.reduce(_ + _)
+    PqModel(nSub, codebooks)
+  }
+
+  def pqTopK(emb: DataFrame, queryMod: Int, k: Int, nSub: Int = 8,
+      nCent: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val topN = k
+    val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
+    val model = trainPq(base, nSub, nCent, lloydIters)
+    val encoded = base.select((col("vec_id") +: model.codeCols): _*)
+    // queries carry their per-subspace distance tables as columns
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select((col("vec_id").as("qid") +: model.queryDistCols): _*)
+    val adc = model.adcExpr
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), adc.as("adist"))

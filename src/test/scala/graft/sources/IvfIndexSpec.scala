@@ -66,6 +66,26 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(odds > 0, "appended vectors must be reachable by probes")
   }
 
+  test("IVF-PQ: ADC probe over stored codes + rerank; codes scan skips vectors") {
+    val e = spark.read.parquet(emb)
+    val dir = Files.createTempDirectory("ivfpq").toFile.getAbsolutePath
+    IvfIndexLayout.write(e, dir, nCells = 8, lloydIters = 2, pqSub = 8)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val exact = IvfIndexLayout.probe(spark, dir, queries, k = 3, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcDf = IvfIndexLayout.probeAdc(spark, dir, queries, k = 3, nProbe = 5)
+    val adc = adcDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    info(f"IVF-PQ recall@3 vs exact-within-probed-cells: $recall%.3f")
+    assert(recall >= 0.7, f"ADC recall $recall%.3f below floor")
+    // the ADC stage's scan must read codes, not the full vectors —
+    // column pruning makes the compressed read real at the storage layer
+    val plan = adcDf.queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(scans.exists(s => s.contains("code0") && !s.contains("ie:")),
+      s"expected a codes-only scan; schemas: ${scans.mkString("\n")}")
+  }
+
   test("probe scan mass is the probed cells only (partition pruning)") {
     val e = spark.read.parquet(emb)
     val dir = Files.createTempDirectory("ivfidx2").toFile.getAbsolutePath
