@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtOps, GroupA, GroupB, Relational}
+import graft.queries.{ExtOps, GroupA, GroupB, Relational, TpchRest}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared query
   * inventory. Group A re-expresses the reference's computations
@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GroupA.queries ++ GroupB.queries ++ ExtOps.queries ++ Relational.queries
+    GroupA.queries ++ GroupB.queries ++ TpchRest.queries ++
+      ExtOps.queries ++ Relational.queries
 
   /** DuckDB-runnable twin of each query (same column names — the driver
     * sorts columns by name before hashing). Omitted keys get a weaker
     * rows-only check.
     */
   def oracleSql: Map[String, String] =
-    GroupA.oracle ++ GroupB.oracle ++ ExtOps.oracle ++ Relational.oracle
+    GroupA.oracle ++ GroupB.oracle ++ TpchRest.oracle ++
+      ExtOps.oracle ++ Relational.oracle
 }

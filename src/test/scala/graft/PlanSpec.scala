@@ -298,6 +298,59 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "df and per-doc sums must hash-aggregate (map-side partials)")
   }
 
+  test("b14 order priority: EXISTS runs as a left-semi join, date filter pushed") {
+    val p = plan("b14_order_priority")
+    assert(p.contains("LeftSemi"),
+      "the correlated EXISTS must be a semi join — never a join+distinct")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "the quarter filter must reach the orders scan")
+  }
+
+  test("b15 forecast revenue: pure scan-and-aggregate, every predicate pushed") {
+    val p = plan("b15_forecast_revenue")
+    assert(!p.contains("Join"), "Q6 must not join anything")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "the shipdate range must reach the parquet scan")
+    assert(!p.contains("l_orderkey") && !p.contains("l_tax"),
+      "scan must prune to the 4 touched columns")
+  }
+
+  test("b19 important suppliers: scalar total broadcasts; threshold has no division") {
+    val p = plan("b19_important_suppliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row global total must broadcast, never shuffle the per-supplier aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("b21 custdist: zero-order customers survive via left outer; two aggregates") {
+    val p = plan("b21_custdist")
+    assert(p.contains("LeftOuter"),
+      "the left join is the histogram's zero bucket — an inner join drops it")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "count-per-customer and histogram must both hash-aggregate")
+  }
+
+  test("b23 parts/suppliers: NOT IN runs as a broadcast anti join") {
+    val p = plan("b23_parts_suppliers")
+    assert(p.contains("LeftAnti"),
+      "the complained-supplier exclusion must be an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("b24 small-qty: per-part average compares cross-multiplied, partkey equi-joins") {
+    val p = plan("b24_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the avg-quantity probe must join on partkey")
+  }
+
+  test("b27 idle rich: NOT EXISTS is an anti join; balance threshold broadcasts") {
+    val p = plan("b27_idle_rich_customers")
+    assert(p.contains("LeftAnti"),
+      "no-recent-orders must be a left-anti join on custkey")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row positive-average must broadcast")
+  }
+
   test("c47 KMV: sample rides bounded TopKPerKey heaps, windows stay off raw rows") {
     val p = plan("c47_kmv_quantile")
     assert(p.contains("TopKPerKey"), "the sample must use the heap operator")
