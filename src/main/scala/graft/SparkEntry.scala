@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtOps, GroupA, GroupB, Relational, TpchRest}
+import graft.queries.{CorpusExtra, ExtOps, GroupA, GroupB, Relational, TpchRest}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared query
   * inventory. Group A re-expresses the reference's computations
@@ -22,7 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GroupA.queries ++ GroupB.queries ++ TpchRest.queries ++
-      ExtOps.queries ++ Relational.queries
+      ExtOps.queries ++ Relational.queries ++ CorpusExtra.queries
 
   /** DuckDB-runnable twin of each query (same column names — the driver
     * sorts columns by name before hashing). Omitted keys get a weaker
@@ -30,5 +30,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     GroupA.oracle ++ GroupB.oracle ++ TpchRest.oracle ++
-      ExtOps.oracle ++ Relational.oracle
+      ExtOps.oracle ++ Relational.oracle ++ CorpusExtra.oracle
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-4 corpus operators: cross-source overlap (the dataset-mixing
+  * contamination audit), BPE merge-pair mining (tokenizer training's
+  * first iteration), and MinHash estimator calibration (how well the
+  * sketch tracks exact Jaccard — the audit that justifies trusting c1's
+  * candidates at 100 TB, where the exact verify pass is the expensive
+  * step you want to SKIP for low-estimate pairs).
+  */
+object CorpusExtra {
+  import Tables.load
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // c58 — cross-source content overlap: for every source pair, how
+    // many distinct documents they share — verbatim (full-content hash)
+    // and near-verbatim (b1b's 4-token-prefix normalization, which
+    // catches shared templates exact hashing misses). The mixing-weights
+    // question "are my sources actually disjoint?" answered with two
+    // 16-byte-hash self-joins — shuffles carry (source, hash), never
+    // text; distinct-before-join caps each hash's posting list at the
+    // source count, so join output is bounded by n_hashes × |sources|²,
+    // not corpus².
+    "c58_cross_source_overlap" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      def pairCounts(h: DataFrame, cnt: String): DataFrame = {
+        val a = h.select(col("h"), col("source").as("source_a"))
+        val b = h.select(col("h"), col("source").as("source_b"))
+        a.join(b, "h")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(countDistinct(col("h")).as(cnt))
+      }
+      val prefix = pairCounts(docs.select(col("source"),
+        md5(array_join(slice(split(col("text"), " "), 1, 4), " ").cast("binary")).as("h"))
+        .distinct(), "n_shared_prefix")
+      val exact = pairCounts(docs.select(col("source"),
+        md5(col("text").cast("binary")).as("h")).distinct(), "n_shared_exact")
+      prefix.join(exact, Seq("source_a", "source_b"), "left_outer")
+        .select(col("source_a"), col("source_b"), col("n_shared_prefix"),
+          coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // c59 — BPE merge-pair mining: the first iteration of byte-pair-
+    // encoding tokenizer training — adjacent character-pair frequencies
+    // across the corpus, weighted by token frequency. The corpus
+    // collapses to its VOCABULARY first (the c26 discipline: one
+    // token-count aggregate, everything after is vocab-sized, corpus-
+    // size-independent), then each vocab entry explodes to its ≤len−1
+    // pairs. Top 30 pairs = the first 30 merge candidates.
+    "c59_bpe_pairs" -> ((s, dir) => {
+      val vocab = load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      vocab.filter(length(col("tok")) >= 2)
+        .select(col("tok"), col("n"),
+          explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n")).as("n_occ"), countDistinct(col("tok")).as("n_types"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(30)
+    }),
+
+    // c60 — MinHash estimator calibration: candidate pairs from c1's
+    // banded LSH, bucketed by how many of the 8 minhashes agree, with
+    // the EXACT Jaccard mass in each bucket. E[matching/8] = Jaccard,
+    // so the report shows whether the sketch orders pairs correctly —
+    // the audit that decides how aggressively the verify pass can prune
+    // low-estimate candidates at scale. All aggregates are integer
+    // (inter/union sums; the proxy mean is an integer cross-division),
+    // so the result is bit-exact cross-engine: no double ever sums.
+    "c60_minhash_calibration" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val toks = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          array_remove(array_distinct(split(col("text"), " ")), "").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("sz"))
+      val sigAggs = (0 until Dedup.NumHashes).map(j =>
+        min(md5(concat(lit(s"$j|"), col("tok")).cast("binary"))).as(s"m$j"))
+      val sigs = Dedup.tokenPostings(docs, 5)
+        .groupBy(col("doc_id"))
+        .agg(sigAggs.head, sigAggs.tail: _*)
+      val cands = Dedup.lshCandidates(Dedup.minhashBanded(docs, 5))
+      val sa = sigs.toDF("da" +: (0 until Dedup.NumHashes).map(j => s"ma$j"): _*)
+      val sb = sigs.toDF("db" +: (0 until Dedup.NumHashes).map(j => s"mb$j"): _*)
+      val nMatch = (0 until Dedup.NumHashes)
+        .map(j => when(col(s"ma$j") === col(s"mb$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cands
+        .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"), col("sz").as("xa")), "da")
+        .join(toks.select(col("doc_id").as("db"), col("toks").as("tb"), col("sz").as("xb")), "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          col("xa"), col("xb"))
+        .join(sa, "da").join(sb, "db")
+        .select(nMatch.as("n_match"), col("inter"),
+          (col("xa") + col("xb") - col("inter")).as("uni"))
+        .groupBy(col("n_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("inter")).as("sum_inter"), sum(col("uni")).as("sum_union"),
+          expr("CAST(CAST(sum(inter) AS DECIMAL(38,0)) * 1000 div sum(uni) AS BIGINT)")
+            .as("jaccard_proxy_x1000"))
+        .orderBy(col("n_match"))
+    })
+  )
+
+  private val minhashCols =
+    (0 until Dedup.NumHashes).map(j => s"min(md5('$j|' || tok)) AS m$j").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "c58_cross_source_overlap" ->
+      """WITH hp AS (SELECT DISTINCT source,
+        |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')) AS h
+        |  FROM documents),
+        |he AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+        |pp AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_prefix
+        |       FROM hp a JOIN hp b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |pe AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_exact
+        |       FROM he a JOIN he b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT pp.source_a, pp.source_b, pp.n_shared_prefix,
+        |       coalesce(pe.n_shared_exact, 0) AS n_shared_exact
+        |FROM pp LEFT JOIN pe
+        |  ON pp.source_a = pe.source_a AND pp.source_b = pe.source_b
+        |ORDER BY pp.source_a, pp.source_b""".stripMargin,
+    "c59_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |p AS (SELECT tok, n, unnest(range(1, len(tok))) AS i
+        |      FROM v WHERE len(tok) >= 2),
+        |q AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, tok, n FROM p)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+        |FROM q GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin,
+    "c60_minhash_calibration" ->
+      s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+         |sigs AS (SELECT doc_id, $minhashCols FROM toks GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band_id, concat(m0, m1, m2, m3) AS bv FROM sigs
+         |  UNION ALL SELECT doc_id, 1, concat(m4, m5, m6, m7) FROM sigs),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS inter FROM cand c
+         |  JOIN toks ta ON ta.doc_id = c.da
+         |  JOIN toks tb ON tb.doc_id = c.db AND ta.tok = tb.tok
+         |  GROUP BY c.da, c.db),
+         |pairs AS (
+         |  SELECT c.da, c.db,
+         |    (${(0 until Dedup.NumHashes)
+              .map(j => s"CASE WHEN A.m$j = B.m$j THEN 1 ELSE 0 END")
+              .mkString(" + ")}) AS n_match,
+         |    coalesce(i.inter, 0) AS inter,
+         |    sa.sz + sb.sz - coalesce(i.inter, 0) AS uni
+         |  FROM cand c
+         |  JOIN sigs A ON A.doc_id = c.da
+         |  JOIN sigs B ON B.doc_id = c.db
+         |  LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+         |  JOIN sizes sa ON sa.doc_id = c.da
+         |  JOIN sizes sb ON sb.doc_id = c.db)
+         |SELECT CAST(n_match AS BIGINT) AS n_match,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |       CAST(sum(uni) AS BIGINT) AS sum_union,
+         |       CAST(CAST(sum(inter) AS HUGEINT) * 1000 // sum(uni) AS BIGINT)
+         |         AS jaccard_proxy_x1000
+         |FROM pairs GROUP BY n_match ORDER BY n_match""".stripMargin
+  )
+}

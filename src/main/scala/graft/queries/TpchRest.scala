@@ -321,12 +321,13 @@ object TpchRest {
         .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
     }),
 
-    // B26 — potential part promotion (TPC-H Q20 shape): suppliers in
-    // NATION_2 who shipped more than 50 units of 'red%' parts in 1997.
+    // B26 — potential part promotion (TPC-H Q20 shape): EUROPE-region
+    // suppliers who shipped more than 50 units of 'red%' parts in 1997.
     // The nested IN-subqueries become a filter→aggregate→semi-join
     // chain: parts filter (broadcast), per-supplier quantity aggregate,
-    // HAVING threshold, then a semi into supplier pruned by nation. No
-    // row ever leaves its aggregate wider than (suppkey, sum).
+    // HAVING threshold, then a semi into supplier pruned by the
+    // nation⋈region dim. No row ever leaves its aggregate wider than
+    // (suppkey, sum).
     "b26_promo_suppliers" -> ((s, dir) => {
       val redParts = load(s, dir, "part").filter(col("p_name").startsWith("red"))
         .select(col("p_partkey"))
@@ -338,10 +339,12 @@ object TpchRest {
         .groupBy(col("l_suppkey"))
         .agg(sum(col("qx100")).as("sum_qx100"))
         .filter(col("sum_qx100") > 50L * 100)
-      val nation2 = load(s, dir, "nation").filter(col("n_name") === "NATION_2")
+      val eurNations = load(s, dir, "nation")
+        .join(load(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"))
       load(s, dir, "supplier")
-        .join(broadcast(nation2), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
         .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_name"))
@@ -534,7 +537,8 @@ object TpchRest {
     "b26_promo_suppliers" ->
       """SELECT s_suppkey, s_name
         |FROM supplier
-        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lineitem
         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')

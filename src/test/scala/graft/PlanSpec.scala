@@ -351,6 +351,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the 1-row positive-average must broadcast")
   }
 
+  test("c58 overlap: hash self-joins are keyed, text never crosses a shuffle") {
+    val p = plan("c58_cross_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "source-pair overlap must join on the content hash")
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      "shuffles must carry (source, hash), never the document text")
+  }
+
+  test("c59 BPE pairs: corpus collapses to vocab before the pair explode") {
+    val p = plan("c59_bpe_pairs")
+    // the explode must sit ABOVE the token-count aggregate: the plan has
+    // a Generate whose child subtree contains the vocab HashAggregate.
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, "pair explosion must be a Generate")
+    assert(p.indexOf("HashAggregate", genIdx) >= 0,
+      "vocab aggregate must feed the explode (corpus-sized explode would " +
+        "multiply the corpus scan by token length)")
+  }
+
+  test("c60 calibration: candidates come from the banded join, no all-pairs") {
+    val p = plan("c60_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "calibration pairs must be LSH candidates, never a cross product")
+  }
+
   test("c47 KMV: sample rides bounded TopKPerKey heaps, windows stay off raw rows") {
     val p = plan("c47_kmv_quantile")
     assert(p.contains("TopKPerKey"), "the sample must use the heap operator")
