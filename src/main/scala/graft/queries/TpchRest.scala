@@ -181,6 +181,11 @@ object TpchRest {
         .select(col("l_suppkey"), revMicros.as("vm"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("vm")).as("value_micros"))
+        // Materialized once (the c49/c55 discipline): the total and the
+        // probe both reference this aggregate — unchecked, Spark
+        // re-executes the subtree, i.e. a SECOND full lineitem scan.
+        // The checkpoint is supplier-count-sized.
+        .localCheckpoint(true)
       val total = perSupp.agg(sum(col("value_micros")).as("total_micros"))
       perSupp.join(broadcast(total))
         .filter(col("value_micros") * 100 > col("total_micros"))
@@ -246,6 +251,9 @@ object TpchRest {
         .select(col("l_suppkey"), revMicros.as("vm"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("vm")).as("revenue_micros"))
+        // One lineitem scan for both the max and the equality probe
+        // (the b19 materialize-once rationale; supplier-count-sized).
+        .localCheckpoint(true)
       val top = perSupp.agg(max(col("revenue_micros")).as("max_micros"))
       perSupp.join(broadcast(top), col("revenue_micros") === col("max_micros"))
         .join(load(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
@@ -292,6 +300,10 @@ object TpchRest {
         .select(col("l_partkey"),
           expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qx100"),
           expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("px100"))
+        // Referenced by the per-part average AND the probe: materialize
+        // the brand-filtered slice (~1/25 of lineitem) once instead of
+        // scanning lineitem twice.
+        .localCheckpoint(true)
       val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
         .agg(sum(col("qx100")).as("sum_qx100"), count(lit(1)).as("n_lines"))
       li.join(avgQ, col("l_partkey") === col("a_partkey"))
