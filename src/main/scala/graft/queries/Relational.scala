@@ -278,6 +278,33 @@ object Relational {
     // over the scan, map-side partials per set); grouping_id
     // disambiguates real NULLs from subtotal rows cross-engine. Cents
     // stay scaled longs (the b4 contract).
+    // d28 — the remaining ANSI window-function family in one ranked
+    // pass: percent_rank / cume_dist (rank-derived doubles — small-int
+    // rationals, exactly representable, correctly-rounded division →
+    // bit-identical cross-engine), lag/lead, and nth/first/last values
+    // over an EXPLICIT unbounded frame (the default frame for value
+    // functions differs subtly across engines; spelling it removes the
+    // ambiguity). All windows partition by nation — never global — and
+    // the (acctbal, custkey) order is total, so every function is
+    // deterministic under any partitioning.
+    "d28_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "customer")
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+        .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+        .withColumn("second_bal", nth_value(col("c_acctbal"), 2).over(wFull))
+        .withColumn("span",
+          last(col("c_acctbal")).over(wFull) - first(col("c_acctbal")).over(wFull))
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+          col("c_acctbal"), col("pr"), col("cd"), col("prev_bal"), col("next_bal"),
+          col("second_bal"), col("span"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "d27_grouping_sets" -> ((s, dir) => {
       load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
@@ -676,6 +703,19 @@ object Relational {
         |       CASE WHEN prev_n IS NOT NULL
         |            THEN n * 1000 // prev_n END AS ratio_pml
         |FROM l ORDER BY event_type, week""".stripMargin,
+    "d28_window_family" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal,
+        |  lead(c_acctbal, 1) OVER w AS next_bal,
+        |  nth_value(c_acctbal, 2) OVER wf AS second_bal,
+        |  last_value(c_acctbal) OVER wf - first_value(c_acctbal) OVER wf AS span
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
     "d27_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,

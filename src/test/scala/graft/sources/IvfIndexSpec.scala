@@ -77,7 +77,9 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     val adc = adcDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & adc).size.toDouble / exact.size
     info(f"IVF-PQ recall@3 vs exact-within-probed-cells: $recall%.3f")
-    assert(recall >= 0.7, f"ADC recall $recall%.3f below floor")
+    assert(recall >= 0.85, f"ADC recall $recall%.3f below floor (measured 0.933 " +
+      "on the synthetic data; a drop past 0.85 means the codes or the ADC " +
+      "tables regressed)")
     // the ADC stage's scan must read codes, not the full vectors —
     // column pruning makes the compressed read real at the storage layer
     val plan = adcDf.queryExecution.executedPlan.toString
