@@ -83,17 +83,24 @@ object CorpusExtra {
         .select(col("doc_id"),
           array_remove(array_distinct(split(col("text"), " ")), "").as("toks"))
         .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("sz"))
-      val sigAggs = (0 until Dedup.NumHashes).map(j =>
-        min(md5(concat(lit(s"$j|"), col("tok")).cast("binary"))).as(s"m$j"))
-      val sigs = Dedup.tokenPostings(docs, 5)
-        .groupBy(col("doc_id"))
-        .agg(sigAggs.head, sigAggs.tail: _*)
-      val cands = Dedup.lshCandidates(Dedup.minhashBanded(docs, 5))
-      val sa = sigs.toDF("da" +: (0 until Dedup.NumHashes).map(j => s"ma$j"): _*)
-      val sb = sigs.toDF("db" +: (0 until Dedup.NumHashes).map(j => s"mb$j"): _*)
-      val nMatch = (0 until Dedup.NumHashes)
-        .map(j => when(col(s"ma$j") === col(s"mb$j"), 1L).otherwise(0L))
-        .reduce(_ + _)
+      // The per-doc signatures come FROM the band values: each band is
+      // the concat of 4 fixed-width (32 hex char) minhashes, so the 8
+      // signature components are substrings of the 2 bands — no second
+      // tokenize pass, no posting-list shuffle; the only sig cost is a
+      // 2-rows→1 pivot of the kernel's output. (The banded table is
+      // materialized once for the pivot + both candidate sides.)
+      val banded = Dedup.minhashBanded(docs, 5).localCheckpoint(true)
+      val sigs = banded.groupBy(col("doc_id"))
+        .agg(max(when(col("band_id") === 0, col("bv"))).as("b0"),
+          max(when(col("band_id") === 1, col("bv"))).as("b1"))
+      val cands = Dedup.lshCandidates(banded)
+      val sa = sigs.toDF("da", "a0", "a1")
+      val sb = sigs.toDF("db", "c0", "c1")
+      val nMatch = (0 until Dedup.NumHashes).map { j =>
+        val (band, off) = (j / 4, 1 + 32 * (j % 4))
+        when(substring(col(s"a$band"), off, 32) === substring(col(s"c$band"), off, 32),
+          1L).otherwise(0L)
+      }.reduce(_ + _)
       cands
         .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"), col("sz").as("xa")), "da")
         .join(toks.select(col("doc_id").as("db"), col("toks").as("tb"), col("sz").as("xb")), "db")
