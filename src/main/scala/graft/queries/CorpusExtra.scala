@@ -52,22 +52,13 @@ object CorpusExtra {
     // collapses to its VOCABULARY first (the c26 discipline: one
     // token-count aggregate, everything after is vocab-sized, corpus-
     // size-independent), then each vocab entry explodes to its ≤len−1
-    // pairs. Top 30 pairs = the first 30 merge candidates.
-    "c59_bpe_pairs" -> ((s, dir) => {
-      val vocab = load(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      vocab.filter(length(col("tok")) >= 2)
-        .select(col("tok"), col("n"),
-          explode(expr(
-            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
-            .as("pair"))
-        .groupBy(col("pair"))
-        .agg(sum(col("n")).as("n_occ"), countDistinct(col("tok")).as("n_types"))
-        .orderBy(col("n_occ").desc, col("pair"))
-        .limit(30)
-    }),
+    // pairs. Top 30 pairs = the first 30 merge candidates. Both stages
+    // are the ONE spelling shared with the streaming twin
+    // (streaming.VocabStream: live-ingest vocab maintenance + the same
+    // readout), so backfill and live paths cannot drift.
+    "c59_bpe_pairs" -> ((s, dir) =>
+      graft.streaming.VocabStream.bpePairs(
+        graft.streaming.VocabStream.vocabCounts(load(s, dir, "documents")), 30)),
 
     // c60 — MinHash estimator calibration: candidate pairs from c1's
     // banded LSH, bucketed by how many of the 8 minhashes agree, with
