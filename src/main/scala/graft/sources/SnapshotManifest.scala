@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Attested dataset snapshots: sharded parquet plus a `_manifest`
+  * recording per-shard row counts and an ORDER-INDEPENDENT content sum,
+  * so a consumer can cheaply answer "is this snapshot complete and
+  * untampered, and which shards changed?" before training on it —
+  * the integrity/resume handshake between a curation pipeline and its
+  * trainers ([[CorpusSink]]/[[JsonlSink]] write data; this writes data
+  * PLUS the evidence).
+  *
+  * The content sum is Σ over rows of the first 60 bits of
+  * md5(row-as-canonical-json), wrapping in a signed long. Addition
+  * commutes, so the sum is independent of row order, partitioning and
+  * reader parallelism — each shard's attestation can be recomputed by
+  * ANY engine that can hash rows, one scan, no sort. Shard assignment
+  * is [[JsonlSink.shardOf]]'s content-hash rule (same row → same shard
+  * on every run), so unchanged rows can never flip a shard's sum.
+  */
+object SnapshotManifest {
+
+  /** 60-bit row hash over the canonical (name-sorted-column) json of a
+    * row — canonicalization makes the attestation survive column
+    * reordering between writer and validator.
+    */
+  private def rowHash(cols: Seq[String]): Column =
+    conv(substring(md5(to_json(struct(cols.sorted.map(col): _*)).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Per-shard (n_rows, content_sum) of a sharded frame. The sum runs
+    * in decimal(38,0) (a long sum of 2^60-sized terms overflows — ANSI
+    * mode would throw) and reduces mod 2^61 for the stored long.
+    */
+  private def attest(data: DataFrame): DataFrame = {
+    val dataCols = data.columns.filterNot(_ == "__shard").toSeq
+    data.groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash(dataCols).cast("decimal(38,0)")).as("raw_sum"))
+      .select(col("shard"), col("n_rows"),
+        expr("CAST(raw_sum % 2305843009213693952 AS BIGINT)").as("content_sum"))
+  }
+
+  /** Write `df` as parquet under `path/data/__shard=K/` + `path/_manifest`
+    * (json). The manifest is computed from what was WRITTEN (a
+    * read-back), not from the input plan — the attestation covers the
+    * bytes on disk.
+    */
+  def write(df: DataFrame, key: Column, nShards: Int, path: String): Unit = {
+    df.withColumn("__shard", JsonlSink.shardOf(key, nShards))
+      .repartition(col("__shard"))
+      .write.partitionBy("__shard").mode("overwrite").parquet(s"$path/data")
+    attest(df.sparkSession.read.parquet(s"$path/data"))
+      .coalesce(1).write.mode("overwrite").json(s"$path/_manifest")
+  }
+
+  /** Re-attest the data and diff against the manifest: one row per
+    * shard with `ok`, the expected and observed counts/sums, and a
+    * status (`ok` / `changed` / `missing` / `unexpected`). A resumable
+    * loader re-pulls exactly the non-ok shards.
+    */
+  def validate(spark: SparkSession, path: String): DataFrame = {
+    val expected = spark.read.json(s"$path/_manifest")
+      .select(col("shard"), col("n_rows").as("exp_rows"),
+        col("content_sum").as("exp_sum"))
+    val observed = attest(spark.read.parquet(s"$path/data"))
+      .select(col("shard"), col("n_rows").as("obs_rows"),
+        col("content_sum").as("obs_sum"))
+    expected.join(observed, Seq("shard"), "full_outer")
+      .select(col("shard"), col("exp_rows"), col("obs_rows"),
+        col("exp_sum"), col("obs_sum"),
+        (col("exp_rows") <=> col("obs_rows") && col("exp_sum") <=> col("obs_sum"))
+          .as("ok"),
+        when(col("exp_rows").isNull, "unexpected")
+          .when(col("obs_rows").isNull, "missing")
+          .when(col("exp_rows") === col("obs_rows") &&
+            col("exp_sum") === col("obs_sum"), "ok")
+          .otherwise("changed").as("status"))
+      .orderBy(col("shard"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotManifestSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDir() =
+    Files.createTempDirectory("snapman").toFile.getAbsolutePath
+
+  test("written snapshot validates clean; every shard attested") {
+    val dir = freshDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SnapshotManifest.write(docs, col("doc_id"), 8, dir)
+
+    val v = SnapshotManifest.validate(spark, dir).collect()
+    assert(v.length == 8, "all 8 shards must appear")
+    assert(v.forall(_.getAs[Boolean]("ok")), s"dirty shards: ${v.mkString(", ")}")
+    // round trip preserves the data itself
+    val back = spark.read.parquet(s"$dir/data").drop("__shard")
+    assert(back.count() == docs.count())
+  }
+
+  test("tampering flags exactly the touched shard") {
+    val dir = freshDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SnapshotManifest.write(docs, col("doc_id"), 8, dir)
+
+    // remove one data file from one shard directory
+    val shardDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("__shard=")).sortBy(_.getName)
+    val victim = shardDirs.head
+    val victimShard = victim.getName.stripPrefix("__shard=").toLong
+    val parquetFile = victim.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(parquetFile.delete())
+
+    val v = SnapshotManifest.validate(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("status")).toMap
+    assert(v(victimShard) == "missing" || v(victimShard) == "changed",
+      s"victim shard must be flagged, got ${v(victimShard)}")
+    assert(v.filterNot(_._1 == victimShard).values.forall(_ == "ok"),
+      s"untouched shards must stay ok: $v")
+  }
+
+  test("shard assignment is the content-hash rule (stable across runs)") {
+    val dir1 = freshDir(); val dir2 = freshDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    SnapshotManifest.write(docs, col("doc_id"), 4, dir1)
+    // second write from a differently-partitioned input
+    SnapshotManifest.write(docs.repartition(13), col("doc_id"), 4, dir2)
+    val m1 = spark.read.json(s"$dir1/_manifest").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_rows"), r.getAs[Long]("content_sum"))).toSet
+    val m2 = spark.read.json(s"$dir2/_manifest").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_rows"), r.getAs[Long]("content_sum"))).toSet
+    assert(m1 == m2, "manifest must be a pure function of the data, not its partitioning")
+  }
+}
