@@ -60,6 +60,37 @@ object CorpusExtra {
       graft.streaming.VocabStream.bpePairs(
         graft.streaming.VocabStream.vocabCounts(load(s, dir, "documents")), 30)),
 
+    // c61 — embedding snapshot drift: per label, the L1 distance between
+    // the two snapshot halves' centroids (even/odd vec_id — the c46/c48
+    // snapshot convention applied to the EMBEDDING table). Centroids use
+    // c39's exact spelling (4-decimal scaled longs, decimal-rounded
+    // mean), so the drift figure is integer-exact cross-engine. The
+    // monitoring twin of c48 for vector columns: a retrained embedding
+    // model or a corrupted ingest shows up as per-label centroid motion
+    // before it shows up in training. Shuffles carry (label, dim)
+    // aggregates — ≤ labels × 64 rows, corpus-size-independent.
+    "c61_embedding_drift" -> ((s, dir) => {
+      def centroids(half: DataFrame): DataFrame = half
+        .select(col("label").cast("long").as("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(CAST(x AS DECIMAL(12,4)) * 10000 AS BIGINT))")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("i"), col("col").as("sv"))
+        .groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("ss"))
+        .withColumn("cv",
+          expr("CAST(CAST(CAST(ss AS DOUBLE) / n AS DECIMAL(16,0)) AS BIGINT)"))
+      val e = load(s, dir, "embeddings")
+      val a = centroids(e.filter(col("vec_id") % 2 === 0))
+        .select(col("label"), col("i"), col("cv").as("cva"), col("n").as("na"))
+      val b = centroids(e.filter(col("vec_id") % 2 === 1))
+        .select(col("label"), col("i"), col("cv").as("cvb"), col("n").as("nb"))
+      a.join(b, Seq("label", "i"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_vecs_a"), max(col("nb")).as("n_vecs_b"),
+          sum(abs(col("cva") - col("cvb"))).as("l1_x10000"))
+        .orderBy(col("label"))
+    }),
+
     // c60 — MinHash estimator calibration: candidate pairs from c1's
     // banded LSH, bucketed by how many of the 8 minhashes agree, with
     // the EXACT Jaccard mass in each bucket. E[matching/8] = Jaccard,
@@ -143,6 +174,24 @@ object CorpusExtra {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ,
         |       CAST(count(DISTINCT tok) AS BIGINT) AS n_types
         |FROM q GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin,
+    "c61_embedding_drift" ->
+      """WITH el AS (SELECT vec_id, e.label, t.i,
+        |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000
+        |      AS BIGINT) AS sv
+        |  FROM embeddings e, range(1, 65) t(i)),
+        |a AS (SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        |             CAST(count(*) AS BIGINT) AS na,
+        |             CAST(CAST(CAST(sum(sv) AS DOUBLE) / count(*) AS DECIMAL(16,0)) AS BIGINT) AS cva
+        |      FROM el WHERE vec_id % 2 = 0 GROUP BY label, i),
+        |b AS (SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        |             CAST(count(*) AS BIGINT) AS nb,
+        |             CAST(CAST(CAST(sum(sv) AS DOUBLE) / count(*) AS DECIMAL(16,0)) AS BIGINT) AS cvb
+        |      FROM el WHERE vec_id % 2 = 1 GROUP BY label, i)
+        |SELECT a.label, CAST(max(na) AS BIGINT) AS n_vecs_a,
+        |       CAST(max(nb) AS BIGINT) AS n_vecs_b,
+        |       CAST(sum(abs(cva - cvb)) AS BIGINT) AS l1_x10000
+        |FROM a JOIN b ON a.label = b.label AND a.i = b.i
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
     "c60_minhash_calibration" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |             FROM documents WHERE doc_id % 5 = 0),
