@@ -247,14 +247,26 @@ object GroupB {
       val cust = load(s, dir, "customer")
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      // orders joins its (nation-filtered, ~2/25 of customers) dim
+      // FIRST, so only the pair's ~8% of orders reaches the lineitem
+      // join. Exchange-mass arithmetic (li ≈ 4× orders rows): this
+      // spelling moves orders@custkey + 0.08·orders@orderkey +
+      // 0.32·orders-worth of li@orderkey; the join-li-first spelling
+      // moves orders@orderkey + the same li mass + 0.32·orders-worth
+      // of JOIN OUTPUT re-exchanged @custkey — ~0.3 orders-masses
+      // more. Locally the extra stage costs ~0.25 s in scheduling
+      // (1.31→1.56 s measured); at 100 TB the saved output exchange
+      // dominates — the b8/b9 rule of planning for the cluster, not
+      // the bench box.
       val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
       val li = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
           (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
       li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(sum(col("rev")).cast("double").as("revenue"))
