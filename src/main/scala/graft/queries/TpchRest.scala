@@ -569,8 +569,8 @@ object TpchRest {
         |      FROM c WHERE bal_cents > 0)
         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
         |       CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
-        |FROM c, p
-        |JOIN nation ON c_nationkey = n_nationkey
+        |FROM c CROSS JOIN p
+        |JOIN nation ON c.c_nationkey = n_nationkey
         |WHERE bal_cents * n_pos > sum_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey

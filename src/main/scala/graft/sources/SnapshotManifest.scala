@@ -48,6 +48,12 @@ object SnapshotManifest {
     * bytes on disk.
     */
   def write(df: DataFrame, key: Column, nShards: Int, path: String): Unit = {
+    // __shard is reserved: withColumn would silently REPLACE a caller's
+    // column of that name, and the attestation (which excludes the shard
+    // column from the row hash) would never notice the loss — e.g. when
+    // re-snapshotting a previous snapshot's data dir without dropping it.
+    require(!df.columns.contains("__shard"),
+      "input must not carry a __shard column (drop it before write)")
     df.withColumn("__shard", JsonlSink.shardOf(key, nShards))
       .repartition(col("__shard"))
       .write.partitionBy("__shard").mode("overwrite").parquet(s"$path/data")
@@ -70,13 +76,16 @@ object SnapshotManifest {
     expected.join(observed, Seq("shard"), "full_outer")
       .select(col("shard"), col("exp_rows"), col("obs_rows"),
         col("exp_sum"), col("obs_sum"),
-        (col("exp_rows") <=> col("obs_rows") && col("exp_sum") <=> col("obs_sum"))
-          .as("ok"),
         when(col("exp_rows").isNull, "unexpected")
           .when(col("obs_rows").isNull, "missing")
           .when(col("exp_rows") === col("obs_rows") &&
             col("exp_sum") === col("obs_sum"), "ok")
           .otherwise("changed").as("status"))
+      // ONE source of truth: ok is DERIVED from status, not a second
+      // spelling of the same predicate that could drift from it.
+      .withColumn("ok", col("status") === "ok")
+      .select(col("shard"), col("exp_rows"), col("obs_rows"),
+        col("exp_sum"), col("obs_sum"), col("ok"), col("status"))
       .orderBy(col("shard"))
   }
 }
