@@ -390,34 +390,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "b19_important_suppliers", // 1-row global value total
       "b27_idle_rich_customers", // 1-row positive-balance average
       "c19_tfidf_terms",         // 1-row corpus doc count
-      "c22_repetition",          // 1-row corpus threshold
-      "c23_bigram_novelty",      // 1-row corpus bigram total
       "c26_vocab_coverage",      // 1-row occurrence total + ≤32-row offsets
-      "c33_token_budget",        // ≤16-row bucket offset table
       "c45_hll_distinct",        // tiny Range(register-count) frame
       "c52_mixture_weights",     // 1-row corpus token total
-      "c53_rarity_score",        // 1-row corpus doc count
-      "c57_dup_ngram_fraction",  // 1-row corpus n-gram total
-      "c60_minhash_calibration", // 1-row pair total (proxy denominator)
-      "c49_curation_funnel",     // per-stage 1-row stage counters
       "d13_big_spenders",        // 1-row global average
-      "d20_set_ops_all",         // era-bounded cohort frames
-      "d5_set_ops",              // same
-      "b24_small_qty_revenue",   // 1-row final aggregate pair
       "a7_status_rollup",        // 1-row total for the share division
       "c28_ann_quantized",       // bounded query-batch broadcast (ANN contract)
       "c42_heavy_hitters",       // 1-row CMS sketch broadcast to the probe
       "d8_percentiles"           // ≤(groups×3)-row bracketing-rank table
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
+    val usedAllowances = scala.collection.mutable.Set[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, dir).queryExecution.executedPlan
       val s = plan.toString
-      if (s.contains("CartesianProduct") && !productAllowed(name))
-        offenders += s"$name: CartesianProduct"
-      if (s.contains("BroadcastNestedLoopJoin") &&
-        !productAllowed(name) && !scalarBroadcastAllowed(name))
-        offenders += s"$name: BroadcastNestedLoopJoin"
+      if (s.contains("CartesianProduct")) {
+        if (productAllowed(name)) usedAllowances += name
+        else offenders += s"$name: CartesianProduct"
+      }
+      if (s.contains("BroadcastNestedLoopJoin")) {
+        if (productAllowed(name) || scalarBroadcastAllowed(name)) usedAllowances += name
+        else offenders += s"$name: BroadcastNestedLoopJoin"
+      }
       val globalWindows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
@@ -426,6 +420,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
     assert(offenders.isEmpty,
       s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
+    // the allowlist must stay EXACT: an entry no longer exercised is a
+    // stale permission a future regression could hide behind.
+    val stale = (productAllowed ++ scalarBroadcastAllowed) -- usedAllowances
+    assert(stale.isEmpty, s"stale allowlist entries (tighten them away): $stale")
   }
 
   test("c47 KMV: sample rides bounded TopKPerKey heaps, windows stay off raw rows") {
