@@ -61,6 +61,31 @@ object SnapshotManifest {
       .coalesce(1).write.mode("overwrite").json(s"$path/_manifest")
   }
 
+  /** Diff two snapshots by their MANIFESTS alone — O(shards), no data
+    * scan: because shard assignment is a pure content-hash function of
+    * the key, an unchanged row sits in the same shard of both
+    * snapshots, so a shard whose (n_rows, content_sum) pair matches
+    * needs no further look. An incremental consumer (or
+    * [[graft.operators.Versioning]]'s row-level diff) then touches ONLY
+    * the shards reported `changed`/`added`/`removed` — at 100 TB that
+    * is the difference between reading two manifests and rescanning
+    * two corpora.
+    */
+  def changedShards(spark: SparkSession, oldPath: String, newPath: String): DataFrame = {
+    val o = spark.read.json(s"$oldPath/_manifest")
+      .select(col("shard"), col("n_rows").as("old_rows"), col("content_sum").as("old_sum"))
+    val n = spark.read.json(s"$newPath/_manifest")
+      .select(col("shard"), col("n_rows").as("new_rows"), col("content_sum").as("new_sum"))
+    o.join(n, Seq("shard"), "full_outer")
+      .select(col("shard"), col("old_rows"), col("new_rows"),
+        when(col("old_rows").isNull, "added")
+          .when(col("new_rows").isNull, "removed")
+          .when(col("old_rows") === col("new_rows") &&
+            col("old_sum") === col("new_sum"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy(col("shard"))
+  }
+
   /** Re-attest the data and diff against the manifest: one row per
     * shard with `ok`, the expected and observed counts/sums, and a
     * status (`ok` / `changed` / `missing` / `unexpected`). A resumable

@@ -46,6 +46,32 @@ class SnapshotManifestSpec extends AnyFunSuite with SparkSpec {
       s"untouched shards must stay ok: $v")
   }
 
+  test("changedShards localizes an edit to exactly its shards, no data scan") {
+    val v1 = freshDir(); val v2 = freshDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SnapshotManifest.write(docs, col("doc_id"), 8, v1)
+
+    // v2: three docs edited, one deleted — everything else untouched
+    val edited = docs
+      .withColumn("text",
+        when(col("doc_id").isin(3L, 17L, 42L), concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")))
+      .filter(col("doc_id") =!= 99L)
+    SnapshotManifest.write(edited, col("doc_id"), 8, v2)
+
+    val touched = Seq(3L, 17L, 42L, 99L)
+      .map(id => JsonlSink.shardOf(lit(id), 8))
+      .map(c => spark.range(1).select(c).head().getLong(0)).toSet
+
+    val d = SnapshotManifest.changedShards(spark, v1, v2).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("status")).toMap
+    assert(d.size == 8)
+    assert(d.filter(_._2 == "changed").keySet == touched,
+      s"changed shards ${d.filter(_._2 == "changed").keySet} != touched $touched")
+    assert(d.filterNot(kv => touched(kv._1)).values.forall(_ == "same"),
+      s"untouched shards must read same: $d")
+  }
+
   test("shard assignment is the content-hash rule (stable across runs)") {
     val dir1 = freshDir(); val dir2 = freshDir()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
