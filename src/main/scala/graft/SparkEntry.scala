@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusExtra, ExtOps, GroupA, GroupB, Relational, TpchRest}
+import graft.queries.{CorpusExtra, CorpusRank, ExtOps, GroupA, GroupB, Relational, TpchRest}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared query
   * inventory. Group A re-expresses the reference's computations
@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GroupA.queries ++ GroupB.queries ++ TpchRest.queries ++
-      ExtOps.queries ++ Relational.queries ++ CorpusExtra.queries
+      ExtOps.queries ++ Relational.queries ++ CorpusExtra.queries ++
+      CorpusRank.queries
 
   /** DuckDB-runnable twin of each query (same column names — the driver
     * sorts columns by name before hashing). Omitted keys get a weaker
@@ -30,5 +31,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     GroupA.oracle ++ GroupB.oracle ++ TpchRest.oracle ++
-      ExtOps.oracle ++ Relational.oracle ++ CorpusExtra.oracle
+      ExtOps.oracle ++ Relational.oracle ++ CorpusExtra.oracle ++
+      CorpusRank.oracle
 }

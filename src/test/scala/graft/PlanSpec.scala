@@ -376,6 +376,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "calibration pairs must be LSH candidates, never a cross product")
   }
 
+  test("c62 textrank: readout joins are keyed on the token, top-30 rides a heap") {
+    // (the per-round plans are truncated behind localCheckpoint — the
+    // suite-wide sweep below still sees the final stage of every query)
+    val p = plan("c62_textrank_keywords")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank ⋈ degree must be a keyed join")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 must not globally sort")
+  }
+
+  test("c63 purge: content closure is a semi join on the hash; text never shuffles") {
+    val p = plan("c63_tombstone_purge")
+    assert(p.contains("LeftSemi"),
+      "the tombstone closure must plan as a left-semi join")
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      "shuffles must carry (source, hash), never the document text")
+  }
+
+  test("c64 temperature mix: 1-row total broadcasts; per-lang aggs partial") {
+    val p = plan("c64_temperature_mix")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row (tot_tokens, tot_w) total must broadcast, not shuffle")
+    assert(p.contains("HashAggregate"),
+      "per-lang token sums must hash-aggregate map-side")
+  }
+
   test("suite-wide plan hygiene: no cartesian, no unhinted nested loop, no global window") {
     // The whole declared inventory, not hand-picked queries: any product
     // join or single-partition window that sneaks into ANY query fails
@@ -393,6 +418,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "c26_vocab_coverage",      // 1-row occurrence total + ≤32-row offsets
       "c45_hll_distinct",        // tiny Range(register-count) frame
       "c52_mixture_weights",     // 1-row corpus token total
+      "c64_temperature_mix",     // 1-row (token total, weight total)
       "d13_big_spenders",        // 1-row global average
       "a7_status_rollup",        // 1-row total for the share division
       "c28_ann_quantized",       // bounded query-batch broadcast (ANN contract)
