@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusExtra, CorpusRank, ExtOps, GroupA, GroupB, Relational, TpchRest}
+import graft.queries.{CorpusExtra, CorpusRank, CorpusVec, ExtOps, GroupA, GroupB, Relational, TpchRest}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.3 for the declared query
   * inventory. Group A re-expresses the reference's computations
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GroupA.queries ++ GroupB.queries ++ TpchRest.queries ++
       ExtOps.queries ++ Relational.queries ++ CorpusExtra.queries ++
-      CorpusRank.queries
+      CorpusRank.queries ++ CorpusVec.queries
 
   /** DuckDB-runnable twin of each query (same column names — the driver
     * sorts columns by name before hashing). Omitted keys get a weaker
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     GroupA.oracle ++ GroupB.oracle ++ TpchRest.oracle ++
       ExtOps.oracle ++ Relational.oracle ++ CorpusExtra.oracle ++
-      CorpusRank.oracle
+      CorpusRank.oracle ++ CorpusVec.oracle
 }

@@ -18,6 +18,18 @@ object Relational {
     */
   val D7_DF_CAP = 64
 
+  /** FK edges of the star schema: (relation label, child table, child
+    * key, parent table, parent key). ONE table shared by d29's Spark
+    * spelling AND its oracle generator, so the two cannot drift.
+    */
+  private val RefEdges = Seq(
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1 — semi-structured extraction: events.props is a JSON-ish string
     // {"k": N}; extract N with a regex (portable across engines, no JSON
@@ -303,6 +315,34 @@ object Relational {
           col("c_acctbal"), col("pr"), col("cd"), col("prev_bal"), col("next_bal"),
           col("second_bal"), col("span"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // d29 — referential-integrity audit: both directions of every FK
+    // edge of the star schema from ONE full-outer join per edge over
+    // DISTINCT keys. The child side collapses to (key, row-count)
+    // first — the shuffle carries distinct keys, never fact rows — and
+    // the parent side is its distinct key set, so the audit costs one
+    // keys-only join per edge at any scale. Orphan child keys (broken
+    // FK — corruption) and unreferenced parent keys (dimension rows no
+    // fact touches — dead weight / pruning headroom) fall out of the
+    // same join's two null sides; the per-edge readout is a 1-row
+    // aggregate. Edge list = [[RefEdges]], shared with the oracle.
+    "d29_ref_integrity" -> ((s, dir) => {
+      RefEdges.map { case (rel, ct, ck, pt, pk) =>
+        val c = load(s, dir, ct)
+          .groupBy(col(ck).cast("long").as("k")).agg(count(lit(1)).as("cnt"))
+        val p = load(s, dir, pt)
+          .select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("is_p", lit(1))
+        c.join(p, Seq("k"), "full_outer")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_child_rows"),
+            coalesce(sum(when(col("is_p").isNull, col("cnt"))), lit(0L))
+              .as("n_orphan_rows"),
+            sum(when(col("is_p").isNull, 1L).otherwise(0L)).as("n_orphan_keys"),
+            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unref_parents"))
+          .select(lit(rel).as("relation"), col("n_child_rows"),
+            col("n_orphan_rows"), col("n_orphan_keys"), col("n_unref_parents"))
+      }.reduce(_ union _).orderBy(col("relation"))
     }),
 
     "d27_grouping_sets" -> ((s, dir) => {
@@ -664,7 +704,21 @@ object Relational {
         .orderBy(col("event_type"), col("value").desc, col("event_id"))
     }))
 
+  /** The d29 oracle's per-edge blocks, generated from [[RefEdges]]. */
+  private def refEdgeSql: String = RefEdges.map { case (rel, ct, ck, pt, pk) =>
+    s"""SELECT '$rel' AS relation,
+       |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_child_rows,
+       |  CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN cnt END), 0) AS BIGINT)
+       |    AS n_orphan_rows,
+       |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unref_parents
+       |FROM (SELECT CAST($ck AS BIGINT) AS k, count(*) AS cnt FROM $ct GROUP BY 1) c
+       |FULL JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k FROM $pt) p ON c.k = p.k""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   def oracle: Map[String, String] = Map(
+    "d29_ref_integrity" ->
+      s"SELECT * FROM (\n$refEdgeSql\n) ORDER BY relation",
     "d19_trailing_1h" ->
       """WITH base AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
