@@ -291,6 +291,54 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** kNN label-agreement scan (label-noise detection, in the spirit of
+    * published confident-learning/cleanlab pipelines): for every vector,
+    * the share of its k nearest cluster-mates that carry the SAME label
+    * — exact cosine WITHIN the vector's k-means cell (the SemDeDup
+    * cell-bounding trick, so the pair space is Σ|cell|², never O(n²)).
+    * Per label: vectors scored, pooled agreement Σagree·1000 div Σnn
+    * (exact integer permille — ratio of sums, robust to vectors with
+    * fewer than k cell-mates), and suspects (agreement < 2/5 by integer
+    * cross-multiply — likely mislabels). Cosines are computed once per
+    * unordered pair and mirrored by a union; per-vector top-k rides the
+    * TopKPerKey heap operator, never a sort of the pair table. A vector
+    * alone in its cell has no neighbors and drops out of the readout
+    * (documented, not silent: n_vecs counts SCORED vectors). At 100 TB
+    * nCells scales with the corpus so cells stay bounded, and training
+    * reuses the deterministic c12 Lloyd loop — the DuckDB oracle
+    * replays clustering, neighbor ranking, and the flag bit-for-bit.
+    */
+  def knnLabelAgreement(emb: DataFrame, k: Int = 5, nCells: Int = 8,
+      lloydIters: Int = 2): DataFrame = {
+    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+    val assigned = withCell(base, cents)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .localCheckpoint(true)
+    val half = assigned
+      .select(col("cell"), col("vec_id").as("va"), col("ie").as("ia"), col("nv").as("na"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vb"),
+        col("ie").as("ib"), col("nv").as("nb")), "cell")
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dot("ia", "ib") / (col("na") * col("nb"))).as("cos"))
+    val sym = half.union(
+      half.select(col("vb").as("va"), col("va").as("vb"), col("cos")))
+    val nn = graft.plans.TopK.perKey(sym, Seq("va"), Seq("cos" -> false, "vb" -> true), k)
+    val lab = assigned.select(col("vec_id"), col("label"))
+    val perVec = nn
+      .join(lab.select(col("vec_id").as("va"), col("label").as("la")), "va")
+      .join(lab.select(col("vec_id").as("vb"), col("label").as("lb")), "vb")
+      .groupBy(col("va"), col("la"))
+      .agg(count(lit(1)).as("nn"),
+        sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("agree"))
+    perVec.groupBy(col("la"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(agree) * 1000 div sum(nn) AS BIGINT)").as("agree_pml"),
+        sum(when(col("agree") * 5 < col("nn") * 2, 1L).otherwise(0L)).as("n_suspect"))
+      .select(col("la").as("label"), col("n_vecs"), col("agree_pml"), col("n_suspect"))
+      .orderBy(col("label"))
+  }
+
   /** Int8-quantized brute-force ANN — the MEMORY-scale path: each vector
     * becomes 64 bytes of per-vector-scaled int8 (q_i = round_half_away(
     * x_i·127 / max|x|)) — 4× smaller than float32, 8× smaller than the

@@ -70,7 +70,20 @@ object CorpusVec {
             .as("mean_dist"),
           sum(col("is_out")).as("n_outliers"))
         .orderBy(col("label"))
-    })
+    }),
+
+    // c66 — kNN label-agreement (the other half of the label-noise
+    // story): c65 asks "is this vector far from its own label's
+    // centroid?"; c66 asks "do this vector's nearest neighbors VOTE for
+    // its label?" — the confident-learning signal that catches mislabels
+    // sitting between clusters where centroid distance is ambiguous.
+    // Semantics + scale shape documented on
+    // [[graft.operators.Similarity.knnLabelAgreement]]; the oracle
+    // replays the Lloyd loop (c31's shared CTE generator), the
+    // within-cell cosine ranking, and the 2/5 cross-multiplied flag.
+    "c66_knn_agreement" -> ((s, dir) =>
+      graft.operators.Similarity.knnLabelAgreement(
+        load(s, dir, "embeddings"), k = 5, nCells = 8, lloydIters = 2))
   )
 
   def oracle: Map[String, String] = Map(
@@ -96,6 +109,35 @@ object CorpusVec {
          |                          > $OutlierNum * st.sum_d
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dist d JOIN st ON d.label = st.label
-         |GROUP BY d.label ORDER BY d.label""".stripMargin
+         |GROUP BY d.label ORDER BY d.label""".stripMargin,
+    "c66_knn_agreement" ->
+      s"""WITH ${ExtOps.kmeansCtes(nCells = 8, iters = 2, finalProbe = 1)},
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |prs AS (SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+         |  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.va, p.vb, CAST(sum(x.sv * y.sv) AS DOUBLE) / 1e8 AS dot
+         |  FROM prs p JOIN el x ON x.vec_id = p.va
+         |             JOIN el y ON y.vec_id = p.vb AND x.i = y.i
+         |  GROUP BY 1, 2),
+         |cs AS (SELECT d.va, d.vb, d.dot / (na.nv * nb.nv) AS cos
+         |  FROM dots d JOIN nrm na ON na.vec_id = d.va
+         |              JOIN nrm nb ON nb.vec_id = d.vb),
+         |sym AS (SELECT va, vb, cos FROM cs
+         |        UNION ALL SELECT vb AS va, va AS vb, cos FROM cs),
+         |nn AS (SELECT va, vb FROM (
+         |    SELECT va, vb, row_number() OVER (PARTITION BY va
+         |             ORDER BY cos DESC, vb) AS rn FROM sym)
+         |  WHERE rn <= 5),
+         |pv AS (SELECT n.va, la.label AS la, CAST(count(*) AS BIGINT) AS nn_cnt,
+         |         CAST(sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS agree
+         |       FROM nn n JOIN lab la ON la.vec_id = n.va
+         |                 JOIN lab lb ON lb.vec_id = n.vb
+         |       GROUP BY 1, 2)
+         |SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(agree) * 1000 // sum(nn_cnt) AS BIGINT) AS agree_pml,
+         |       CAST(sum(CASE WHEN agree * 5 < nn_cnt * 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_suspect
+         |FROM pv GROUP BY la ORDER BY label""".stripMargin
   )
 }

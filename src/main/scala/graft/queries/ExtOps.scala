@@ -1140,7 +1140,7 @@ object ExtOps {
     * `a<iters+1>` at `finalProbe`) for the c12 IVF and c31 SemDeDup
     * oracles — both replay the identical deterministic training loop.
     */
-  private def kmeansCtes(nCells: Int, iters: Int, finalProbe: Int): String = {
+  private[queries] def kmeansCtes(nCells: Int, iters: Int, finalProbe: Int): String = {
     // `probe` keeps centroid ranks 1..probe: 1 for training rounds (the
     // assignment) and finalProbe for the final round.
     def assign(n: Int, c: String, cn: String, probe: Int = 1) =

@@ -48,4 +48,40 @@ class CorpusVecSpec extends AnyFunSuite with SparkSpec {
       assert(nOutliers < nVecs / 2 + 1,
         s"outlier flag caught $nOutliers of $nVecs — threshold is reading the bulk")
   }
+
+  test("c66: a planted mislabel in a separable fixture is flagged as suspect") {
+    import spark.implicits._
+    // Two orthogonal clusters of 8 vectors each (64-dim; dim 0 vs dim 1
+    // dominant, per-vector jitter on a unique higher dim keeps vectors
+    // distinct). vec 0 seeds cell A, vec 1 seeds cell B (the Lloyd seed
+    // rule is vec_id < nCells). Labels follow the cluster — except
+    // vec 15, planted in cluster B with cluster A's label: its 5
+    // nearest neighbors all vote label 1, so it must be the one suspect.
+    def vec(dom: Int, j: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(dom) = 1.0f
+      a(2 + j % 14) = 0.05f + 0.01f * j
+      a
+    }
+    val rows = (0 until 16).map { i =>
+      val inA = i % 2 == 0
+      val label = if (i == 15) 0 else if (inA) 0 else 1
+      (i.toLong, vec(if (inA) 0 else 1, i), label)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .knnLabelAgreement(emb, k = 5, nCells = 2, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLabel = out.map(r => r._1 -> r).toMap
+    // label 0: 8 clean cluster-A vectors (full agreement among
+    // themselves) + the planted mislabel (zero agreement).
+    assert(byLabel(0L)._4 == 1L,
+      s"exactly the planted mislabel must be suspect, got $out")
+    assert(byLabel(1L)._4 == 0L, s"cluster B is clean, got $out")
+    // not unanimous: the mislabel sits IN cluster B's cell, so the one
+    // clean vector nearest to it counts a disagreeing neighbor — pooled
+    // agreement stays far above the 400-permille suspect line.
+    assert(byLabel(1L)._3 > 900L,
+      s"clean cluster B must agree near-unanimously, got $out")
+  }
 }
