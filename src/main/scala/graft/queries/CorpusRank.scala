@@ -87,6 +87,55 @@ object CorpusRank {
         .orderBy(col("rank_x1m").desc, col("tok")).limit(30)
     }),
 
+    // c67 — triangle census of the co-occurrence graph: the classic
+    // distributed-graph workload beyond c62's PageRank (iteration) and
+    // c15's connected components (propagation) — a MULTI-WAY SELF-JOIN
+    // whose naive spelling explodes on hub nodes. The fix is the
+    // published degree-ordered orientation: every edge points from its
+    // lower-(degree, token) endpoint, wedges form only at each
+    // triangle's LOWEST-degree corner, and each triangle is found
+    // exactly once — join cost O(m^1.5) regardless of hub degree, the
+    // difference between feasible and not on a power-law vocab at
+    // 100 TB. Edges need support ≥ 5 (c50's floor) so corpus noise
+    // never densifies the graph. Readout: top-10 tokens by triangle
+    // participation (each triangle credits all three corners), total
+    // order (count desc, token).
+    "c67_triangle_tokens" -> ((s, dir) => {
+      val docs = load(s, dir, "documents")
+      val bi = docs.select(
+          explode(org.apache.spark.sql.GraftBridge.column(
+            graft.functions.TokenNgrams(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              n = 2, maxStarts = Int.MaxValue, skipEmpty = true))).as("bigram"))
+        .select(expr("split(bigram, ' ')[0]").as("u"),
+          expr("split(bigram, ' ')[1]").as("v"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val e = bi
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"), col("c"))
+        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true) // reused by orientation AND closure
+      val deg = e.select(col("u").as("t")).union(e.select(col("v").as("t")))
+        .groupBy(col("t")).agg(count(lit(1)).as("deg"))
+      val low = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = e
+        .join(deg.select(col("t").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("t").as("v"), col("deg").as("dv")), "v")
+        .select(when(low, col("u")).otherwise(col("v")).as("a"),
+          when(low, col("v")).otherwise(col("u")).as("b"))
+      val tri = o
+        .join(o.select(col("a"), col("b").as("c")), "a")
+        .filter(col("b") < col("c"))
+        .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("tok")).limit(10)
+    }),
+
     // c63 — deletion-request propagation: the right-to-be-forgotten
     // purge audit. Deletion requests name doc_ids (simulated here as
     // doc_id % 97 = 0), but honoring them by id alone is WRONG at
@@ -188,6 +237,33 @@ object CorpusRank {
          |SELECT r$Rounds.tok, wo.degree, wo.wt AS w_out, r$Rounds.r AS rank_x1m
          |FROM r$Rounds JOIN wo ON wo.u = r$Rounds.tok
          |ORDER BY rank_x1m DESC, tok LIMIT 30""".stripMargin,
+    "c67_triangle_tokens" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |bg0 AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])) AS bigram
+        |  FROM t WHERE len(tk) >= 2),
+        |bi AS (SELECT string_split(bigram, ' ')[1] AS u,
+        |              string_split(bigram, ' ')[2] AS v, count(*) AS c
+        |       FROM bg0
+        |       WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+        |       GROUP BY 1, 2),
+        |e AS (SELECT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM bi GROUP BY 1, 2 HAVING sum(c) >= 5),
+        |deg AS (SELECT t, count(*) AS deg
+        |        FROM (SELECT u AS t FROM e UNION ALL SELECT v FROM e) GROUP BY t),
+        |o AS (SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.u ELSE e.v END AS a,
+        |             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.v ELSE e.u END AS b
+        |      FROM e JOIN deg du ON du.t = e.u JOIN deg dv ON dv.t = e.v),
+        |wdg AS (SELECT o1.a, o1.b, o2.b AS c
+        |        FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+        |tri AS (SELECT w.a, w.b, w.c FROM wdg w
+        |        JOIN e ON e.u = w.b AND e.v = w.c),
+        |x AS (SELECT unnest([a, b, c]) AS tok FROM tri)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY tok ORDER BY n_triangles DESC, tok LIMIT 10""".stripMargin,
     "c63_tombstone_purge" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |th AS (SELECT DISTINCT h FROM d WHERE doc_id % 97 = 0),

@@ -317,6 +317,32 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // d30 — SCD Type-2 historization: compress each user's event-type
+    // sequence into validity intervals [valid_from, valid_to) — a new
+    // version opens when the type CHANGES (lag inequality), closes at
+    // the next change (lead over the change rows only), and the last
+    // version per user stays open. The dimension-building pattern
+    // behind every warehouse's slowly-changing-dimension load, spelled
+    // with user-partitioned windows only — no global ordering anywhere.
+    // Durations aggregate as whole SECONDS (per-version integer div,
+    // pinned in both engines): summed micros would pass 2⁶³ near
+    // ~10¹² day-long versions, seconds keep the headroom at any scale.
+    "d30_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val versions = changes
+        .withColumn("vf", unix_micros(col("ts")))
+        .withColumn("vt", lead(unix_micros(col("ts")), 1).over(w))
+      versions.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("vt").isNull, 1L).otherwise(0L)).as("n_open"),
+          coalesce(sum(expr("(vt - vf) div 1000000")), lit(0L)).as("closed_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // d29 — referential-integrity audit: both directions of every FK
     // edge of the star schema from ONE full-outer join per edge over
     // DISTINCT keys. The child side collapses to (key, row-count)
@@ -717,6 +743,21 @@ object Relational {
   }.mkString("\nUNION ALL\n")
 
   def oracle: Map[String, String] = Map(
+    "d30_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM ev
+        |       WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT event_type, epoch_us(ts) AS vf,
+        |        lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS vt
+        |      FROM ch)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_versions,
+        |       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |       CAST(coalesce(sum((vt - vf) // 1000000), 0) AS BIGINT) AS closed_s
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d29_ref_integrity" ->
       s"SELECT * FROM (\n$refEdgeSql\n) ORDER BY relation",
     "d19_trailing_1h" ->

@@ -52,6 +52,38 @@ class CorpusRankSpec extends AnyFunSuite with SparkSpec {
       "damped update bottoms out at (1-d)·1e6 = 150000 for any node with in-edges")
   }
 
+  test("c67: triangle census matches a brute-force in-memory triple scan") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0)).filter(_ != null)
+    val pairs = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- texts) {
+      val tk = t.split(" ").filter(_.nonEmpty)
+      for (i <- 0 until tk.length - 1 if tk(i) != tk(i + 1))
+        pairs((tk(i), tk(i + 1))) += 1
+    }
+    val und = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    pairs.foreach { case ((u, v), c) =>
+      und(if (u < v) (u, v) else (v, u)) += c
+    }
+    val edges = und.filter(_._2 >= 5).keySet
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.toSeq.sorted
+    // brute force: every ordered triple, no orientation cleverness — the
+    // query's degree-ordered join must find exactly these triangles.
+    val cnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } { cnt(nodes(i)) += 1; cnt(nodes(j)) += 1; cnt(nodes(k)) += 1 }
+    val expect = cnt.toSeq.sortBy { case (tok, n) => (-n, tok) }.take(10)
+    val got = SparkEntry.queries("c67_triangle_tokens")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect,
+      s"triangle census diverged from brute force:\n got=$got\n exp=$expect")
+    assert(expect.exists(_._2 > 0), "fixture graph must contain triangles")
+  }
+
   test("c63: purge closure dominates direct requests; kept + purged = total") {
     val rows = SparkEntry.queries("c63_tombstone_purge")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
