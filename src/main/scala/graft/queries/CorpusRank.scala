@@ -127,6 +127,9 @@ object CorpusRank {
         .join(deg.select(col("t").as("v"), col("deg").as("dv")), "v")
         .select(when(low, col("u")).otherwise(col("v")).as("a"),
           when(low, col("v")).otherwise(col("u")).as("b"))
+        // both wedge sides read o: materialize so the degree join runs
+        // once, not once per reference
+        .localCheckpoint(true)
       val tri = o
         .join(o.select(col("a"), col("b").as("c")), "a")
         .filter(col("b") < col("c"))
