@@ -47,12 +47,24 @@ object Tables {
     }
     perSession.computeIfAbsent((dir, name), { case (d, n) =>
       if (n == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §3), which Spark
-        // rejects natively: read nanos as long, truncate to micros — the same
-        // truncation DuckDB applies converting ns→us.
+        // events.ts has shipped two ways across fixture generations:
+        // parquet TIMESTAMP(NANOS) (which Spark rejects natively — read
+        // nanos as long, truncate to micros, the same truncation DuckDB
+        // applies converting ns→us) and plain TIMESTAMP(MICROS) without
+        // UTC adjustment (Spark reads TIMESTAMP_NTZ). Branch on the
+        // footer type and normalize BOTH to session-zoned TimestampType
+        // at micros — the session zone is pinned to UTC everywhere
+        // (Bench/Verify/tests), so the NTZ cast reinterprets the naive
+        // value as the same UTC instant the nanos path produced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$d/$n.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$d/$n.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$d/$n.parquet")
     })
   }

@@ -46,21 +46,34 @@ object EventStream {
       .json(dir)
 
   /** Streaming source over the events PARQUET data (the driver's real
-    * testdata): `ts` is parquet TIMESTAMP(NANOS), which Spark rejects
-    * natively — declared as long (legacy nanosAsLong read, the same
-    * conf `Tables.load` sets for the batch path) and truncated to
-    * micros, so the batch and streaming frames carry identical
-    * timestamps.
+    * testdata). `ts` has shipped as parquet TIMESTAMP(NANOS) (Spark
+    * rejects natively — legacy nanosAsLong read + truncate to micros)
+    * and as TIMESTAMP(MICROS) without UTC adjustment (TIMESTAMP_NTZ).
+    * A batch footer read decides which fixture generation this path is,
+    * then the stream declares the matching schema and normalizes to
+    * session-zoned (UTC) TimestampType — identical values to
+    * `Tables.load`'s batch frame either way.
     */
   def readEventParquetStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    spark.readStream
-      .schema(nanosSchema)
-      .option("maxFilesPerTrigger", 16)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val footerTs = spark.read.parquet(path).schema("ts").dataType
+    if (footerTs == LongType) {
+      val nanosSchema = StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f))
+      spark.readStream
+        .schema(nanosSchema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val ntzSchema = StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      spark.readStream
+        .schema(ntzSchema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+        .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** The streaming query: watermarked tumbling windows, update mode. */
