@@ -364,6 +364,45 @@ object Dedup {
       .limit(k)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-token shingle, slide a w-position
+    * window over the hash SEQUENCE, record each window's minimum hash;
+    * the distinct recorded hashes are the doc's fingerprint set. The
+    * property MinHash/SimHash cannot give: any shared token run of
+    * length ≥ w+k−1 is GUARANTEED to yield a shared fingerprint (every
+    * such run contains a full window, and equal windows select equal
+    * minima), while only ~2/(w+1) of all shingle hashes are kept. Docs
+    * shorter than one window keep the minimum of what they have (the
+    * truncated first window), so no non-empty doc fingerprints to ∅.
+    *
+    * Returns distinct (doc_id, fp). Shapes for 100 TB: shingles ride the
+    * native TokenNgrams kernel, the min-select is a per-doc window
+    * (partitions bounded by DOC length, never corpus size), and the
+    * output is ~|doc|/(w/2) rows of 32-byte hashes — the only thing that
+    * ever shuffles. Hashes are md5 hex; string-min over lowercase hex is
+    * engine-portable, so the DuckDB oracle replays the selection
+    * bit-for-bit.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = k, maxStarts = Int.MaxValue, skipEmpty = true)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+        posexplode(col("gs")))
+      .select(col("doc_id"), col("ng"), col("pos").cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("wmin", min(col("h")).over(win))
+      // window STARTS only: pos 0 … ng−w (0-based); short docs keep the
+      // single truncated window at pos 0.
+      .filter(col("pos") <= greatest(lit(0L), col("ng") - w))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
   def shingleJaccard(docs: DataFrame, sampleMod: Int, k: Int = 20): DataFrame = {
     // Positions capped at 2047 (matches the oracle's constant range — a
     // prefix-window bound, like fingerprinting the first ~2 KB); texts

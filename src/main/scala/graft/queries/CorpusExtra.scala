@@ -138,6 +138,38 @@ object CorpusExtra {
           expr("CAST(CAST(sum(inter) AS DECIMAL(38,0)) * 1000 div sum(uni) AS BIGINT)")
             .as("jaccard_proxy_x1000"))
         .orderBy(col("n_match"))
+    }),
+
+    // c68 — winnowing fingerprint pairs (the MOSS local-fingerprinting
+    // family, third distinct near-dup mechanism after MinHash's global
+    // sketch and SimHash's bit fingerprint): docs sharing ≥ 2 winnowed
+    // k-gram hashes, with each side's fingerprint-set size. Winnowing's
+    // guarantee — any shared run of ≥ w+k−1 tokens yields a shared
+    // fingerprint — makes this the EXCERPT detector: a lifted paragraph
+    // always collides, regardless of how the rest of the docs differ.
+    // The posting-list self-join is bounded by the same df cap as
+    // c3/c55 (fingerprints in > 256 docs are boilerplate, not
+    // plagiarism); everything that shuffles is (doc_id, 32-byte hash).
+    "c68_winnow_pairs" -> ((s, dir) => {
+      // Materialized once (the c55 discipline): the fingerprint table
+      // feeds the df cap, both join sides and the sizes.
+      val f = Dedup.winnowFingerprints(load(s, dir, "documents"))
+        .localCheckpoint(true)
+      val ff = f.join(
+        f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= Dedup.ShingleDfCap).select(col("fp")),
+        "fp")
+      val sizes = ff.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = ff.select(col("doc_id").as("da"), col("fp"))
+      val b = ff.select(col("doc_id").as("db"), col("fp"))
+      a.join(b, "fp").filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(sizes.select(col("doc_id").as("da"), col("sz").as("fp_a")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("sz").as("fp_b")), "db")
+        .select(col("da"), col("db"), col("n_shared"), col("fp_a"), col("fp_b"))
+        .orderBy(col("n_shared").desc, col("da"), col("db"))
+        .limit(50)
     })
   )
 
@@ -228,6 +260,28 @@ object CorpusExtra {
          |       CAST(sum(uni) AS BIGINT) AS sum_union,
          |       CAST(CAST(sum(inter) AS HUGEINT) * 1000 // sum(uni) AS BIGINT)
          |         AS jaccard_proxy_x1000
-         |FROM pairs GROUP BY n_match ORDER BY n_match""".stripMargin
+         |FROM pairs GROUP BY n_match ORDER BY n_match""".stripMargin,
+    "c68_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t4 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+        |g0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) - 3 AS ng,
+        |       unnest(range(1, len(toks) - 2)) AS i, toks FROM t4),
+        |g AS (SELECT doc_id, ng, i,
+        |      md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 3 AS INT)), ' ')) AS h
+        |      FROM g0),
+        |w AS (SELECT doc_id, i, ng,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin FROM g),
+        |f AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE i <= greatest(1, ng - 7)),
+        |d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 256),
+        |ff AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ff GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |      HAVING count(*) >= 2)
+        |SELECT p.da, p.db, p.n_shared, sa.sz AS fp_a, sb.sz AS fp_b
+        |FROM p JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
+        |ORDER BY n_shared DESC, da, db LIMIT 50""".stripMargin
   )
 }
