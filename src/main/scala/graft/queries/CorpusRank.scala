@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 (late) corpus operators: TextRank keyword extraction (the
@@ -201,6 +202,41 @@ object CorpusRank {
         .withColumn("boost_x1000",
           expr("CAST(CAST(p_x1m AS DECIMAL(38,0)) * 1000 div greatest(prop_x1m, 1) AS BIGINT)"))
         .orderBy(col("lang"))
+    }),
+
+    // c69 — two-sample Kolmogorov–Smirnov drift between sources: for
+    // every source pair, D = max over x |F_a(x) − F_b(x)| on the
+    // doc-length distribution (16-char buckets). The distribution-shape
+    // complement to c48's L1-on-histograms: KS is the standard "did
+    // this source's length profile shift?" test, and its statistic is
+    // exactly computable with integers — the CDF difference
+    // cross-multiplies to |cum_a·n_b − cum_b·n_a| in DECIMAL(38,0)
+    // (≤ n_a·n_b ~ 10²² at 100 TB, 16 digits of headroom), reported in
+    // parts-per-million. Everything after the one corpus scan is
+    // value-domain-bounded: counts per (source, bucket), a generated
+    // sources × buckets grid (bounded BNLJ, allowlisted like the other
+    // by-construction-bounded broadcasts), per-source running sums over
+    // ≤ |buckets| rows, and a bucket-keyed pair join.
+    "c69_ks_drift" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+        .select(col("source"), expr("CAST(n_chars div 16 AS BIGINT)").as("bkt"))
+      val counts = d.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n"))
+      val grid = d.select(col("source")).distinct()
+        .crossJoin(broadcast(d.select(col("bkt")).distinct()))
+      val wc = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(counts, Seq("source", "bkt"), "left_outer")
+        .withColumn("cn", sum(coalesce(col("n"), lit(0L))).over(wc))
+      val tot = d.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      val a = cum.select(col("source").as("source_a"), col("bkt"), col("cn").as("ca"))
+      val b = cum.select(col("source").as("source_b"), col("bkt"), col("cn").as("cb"))
+      a.join(b, "bkt").filter(col("source_a") < col("source_b"))
+        .join(tot.select(col("source").as("source_a"), col("nt").as("n_a")), "source_a")
+        .join(tot.select(col("source").as("source_b"), col("nt").as("n_b")), "source_b")
+        .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+        .agg(expr("CAST(max(abs(CAST(ca AS DECIMAL(38,0)) * n_b - CAST(cb AS DECIMAL(38,0)) * n_a)) " +
+          "* 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks_x1e6"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -299,6 +335,28 @@ object CorpusRank {
         |SELECT lang, n_docs, n_tokens, prop_x1m, p_x1m,
         |       CAST(CAST(p_x1m AS HUGEINT) * 1000 // greatest(prop_x1m, 1) AS BIGINT)
         |         AS boost_x1000
-        |FROM sel ORDER BY lang""".stripMargin
+        |FROM sel ORDER BY lang""".stripMargin,
+    "c69_ks_drift" ->
+      """WITH d AS (SELECT source, CAST(n_chars // 16 AS BIGINT) AS bkt FROM documents),
+        |c AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |grid AS (SELECT s.source, b.bkt FROM (SELECT DISTINCT source FROM d) s
+        |         CROSS JOIN (SELECT DISTINCT bkt FROM d) b),
+        |cum AS (SELECT g.source, g.bkt,
+        |        sum(coalesce(c.n, 0)) OVER (PARTITION BY g.source ORDER BY g.bkt
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |        FROM grid g LEFT JOIN c ON c.source = g.source AND c.bkt = g.bkt),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt FROM d GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             abs(CAST(a.cn AS HUGEINT) * tb.nt - CAST(b.cn AS HUGEINT) * ta.nt)
+        |               AS dd,
+        |             ta.nt AS n_a, tb.nt AS n_b
+        |      FROM cum a JOIN cum b ON a.bkt = b.bkt AND a.source < b.source
+        |      JOIN tot ta ON ta.source = a.source
+        |      JOIN tot tb ON tb.source = b.source)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       CAST(max(dd) * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |         AS ks_x1e6
+        |FROM p GROUP BY source_a, source_b, n_a, n_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -343,6 +343,34 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // d31 — calendar-spine gap fill: per-type DAILY event counts with
+    // every (type, day) cell present — missing days appear as explicit
+    // zeros instead of silently absent rows, which is the difference
+    // between a monitoring chart showing an outage and showing nothing.
+    // The spine is generated, not scanned: one 1-row (min, max) day
+    // aggregate explodes to the calendar, cross-joined with the distinct
+    // type list — both sides value-domain-bounded (days × types, never
+    // corpus rows), so the BNLJ is a few-row broadcast by construction
+    // (PlanSpec allowlists it alongside the other bounded scalars). The
+    // fact table contributes one map-side-combined daily aggregate.
+    "d31_date_spine" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left_outer")
+        // day as a STRING: a pandas-side date vs timestamp object
+        // mismatch is exactly what the cross-engine determinism rule
+        // "timestamps as strings" exists to remove.
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // d29 — referential-integrity audit: both directions of every FK
     // edge of the star schema from ONE full-outer join per edge over
     // DISTINCT keys. The child side collapses to (key, row-count)
@@ -760,6 +788,17 @@ object Relational {
         |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d29_ref_integrity" ->
       s"SELECT * FROM (\n$refEdgeSql\n) ORDER BY relation",
+    "d31_date_spine" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+        |       coalesce(d.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM s CROSS JOIN t LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day
+        |ORDER BY t.event_type, strftime(s.day, '%Y-%m-%d')""".stripMargin,
     "d19_trailing_1h" ->
       """WITH base AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -423,7 +423,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "a7_status_rollup",        // 1-row total for the share division
       "c28_ann_quantized",       // bounded query-batch broadcast (ANN contract)
       "c42_heavy_hitters",       // 1-row CMS sketch broadcast to the probe
-      "d8_percentiles"           // ≤(groups×3)-row bracketing-rank table
+      "d8_percentiles",          // ≤(groups×3)-row bracketing-rank table
+      "d31_date_spine",          // generated calendar × distinct types grid
+      "c69_ks_drift"             // distinct sources × length-buckets grid
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val usedAllowances = scala.collection.mutable.Set[String]()

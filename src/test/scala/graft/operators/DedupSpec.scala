@@ -212,4 +212,51 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val out = Dedup.verifyJaccard(pairs, postings).collect()
     assert(out.length == 1 && out.head.getAs[Double]("jaccard") == 0.0)
   }
+
+  test("winnowing is bit-identical to an in-memory model; short docs keep one fp") {
+    // Independent model: md5 every k-gram, take each w-window's min,
+    // distinct — plain Scala, no Spark.
+    def model(text: String, k: Int, w: Int): Set[String] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val hs = toks.sliding(k).map { g =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toVector
+      val starts = 0 to math.max(0, hs.length - w)
+      starts.map(s => hs.slice(s, s + w).min).toSet
+    }
+    val rows = Seq(
+      0L -> "a b c d e f g h i j k l m n o p",
+      1L -> "x y z w", // exactly one gram: one fingerprint
+      2L -> "a b c d e f g h", // ng=5 < w: single truncated window
+      3L -> "one two", // under k tokens: no grams, no fingerprints
+      4L -> "a b c d e f g h i j k l m n o p") // dup of 0
+    val d = docs(rows: _*)
+    val got = Dedup.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, text) <- rows) {
+      val want = model(text, 4, 8)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id fingerprint set")
+    }
+    assert(got(1L).size == 1 && got(2L).size == 1 && !got.contains(3L))
+    assert(got(0L) == got(4L), "identical docs share the whole fingerprint set")
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fp") {
+    // Two docs that differ everywhere except an 11-token (= 8+4-1)
+    // common run embedded at different offsets — the SIGMOD'03 detection
+    // guarantee says at least one fingerprint must collide.
+    val run = "q r s t u v w x y z zz"
+    val d = docs(
+      0L -> s"aa bb cc dd $run ee ff",
+      1L -> s"mm nn $run oo pp qq rr ss tt")
+    val fps = Dedup.winnowFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "an 11-token shared run must collide on at least one fingerprint")
+  }
 }
