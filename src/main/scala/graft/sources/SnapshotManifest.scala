@@ -86,6 +86,34 @@ object SnapshotManifest {
       .orderBy(col("shard"))
   }
 
+  /** Delete shard directories the manifest does not reference — the
+    * retention/cleanup half of the attestation handshake ([[validate]]
+    * reports them as `unexpected`; this removes them). Unexpected
+    * shards appear when a writer with a different shard count reuses a
+    * data dir, or when an interrupted overwrite leaves partials behind;
+    * either way they are bytes a consumer could accidentally read but
+    * the attestation never vouched for. Only whole `__shard=K` dirs
+    * whose K is absent from the manifest are touched — attested data is
+    * never deleted, so vacuum is always safe to run. Returns the
+    * removed shard ids.
+    */
+  def vacuum(spark: SparkSession, path: String): Seq[Long] = {
+    val keep = spark.read.json(s"$path/_manifest")
+      .select(col("shard").cast("long")).collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    if (!fs.exists(dataDir)) return Seq.empty
+    val removed = fs.listStatus(dataDir).toSeq
+      .filter(_.getPath.getName.startsWith("__shard="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("__shard=").toLong)
+          .toOption.filterNot(keep).map(id => (id, st.getPath))
+      }
+    removed.foreach { case (_, p) => fs.delete(p, true) }
+    removed.map(_._1).sorted
+  }
+
   /** Re-attest the data and diff against the manifest: one row per
     * shard with `ok`, the expected and observed counts/sums, and a
     * status (`ok` / `changed` / `missing` / `unexpected`). A resumable

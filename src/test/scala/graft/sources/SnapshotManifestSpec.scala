@@ -72,6 +72,35 @@ class SnapshotManifestSpec extends AnyFunSuite with SparkSpec {
       s"untouched shards must read same: $d")
   }
 
+  test("vacuum removes exactly the unattested shards and leaves the data valid") {
+    val dir = freshDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SnapshotManifest.write(docs, col("doc_id"), 4, dir)
+
+    // plant two orphans: a shard id beyond the manifest's range and a
+    // non-shard file that must NOT be touched
+    val orphan = new java.io.File(s"$dir/data/__shard=99")
+    assert(orphan.mkdirs())
+    val junk = new java.io.File(orphan, "part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val stray = new java.io.File(s"$dir/data/notes.txt")
+    java.nio.file.Files.write(stray.toPath, "keep".getBytes)
+
+    val before = SnapshotManifest.validate(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("status")).toMap
+    assert(before(99L) == "unexpected", s"orphan must be flagged first: $before")
+
+    assert(SnapshotManifest.vacuum(spark, dir) == Seq(99L))
+    assert(!orphan.exists(), "orphan shard dir must be gone")
+    assert(stray.exists(), "non-shard files are not vacuum's business")
+
+    val after = SnapshotManifest.validate(spark, dir).collect()
+    assert(after.length == 4 && after.forall(_.getAs[Boolean]("ok")),
+      s"post-vacuum snapshot must validate clean: ${after.mkString(", ")}")
+    // idempotent: nothing left to remove
+    assert(SnapshotManifest.vacuum(spark, dir).isEmpty)
+  }
+
   test("shard assignment is the content-hash rule (stable across runs)") {
     val dir1 = freshDir(); val dir2 = freshDir()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
