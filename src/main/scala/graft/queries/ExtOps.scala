@@ -43,14 +43,14 @@ object ExtOps {
     "c9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(load(s, dir, "documents"))),
     "c10_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(load(s, dir, "documents"))),
     "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
-    // c12 config: 8 cells × 5 probes. The synthetic embeddings are
-    // near-uniform (no cluster structure), so recall tracks the scanned
-    // fraction — the IvfSweep harness measured 0.93/0.90 recall@3 at
-    // sf0.001/0.01 for this config (floor ≥ 0.9 asserted in
-    // SimilaritySpec; clustered real-world corpora reach it at far
-    // smaller probe fractions).
+    // c12 config: 8 cells × 6 probes, codebook trained on the % 2
+    // id-subsample (r5). The synthetic embeddings are near-uniform (no
+    // cluster structure), so recall tracks the scanned fraction — the
+    // IvfSweep harness measured 0.93/0.93 recall@3 at sf0.001/0.01 for
+    // this config (floor ≥ 0.9 asserted in SimilaritySpec; clustered
+    // real-world corpora reach it at far smaller probe fractions).
     "c12_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8, 2, 5)),
+      Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8, 2, 6)),
     // c28 — int8-quantized ANN: the memory-scale path (64 bytes/vector).
     // Same query batch as c5, so SimilaritySpec can measure quantization
     // recall against the exact baseline.
@@ -109,14 +109,18 @@ object ExtOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
-    // c24 — sketch-based distinct counting (HLL++): per source, the
-    // approximate distinct-content count next to the exact one, with the
-    // observed relative error. Sketches are the 100 TB path — mergeable
-    // fixed-size state, one pass, no distinct shuffle — and inherently
-    // engine-specific, so this query has NO oracleSql twin by design
-    // (the driver records the weaker rows-only check; the exact column
-    // is itself cross-checked by b1's countDistinct). rsd=0.01 ⇒ ~1%
-    // expected error at any scale.
+    // c24 — sketch-based distinct counting (HLL++): per source, Spark's
+    // engine-private approx_count_distinct next to the exact count.
+    // Sketches are the 100 TB path — mergeable fixed-size state, one
+    // pass, no distinct shuffle — and the estimate VALUE is inherently
+    // engine-specific, so the output carries only oracle-replayable
+    // columns: the exact count and `within_band`, the engine-computed
+    // assertion |approx − exact|·20 ≤ exact (5% band ≈ 2.5σ at
+    // rsd=0.02, integer cross-multiply). The oracle asserts the band as
+    // literal TRUE — an estimator drifting out of band hash-mismatches
+    // and fails the gate, which is exactly the contract a sketch can
+    // honestly promise cross-engine. (c45 is the companion whose whole
+    // ESTIMATOR the oracle replays bit-for-bit.)
     "c24_sketch_distinct" -> ((s, dir) => {
       // distinct-then-count, NOT countDistinct + approx in one agg: the
       // mixed form plans an Expand (doubles every row through the
@@ -128,9 +132,9 @@ object ExtOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("h"), 0.02).as("n_approx"))
-        .select(col("source"), col("n_exact"), col("n_approx"),
-          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact"))
-            .as("rel_err"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) * lit(20L) <= col("n_exact"))
+            .as("within_band"))
         .orderBy(col("source"))
     }),
     // c45 — oracle-replayable HLL distinct counting: c24's sketch idea
@@ -1139,13 +1143,19 @@ object ExtOps {
   /** Shared k-means CTE prefix (el/nrm/seed/Lloyd rounds/final assign
     * `a<iters+1>` at `finalProbe`) for the c12 IVF and c31 SemDeDup
     * oracles — both replay the identical deterministic training loop.
+    * Training rounds assign only the `vec_id % trainMod = 0` subsample
+    * (the [[graft.operators.Similarity.TrainSampleMod]] rule — codebooks
+    * train on a sample, the final assignment covers the full corpus).
     */
-  private[queries] def kmeansCtes(nCells: Int, iters: Int, finalProbe: Int): String = {
+  private[queries] def kmeansCtes(nCells: Int, iters: Int, finalProbe: Int,
+      trainMod: Int = graft.operators.Similarity.TrainSampleMod): String = {
     // `probe` keeps centroid ranks 1..probe: 1 for training rounds (the
-    // assignment) and finalProbe for the final round.
-    def assign(n: Int, c: String, cn: String, probe: Int = 1) =
+    // assignment, sample-restricted) and finalProbe for the final round
+    // (full corpus).
+    def assign(n: Int, c: String, cn: String, probe: Int = 1,
+        where: String = "") =
       s"""d$n AS (SELECT e.vec_id, c.cid, CAST(sum(e.sv * c.cv) AS DOUBLE) / 1e8 AS dot
-         |  FROM el e JOIN $c c ON e.i = c.i GROUP BY 1, 2),
+         |  FROM el e JOIN $c c ON e.i = c.i $where GROUP BY 1, 2),
          |a$n AS (SELECT vec_id, cid AS cell, rn FROM (
          |  SELECT d.vec_id, d.cid,
          |         row_number() OVER (PARTITION BY d.vec_id
@@ -1160,7 +1170,9 @@ object ExtOps {
          |  GROUP BY 1, 2),
          |cn$n AS (SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / 1e8) AS cn FROM c$n GROUP BY cid)""".stripMargin
     val steps = (1 to iters).map(n =>
-      assign(n, s"c${n - 1}", s"cn${n - 1}") + ",\n" + update(n)).mkString(",\n")
+      assign(n, s"c${n - 1}", s"cn${n - 1}",
+        where = s"WHERE e.vec_id % $trainMod = 0") + ",\n" + update(n))
+      .mkString(",\n")
     val fin = iters + 1
     s"""el AS (SELECT vec_id, i,
        |    CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(12,4)) * 10000 AS BIGINT) AS sv
@@ -1196,6 +1208,13 @@ object ExtOps {
   }
 
   def oracle: Map[String, String] = Map(
+    // The estimate value is engine-private; the replayable contract is
+    // the exact count plus the engine's own band assertion, which the
+    // oracle pins to TRUE (out-of-band estimate ⇒ hash mismatch).
+    "c24_sketch_distinct" ->
+      """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+        |       true AS within_band
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "c1_minhash_lsh" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |             FROM documents WHERE doc_id % 5 = 0),
@@ -1897,7 +1916,7 @@ object ExtOps {
         |  FROM cos)
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "c12_ann_ivf" -> ivfOracle(nCells = 8, queryMod = 50, k = 3, iters = 2,
-      nProbe = 5),
+      nProbe = 6),
     // c28 oracle: replays the int8 quantization — double multiply/divide
     // (left-assoc, IEEE-identical), half-away DECIMAL(16,0) cast, exact
     // integer dot sums (< 2^53), same /1e8 normalization tree as c5.

@@ -100,6 +100,11 @@ object SnapshotManifest {
   def vacuum(spark: SparkSession, path: String): Seq[Long] = {
     val keep = spark.read.json(s"$path/_manifest")
       .select(col("shard").cast("long")).collect().map(_.getLong(0)).toSet
+    // write() always attests >= 1 shard; an empty keep-set means the
+    // manifest itself is unreadable/truncated, and deleting every shard
+    // on that evidence would violate "attested data is never deleted".
+    require(keep.nonEmpty,
+      s"empty or unreadable manifest at $path/_manifest — refusing to vacuum")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -118,14 +123,41 @@ object SnapshotManifest {
     * shard with `ok`, the expected and observed counts/sums, and a
     * status (`ok` / `changed` / `missing` / `unexpected`). A resumable
     * loader re-pulls exactly the non-ok shards.
+    *
+    * Unreadable bytes are a FINDING, not a crash: the re-attestation
+    * reads with `ignoreCorruptFiles`, and the observed shard set is the
+    * union of what attested and what exists on disk (`__shard=K` dirs),
+    * so a shard holding only a corrupt partial — the exact state an
+    * interrupted overwrite leaves behind, which [[vacuum]] exists to
+    * reap — surfaces as `unexpected` (not in the manifest) or `changed`
+    * (attested rows lost) instead of aborting the validation run.
     */
   def validate(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
     val expected = spark.read.json(s"$path/_manifest")
       .select(col("shard"), col("n_rows").as("exp_rows"),
         col("content_sum").as("exp_sum"))
-    val observed = attest(spark.read.parquet(s"$path/data"))
-      .select(col("shard"), col("n_rows").as("obs_rows"),
-        col("content_sum").as("obs_sum"))
+    val attested = scala.util.Try(
+      attest(spark.read.option("ignoreCorruptFiles", "true")
+          .parquet(s"$path/data"))
+        .collect().toSeq
+    ).getOrElse(Seq.empty) // e.g. no readable file to infer a schema from
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+    val onDisk =
+      if (!fs.exists(dataDir)) Seq.empty[Long]
+      else fs.listStatus(dataDir).toSeq
+        .filter(_.getPath.getName.startsWith("__shard="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("__shard=").toLong).toOption)
+    // A dir present on disk but absent from the attestation reads as 0
+    // observed rows: its only files were unreadable, or it is empty.
+    val attestedIds = attested.map(_._1).toSet
+    val observed =
+      (attested ++ onDisk.filterNot(attestedIds).map(id => (id, 0L, 0L)))
+        .toDF("shard", "obs_rows", "obs_sum")
     expected.join(observed, Seq("shard"), "full_outer")
       .select(col("shard"), col("exp_rows"), col("obs_rows"),
         col("exp_sum"), col("obs_sum"),

@@ -54,17 +54,20 @@ class CorpusVecSpec extends AnyFunSuite with SparkSpec {
     // Two orthogonal clusters of 8 vectors each (64-dim; dim 0 vs dim 1
     // dominant, per-vector jitter on a unique higher dim keeps vectors
     // distinct). vec 0 seeds cell A, vec 1 seeds cell B (the Lloyd seed
-    // rule is vec_id < nCells). Labels follow the cluster — except
-    // vec 15, planted in cluster B with cluster A's label: its 5
-    // nearest neighbors all vote label 1, so it must be the one suspect.
+    // rule is vec_id < nCells), and membership is chosen so the % 4
+    // TRAINING SAMPLE ({0,4,8,12}) covers both clusters — 0,4 ∈ A and
+    // 8,12 ∈ B. Labels follow the cluster — except vec 15, planted in
+    // cluster B with cluster A's label: its 5 nearest neighbors all
+    // vote label 1, so it must be the one suspect.
     def vec(dom: Int, j: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f)
       a(dom) = 1.0f
       a(2 + j % 14) = 0.05f + 0.01f * j
       a
     }
+    val aIds = Set(0, 2, 4, 6, 9, 11, 13, 14)
     val rows = (0 until 16).map { i =>
-      val inA = i % 2 == 0
+      val inA = aIds(i)
       val label = if (i == 15) 0 else if (inA) 0 else 1
       (i.toLong, vec(if (inA) 0 else 1, i), label)
     }

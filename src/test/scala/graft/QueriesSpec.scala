@@ -15,13 +15,12 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
-    // Rows-only BY DESIGN: engine-specific sketch values the oracle
-    // cannot replay (see the c24 scaladoc). Everything else must have
-    // a DuckDB twin — additions to this set need the same justification.
-    val rowsOnlyByDesign = Set("c24_sketch_distinct")
-    val noOracle =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+  test("every query has an oracle") {
+    // Since r5 even the HLL++ sketch query (c24) is oracle-checked: its
+    // output carries only replayable columns (exact count + the
+    // engine-computed error-band boolean the oracle pins to TRUE), so
+    // the full inventory has a DuckDB twin — no rows-only exceptions.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 

@@ -12,7 +12,7 @@ object IvfSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("0.001", "0.01")) {
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
       val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
       val brute = Similarity.bruteForceTopK(emb, 50, 3).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
