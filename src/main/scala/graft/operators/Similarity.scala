@@ -209,27 +209,68 @@ object Similarity {
     * touches ~nProbe·N/nCells vectors — the recall/cost dial every IVF
     * index exposes (recall floor asserted in SimilaritySpec).
     */
-  /** Lloyd rounds train on the `vec_id % TrainSampleMod == 0` subsample
-    * (assignment of the FULL corpus happens once, after training) —
-    * every production system trains its codebook on a sample because a
-    * per-round full scan is wrong at 100 TB; the modulus is a pure
-    * function of the id, so the DuckDB oracle replays the same sample
-    * (mirrored in [[graft.queries.ExtOps.kmeansCtes]]). Seeds stay the
-    * `nCells` lowest ids of the full corpus. Modulus 2 holds the c12
-    * recall floor (≥ 0.9 at 5/8 probes) on the near-uniform synthetic
-    * vectors — the hardest case for a sampled codebook; mod 4 measured
-    * 0.867. At 100 TB the sampling rate would be far more aggressive
-    * (and the persisted IvfIndexLayout is the production path anyway).
+  /** Default Lloyd training subsample modulus: rounds train on the
+    * `vec_id % trainMod == 0` subsample (assignment of the FULL corpus
+    * happens once, after training) — every production system trains its
+    * codebook on a sample because a per-round full scan is wrong at
+    * 100 TB; the modulus is a pure function of the id, so the DuckDB
+    * oracle replays the same sample (mirrored in
+    * [[graft.queries.ExtOps.kmeansCtes]]). Seeds stay the `nCells`
+    * lowest ids of the full corpus. Modulus 2 holds the c12 recall
+    * floors (6/8 probes: ≥ 0.9 at sf0.001/0.01, ≥ scan-fraction at
+    * sf0.1 where near-uniform vectors bound recall at ~0.85 — swept
+    * with correctly-per-dataset codebooks in IvfSweep r6; mod 4
+    * measures in the same band, the floor is data-bound not
+    * sample-bound at these sizes).
+    * At 100 TB pass the modulus explicitly and scale it WITH the
+    * corpus: what matters for codebook quality is the absolute sample
+    * size per cell (~10⁴–10⁵ vectors/cell is the published IVF rule of
+    * thumb), so a 10¹¹-row corpus with 10⁵ cells wants trainMod on the
+    * order of 10²–10³, not 2 (and the persisted IvfIndexLayout is the
+    * production path anyway — train once, assign incrementally).
     */
   val TrainSampleMod = 2
 
-  /** Codebooks are deterministic functions of (input plan, nCells,
-    * lloydIters), so one training run serves every query of a session
-    * that clusters the same embeddings — c12/c31/c34/c56/c66 share one
-    * Lloyd loop instead of five. Bounded: nCells×64 longs per entry.
+  /** Codebooks are deterministic functions of (input dataset, nCells,
+    * lloydIters, trainMod), so one training run serves every query of a
+    * session that clusters the same embeddings — c12/c31/c34/c56/c66
+    * share one Lloyd loop instead of five. Bounded: nCells×64 longs per
+    * entry.
     */
   private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Cent]]()
+    new java.util.concurrent.ConcurrentHashMap[(AnyRef, Int, Int, Int), Seq[Cent]]()
+
+  /** Cache identity of a training input. The canonicalized plan STRING
+    * alone is NOT enough: canonicalization strips data-identifying
+    * detail (a parquet scan prints `Relation [none#0L,...] parquet`
+    * with no path; a LocalRelation omits its rows), so two same-schema
+    * datasets would collide and the second would silently reuse the
+    * first's codebook — the exact bug IvfSweep's cross-sf loop hid
+    * until r6. For file-backed plans the identity is (canonical plan
+    * string — it carries pushed filters/projections distinguishing two
+    * reads of the same files — plus the sorted input file list with
+    * each file's length and mtime): same files+filters ⇒ same training
+    * problem; rewritten files ⇒ new key. One driver-side FileStatus
+    * call per input file, the same order of work as the listing Spark
+    * already did to plan the scan. In-memory plans (LocalRelation test
+    * fixtures) carry no file identity and instead key on the analyzed
+    * plan OBJECT: LogicalPlan case-class equality is structural and
+    * row-inclusive for LocalRelation, so equal keys really hold the
+    * same data — never a false hit, at worst a redundant retrain.
+    */
+  private def datasetKey(df: DataFrame): AnyRef = {
+    val analyzed = df.queryExecution.analyzed
+    val files = df.inputFiles
+    if (files.isEmpty) analyzed
+    else {
+      val hconf = df.sparkSession.sessionState.newHadoopConf()
+      analyzed.canonicalized.toString + "\n@@\n" + files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("\n")
+    }
+  }
 
   /** Deterministically seeded Lloyd training shared by the IVF index,
     * SemDeDup and the cluster profile: returns (base, centroids). Each
@@ -238,16 +279,16 @@ object Similarity {
     * oracle replay is untouched) and the next round's assignment is a
     * literal-centroid projection: per round, ONE scan of the training
     * sample + one nCells×64-long aggregate, no crossjoin, no window, no
-    * checkpoint.
+    * checkpoint. `trainMod` is the training-subsample rate (see
+    * [[TrainSampleMod]] for the 100 TB sizing guidance).
     */
-  private[graft] def trainedLit(emb: DataFrame, nCells: Int, lloydIters: Int): (DataFrame, Seq[Cent]) = {
+  private[graft] def trainedLit(emb: DataFrame, nCells: Int, lloydIters: Int,
+      trainMod: Int = TrainSampleMod): (DataFrame, Seq[Cent]) = {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
-    // The canonicalized plan names the concrete inputs (paths, pushed
-    // filters), so equal keys really are the same training problem.
-    val key = (base.queryExecution.analyzed.canonicalized.toString, nCells, lloydIters)
+    val key = (datasetKey(base), nCells, lloydIters, trainMod)
     val cents = centCache.computeIfAbsent(key, _ => {
-      val train = base.filter(col("vec_id") % TrainSampleMod === 0)
+      val train = base.filter(col("vec_id") % trainMod === 0)
       val seed = collectCents(base.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn")))
       (1 to lloydIters).foldLeft(seed) { (c, _) =>
@@ -260,15 +301,17 @@ object Similarity {
   /** Final cell assignment (vec_id → cell) after Lloyd training — the
     * join surface for cross-modal cluster analysis (see c34).
     */
-  def cellAssignments(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2): DataFrame = {
-    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+  def cellAssignments(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2,
+      trainMod: Int = TrainSampleMod): DataFrame = {
+    val (base, cents) = trainedLit(emb, nCells, lloydIters, trainMod)
     withCell(base, cents)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
   }
 
   def ivfTopK(emb: DataFrame, queryMod: Int, k: Int, nCells: Int = 8,
-      lloydIters: Int = 2, nProbe: Int = 3): DataFrame = {
-    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+      lloydIters: Int = 2, nProbe: Int = 3,
+      trainMod: Int = TrainSampleMod): DataFrame = {
+    val (base, cents) = trainedLit(emb, nCells, lloydIters, trainMod)
     // Full-corpus side: assignment is a pure projection (no shuffle).
     val assigned = withCell(base, cents)
     // One row per (query, probed cell): rank ≤ nProbe. A neighbor appears
@@ -298,8 +341,8 @@ object Similarity {
     * row per cell: population and number dropped.
     */
   def semDedup(emb: DataFrame, nCells: Int = 8, lloydIters: Int = 2,
-      tau: Double = 0.42): DataFrame = {
-    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+      tau: Double = 0.42, trainMod: Int = TrainSampleMod): DataFrame = {
+    val (base, cents) = trainedLit(emb, nCells, lloydIters, trainMod)
     // Final assignment feeds three consumers (both pair sides + the per-
     // cell census) — materialize once so the scan+projection runs once.
     val assigned = withCell(base, cents).localCheckpoint(true)
@@ -338,8 +381,8 @@ object Similarity {
     * replays clustering, neighbor ranking, and the flag bit-for-bit.
     */
   def knnLabelAgreement(emb: DataFrame, k: Int = 5, nCells: Int = 8,
-      lloydIters: Int = 2): DataFrame = {
-    val (base, cents) = trainedLit(emb, nCells, lloydIters)
+      lloydIters: Int = 2, trainMod: Int = TrainSampleMod): DataFrame = {
+    val (base, cents) = trainedLit(emb, nCells, lloydIters, trainMod)
     val assigned = withCell(base, cents)
       .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
       .localCheckpoint(true)

@@ -45,10 +45,14 @@ object ExtOps {
     "c11_multimodal" -> ((s, dir) => Multimodal.featureSummary(s, load(s, dir, "documents"))),
     // c12 config: 8 cells × 6 probes, codebook trained on the % 2
     // id-subsample (r5). The synthetic embeddings are near-uniform (no
-    // cluster structure), so recall tracks the scanned fraction — the
-    // IvfSweep harness measured 0.93/0.93 recall@3 at sf0.001/0.01 for
-    // this config (floor ≥ 0.9 asserted in SimilaritySpec; clustered
-    // real-world corpora reach it at far smaller probe fractions).
+    // cluster structure), so recall tracks the scanned fraction. With
+    // per-dataset codebooks (the r6 cache-key fix — earlier figures
+    // were inflated by a collision that reused sf0.001's codebook)
+    // IvfSweep measures recall@3 for this config at ≥ 0.9 for
+    // sf0.001/0.01 (1.000 at sf0.01) and 0.85 at sf0.1 ≈ the 0.75 scan
+    // fraction + boundary wins — floors asserted in IvfSweep at two
+    // training rates and in SimilaritySpec; clustered real-world
+    // corpora reach high recall at far smaller probe fractions.
     "c12_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(load(s, dir, "embeddings"), 50, 3, 8, 2, 6)),
     // c28 — int8-quantized ANN: the memory-scale path (64 bytes/vector).
@@ -1211,8 +1215,14 @@ object ExtOps {
     // The estimate value is engine-private; the replayable contract is
     // the exact count plus the engine's own band assertion, which the
     // oracle pins to TRUE (out-of-band estimate ⇒ hash mismatch).
+    // COALESCE mirrors the Spark side's distinct-then-count, which
+    // keeps a (source, NULL-hash) row: bare count(DISTINCT md5(text))
+    // would skip NULL text and undercount by one for such a source.
+    // md5 output is 32 hex chars, never '', so the sentinel can't
+    // collide with a real hash.
     "c24_sketch_distinct" ->
-      """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+      """SELECT source,
+        |       CAST(count(DISTINCT COALESCE(md5(text), '')) AS BIGINT) AS n_exact,
         |       true AS within_band
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "c1_minhash_lsh" ->

@@ -54,9 +54,9 @@ class CorpusVecSpec extends AnyFunSuite with SparkSpec {
     // Two orthogonal clusters of 8 vectors each (64-dim; dim 0 vs dim 1
     // dominant, per-vector jitter on a unique higher dim keeps vectors
     // distinct). vec 0 seeds cell A, vec 1 seeds cell B (the Lloyd seed
-    // rule is vec_id < nCells), and membership is chosen so the % 4
-    // TRAINING SAMPLE ({0,4,8,12}) covers both clusters — 0,4 ∈ A and
-    // 8,12 ∈ B. Labels follow the cluster — except vec 15, planted in
+    // rule is vec_id < nCells), and membership is chosen so the % 2
+    // TRAINING SAMPLE ({0,2,4,...}) covers both clusters — it contains
+    // members of A and of B. Labels follow the cluster — except vec 15, planted in
     // cluster B with cluster A's label: its 5 nearest neighbors all
     // vote label 1, so it must be the one suspect.
     def vec(dom: Int, j: Int): Array[Float] = {

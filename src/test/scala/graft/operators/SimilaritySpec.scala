@@ -112,7 +112,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
 
   test("semDedup drops the higher-id member of a within-cell near-dup pair") {
     // Non-seed ids are multiples of TrainSampleMod so the Lloyd rounds
-    // (which train on the % 4 subsample) see a member of each cell.
+    // (which train on the % 2 subsample {0,2,4,...}) see a member of
+    // each cell.
     val d = emb(
       (0L, Seq(1f, 0f, 0f, 0f), 0), // seed of cell 0 (and in the sample)
       (1L, Seq(0f, 1f, 0f, 0f), 0), // seed of cell 1
