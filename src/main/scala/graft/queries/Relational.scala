@@ -352,15 +352,19 @@ object Relational {
     // type list — both sides value-domain-bounded (days × types, never
     // corpus rows), so the BNLJ is a few-row broadcast by construction
     // (PlanSpec allowlists it alongside the other bounded scalars). The
-    // fact table contributes one map-side-combined daily aggregate.
+    // fact table contributes ONE map-side-combined daily aggregate,
+    // materialized (types × days rows — value-domain-bounded) so the
+    // spine bounds and type list derive from it instead of re-scanning
+    // events: one scan of the fact table total.
     "d31_date_spine" -> ((s, dir) => {
       val e = load(s, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"))
       val daily = e.groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
-      val spine = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .localCheckpoint(true)
+      val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val types = e.select(col("event_type")).distinct()
+      val types = daily.select(col("event_type")).distinct()
       spine.crossJoin(broadcast(types))
         .join(daily, Seq("event_type", "day"), "left_outer")
         // day as a STRING: a pandas-side date vs timestamp object

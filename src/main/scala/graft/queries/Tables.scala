@@ -62,6 +62,13 @@ object Tables {
           case org.apache.spark.sql.types.LongType =>
             raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           case org.apache.spark.sql.types.TimestampNTZType =>
+            // The NTZ→timestamp cast reinterprets the naive value in
+            // the SESSION zone; anything but UTC silently shifts every
+            // instant. Fail loudly instead of producing shifted data.
+            val tz = spark.conf.get("spark.sql.session.timeZone")
+            require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+              s"events.ts is TIMESTAMP_NTZ: the cast to timestamp needs " +
+                s"spark.sql.session.timeZone=UTC, but the session is pinned to '$tz'")
             raw.withColumn("ts", col("ts").cast("timestamp"))
           case _ => raw
         }

@@ -137,12 +137,24 @@ object SnapshotManifest {
     val expected = spark.read.json(s"$path/_manifest")
       .select(col("shard"), col("n_rows").as("exp_rows"),
         col("content_sum").as("exp_sum"))
-    val attested = scala.util.Try(
+    // Only the EXPECTED degenerate states map to "no attested rows":
+    // a data dir with no readable parquet footer (schema inference
+    // fails) or a path that vanished between listing and read. Any
+    // other exception — permissions, transient I/O, OOM — propagates:
+    // swallowing it would report every attested shard as obs_rows=0
+    // "changed", indistinguishable from real data loss, and a resumable
+    // loader would launch a spurious full re-pull on a glitch.
+    val attested = (try {
       attest(spark.read.option("ignoreCorruptFiles", "true")
           .parquet(s"$path/data"))
         .collect().toSeq
-    ).getOrElse(Seq.empty) // e.g. no readable file to infer a schema from
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            (e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+              e.getCondition.startsWith("PATH_NOT_FOUND")) =>
+        Seq.empty
+    }).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")

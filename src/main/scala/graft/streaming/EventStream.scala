@@ -49,14 +49,35 @@ object EventStream {
     * testdata). `ts` has shipped as parquet TIMESTAMP(NANOS) (Spark
     * rejects natively — legacy nanosAsLong read + truncate to micros)
     * and as TIMESTAMP(MICROS) without UTC adjustment (TIMESTAMP_NTZ).
-    * A batch footer read decides which fixture generation this path is,
-    * then the stream declares the matching schema and normalizes to
-    * session-zoned (UTC) TimestampType — identical values to
-    * `Tables.load`'s batch frame either way.
+    * ONE footer read (the first data file under the path) decides which
+    * fixture generation this path is, then the stream declares the
+    * matching schema and normalizes to session-zoned (UTC)
+    * TimestampType — identical values to `Tables.load`'s batch frame
+    * either way. A fixture generation is a property of the whole path
+    * (the writer is one job), so sniffing one footer is sound — and at
+    * 100 TB the difference between one footer and a full-path schema
+    * inference is the difference between O(1) and O(files) driver I/O
+    * before the stream even starts.
     */
   def readEventParquetStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val footerTs = spark.read.parquet(path).schema("ts").dataType
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val firstFile: org.apache.hadoop.fs.Path =
+      if (fs.getFileStatus(root).isFile) root
+      else {
+        val it = fs.listFiles(root, true) // lazy remote iterator
+        var found: org.apache.hadoop.fs.Path = null
+        while (found == null && it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
+            found = f.getPath
+        }
+        require(found != null, s"no data file under $path to sniff a schema from")
+        found
+      }
+    val footerTs = spark.read.parquet(firstFile.toString).schema("ts").dataType
     if (footerTs == LongType) {
       val nanosSchema = StructType(eventSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = LongType) else f))
