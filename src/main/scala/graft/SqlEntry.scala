@@ -80,8 +80,35 @@ object SqlEntry {
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    // c-family: token counting (explode(split(...)) is the Spark
-    // spelling of DuckDB's unnest(string_split(...))).
+    "b3_token_freq" ->
+      """WITH toks AS (
+        |  SELECT lang, explode(split(text, ' ')) AS tok FROM documents),
+        |counts AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks WHERE tok <> '' GROUP BY lang, tok)
+        |SELECT lang, tok, n, rn FROM (
+        |  SELECT lang, tok, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rn
+        |  FROM counts)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "b8_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |       CAST(b.sq AS DOUBLE) AS sum_qty, o.o_totalprice
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 30""".stripMargin,
+    // c-family: incremental dedup (LEFT ANTI JOIN is the Spark spelling
+    // of DuckDB's ANTI JOIN) and token counting (explode(split(...)) is
+    // the Spark spelling of DuckDB's unnest(string_split(...))).
+    "c21_incremental_dedup" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+        |kept AS (SELECT b.lang, b.doc_id FROM batch b LEFT ANTI JOIN corpus c ON b.h = c.h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_new, min(doc_id) AS min_doc
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "c9_token_count" ->
       """WITH raw AS (SELECT lang, explode(split(text, ' ')) AS tok FROM documents),
         |toks AS (SELECT lang, tok FROM raw WHERE tok <> '')
@@ -154,6 +181,111 @@ object SqlEntry {
         |SELECT nationkey, decile, CAST(count(*) AS BIGINT) AS n,
         |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         |FROM d GROUP BY nationkey, decile ORDER BY nationkey, decile""".stripMargin,
+    "d13_big_spenders" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS totc
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(sum(totc) AS BIGINT) AS grand,
+        |               CAST(count(*) AS BIGINT) AS ncust FROM per)
+        |SELECT p.o_custkey AS c_custkey, c.c_name,
+        |       CAST(p.totc AS DOUBLE) / 100.0 AS total_spend
+        |FROM per p CROSS JOIN tot g
+        |JOIN customer c ON p.o_custkey = c.c_custkey
+        |WHERE p.totc * g.ncust > 2 * g.grand
+        |ORDER BY total_spend DESC, c_custkey""".stripMargin,
+    "d20_set_ops_all" ->
+      """WITH early AS (SELECT o_custkey FROM orders
+        |               WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'),
+        |late AS (SELECT o_custkey FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'),
+        |u AS (
+        |  SELECT o_custkey, 'both_all' AS cohort
+        |  FROM (SELECT o_custkey FROM early INTERSECT ALL SELECT o_custkey FROM late)
+        |  UNION ALL
+        |  SELECT o_custkey, 'lapsed_all' AS cohort
+        |  FROM (SELECT o_custkey FROM early EXCEPT ALL SELECT o_custkey FROM late))
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
+        |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    // unix_micros(ts) and `div` are the Spark spellings of DuckDB's
+    // epoch_us(ts) and `//`.
+    "d23_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, unix_micros(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 AND us <= t1 + 604800000000
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 604800000000
+        |       GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "d24_retention" ->
+      """WITH e AS (SELECT user_id, unix_micros(ts) div 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS `offset`
+        |      FROM e JOIN f USING (user_id) WHERE e.day - f.cohort <= 7),
+        |r AS (SELECT cohort, `offset`, CAST(count(*) AS BIGINT) AS n_active
+        |      FROM a GROUP BY cohort, `offset`)
+        |SELECT r.cohort, r.`offset`, r.n_active, sz.cohort_size
+        |FROM r JOIN sz USING (cohort) ORDER BY r.cohort, r.`offset`""".stripMargin,
+    "d25_wow_growth" ->
+      """WITH wk AS (SELECT event_type, unix_micros(ts) div 604800000000 AS week,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY event_type, week),
+        |l AS (SELECT event_type, week, n,
+        |        lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |      FROM wk)
+        |SELECT event_type, week, n, prev_n,
+        |       CASE WHEN prev_n IS NOT NULL
+        |            THEN n * 1000 div prev_n END AS ratio_pml
+        |FROM l ORDER BY event_type, week""".stripMargin,
+    "d26_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |lg AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |       FROM ev),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |             OR unix_micros(ts) - unix_micros(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk FROM lg),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f),
+        |ft AS (SELECT *, first_value(event_type) OVER (
+        |         PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+        |       FROM s)
+        |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM ft WHERE event_type = 'purchase'
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    "d27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "d28_window_family" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal,
+        |  lead(c_acctbal, 1) OVER w AS next_bal,
+        |  nth_value(c_acctbal, 2) OVER wf AS second_bal,
+        |  last_value(c_acctbal) OVER wf - first_value(c_acctbal) OVER wf AS span
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
     "d18_cube_orders" ->
       // grouping_id(...) is the Spark spelling of DuckDB's multi-arg
       // grouping(...).
