@@ -208,6 +208,20 @@ object Similarity {
     * projection; the cell id is the join key, so at 100 TB each query
     * touches ~nProbe·N/nCells vectors — the recall/cost dial every IVF
     * index exposes (recall floor asserted in SimilaritySpec).
+    *
+    * Scaling caveat, MEASURED (ScaleSmoke, 10× corpus with nCells
+    * 8→80): coarse assignment is a flat scan over the codebook —
+    * O(N·nCells) dot products — which is exactly IVF-flat's published
+    * assignment cost, so growing the corpus AND the codebook together
+    * scales assignment quadratically (the 10×-data/10×-cells smoke ran
+    * ~100× the assignment work, not 10×). This is inherent to flat
+    * coarse quantization, not to this implementation; at real scale
+    * the published mitigations apply: assign through a hierarchical
+    * coarse quantizer (tree/HNSW over the centroids — O(N·log
+    * nCells)), or batch the dot products as a chunked matrix multiply,
+    * and train/assign INCREMENTALLY via the persisted IvfIndexLayout
+    * (the production path: the full-corpus assignment happens once,
+    * appends assign against the stored codebook).
     */
   /** Default Lloyd training subsample modulus: rounds train on the
     * `vec_id % trainMod == 0` subsample (assignment of the FULL corpus

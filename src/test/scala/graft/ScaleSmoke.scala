@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weak-scaling smoke: 10 key-disjoint copies of sf0.1 (~10× rows)
+  * through the heaviest declared queries, timed against sf0.1 in the
+  * same session — `sbt "Test/runMain graft.ScaleSmoke"`.
+  *
+  * The point is EVIDENCE for the 100 TB design claims: a query whose
+  * plan is linear in the data (scan + hash agg + bounded state) should
+  * cost ~10× at 10× rows on fixed parallelism — superlinear growth
+  * exposes a plan that would not survive a real scale-up.
+  *
+  * Replica construction (disjoint, not duplicated — this matters):
+  *  - every key/FK column gets `+ r*K` with K a multiple of
+  *    lcm(2,5,7,10,20,25,97,100) = 67,900 — all id-modulus filters in
+  *    the suite keep their selectivity — and K > every source id, so
+  *    the 10 copies join only within themselves (join cardinality
+  *    scales ×10, never ×100);
+  *  - document tokens are salted per replica (`tok·r`), so replicas
+  *    are NOT near-duplicates of each other: MinHash bands, shingle
+  *    postings and containment joins grow by data volume, not by a
+  *    synthetic 45-pairs-per-doc duplicate blowup a real corpus
+  *    would not have;
+  *  - embeddings get deterministic per-(dim, replica) noise of the
+  *    same magnitude as the signal, decorrelating replica vectors for
+  *    the pair-forming vector queries.
+  * The k-means queries re-run with nCells scaled 8 → 80 and probes
+  * 6 → 60 (constant scan fraction, constant cell population) — the
+  * documented scaling rule for those operators (`nCells` scales WITH
+  * the corpus), so their pair space Σ|cell|² also scales ×10.
+  */
+object ScaleSmoke {
+
+  val KeyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val ModulusLcm = 67900L // lcm of every id-modulus filter in the suite
+
+  /** Linear-plan queries run as declared. */
+  val LinearQueries: Seq[String] = Seq(
+    "b4_pricing_summary", "b5_top_revenue", "b9_local_supplier_volume",
+    "b12_waiting_suppliers", "b13_part_top_supplier", "c1_minhash_lsh",
+    "c9_token_count", "c15_dedup_groups", "c17_quality_filter",
+    "c27_contamination", "c55_containment", "d2_rollup_pricing",
+    "d8_percentiles", "d22_table_profile", "d29_ref_integrity")
+
+  def build(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_built"))) {
+      println(s"[scale] reusing $dst"); return
+    }
+    val maxId = KeyCols.map { case (t, cols) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      df.agg(max(greatest((cols ++ cols).map(c => col(c).cast("long")): _*)))
+        .head().getLong(0)
+    }.max
+    val k = ((maxId / ModulusLcm) + 1) * ModulusLcm
+    println(s"[scale] maxId=$maxId offset=$k reps=$reps")
+    KeyCols.foreach { case (t, cols) =>
+      var df = spark.read.parquet(s"$src/$t.parquet")
+        .crossJoin(spark.range(reps.toLong).select(col("id").as("_r")))
+      cols.foreach(c => df = df.withColumn(c, col(c).cast("long") + col("_r") * k))
+      if (t == "documents")
+        df = df.withColumn("text", expr(
+          "array_join(transform(split(text, ' '), x -> " +
+            "if(x = '', x, concat(x, '·', CAST(_r AS STRING)))), ' ')"))
+      if (t == "embeddings")
+        df = df.withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(x + 0.45 * " +
+            "(CAST((i * 2654435761 + _r * 40503) % 17 AS DOUBLE) - 8.0) / 8.0 AS FLOAT))"))
+      df.drop("_r").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] wrote $t")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def bestOf(n: Int)(body: => Unit): Double =
+    (1 to n).map(_ => time(body)).min
+
+  def main(args: Array[String]): Unit = {
+    // args: [shufflePartitions] [queryPrefixFilter] — defaults 32, all.
+    val shuffle = args.headOption.getOrElse("32")
+    val only = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_scale10"
+    val reps = 10
+    build(spark, src, dst, reps)
+
+    var results = Seq.empty[(String, Double, Double, Double)]
+    def report(name: String, t1: Double, t10: Double): Unit = {
+      results :+= ((name, t1, t10, t10 / t1))
+      println(f"[scale] $name%-24s sf0.1=$t1%6.2fs x10=$t10%7.2fs ratio=${t10 / t1}%5.1f")
+    }
+
+    for (q <- LinearQueries.filter(n => only.forall(n.startsWith))) {
+      val fn = SparkEntry.queries(q)
+      fn(spark, src).collect() // warm (JIT, codegen, footers)
+      val t1 = bestOf(2)(fn(spark, src).collect())
+      fn(spark, dst).collect()
+      val t10 = bestOf(2)(fn(spark, dst).collect())
+      report(q, t1, t10)
+    }
+    // k-means family with the documented parameter scaling: nCells and
+    // probes ×10 (constant scan fraction / cell population).
+    if (only.isEmpty) {
+    import graft.operators.Similarity
+    val e1 = spark.read.parquet(s"$src/embeddings.parquet")
+    val e10 = spark.read.parquet(s"$dst/embeddings.parquet")
+    Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect()
+    val i1 = bestOf(2)(Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect())
+    Similarity.ivfTopK(e10, 50, 3, 80, 2, 60).collect()
+    val i10 = bestOf(2)(Similarity.ivfTopK(e10, 50, 3, 80, 2, 60).collect())
+    report("c12_ivf (cells 8~80)", i1, i10)
+    Similarity.semDedup(e1, 8, 2, 0.42).collect()
+    val s1 = bestOf(2)(Similarity.semDedup(e1, 8, 2, 0.42).collect())
+    Similarity.semDedup(e10, 80, 2, 0.42).collect()
+    val s10 = bestOf(2)(Similarity.semDedup(e10, 80, 2, 0.42).collect())
+    report("c31_semdedup (8~80)", s1, s10)
+    }
+
+    val sorted = results.sortBy(-_._4)
+    println(f"[scale] worst ratio: ${sorted.head._1} at ${sorted.head._4}%.1f")
+    println(f"[scale] median ratio: ${results.map(_._4).sorted.apply(results.size / 2)}%.1f")
+    spark.stop()
+  }
+}
