@@ -103,6 +103,64 @@ object SqlEntry {
     // c-family: incremental dedup (LEFT ANTI JOIN is the Spark spelling
     // of DuckDB's ANTI JOIN) and token counting (explode(split(...)) is
     // the Spark spelling of DuckDB's unnest(string_split(...))).
+    "c7_langid" ->
+      """WITH raw AS (SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT doc_id, lang, tok FROM raw WHERE tok <> ''),
+        |scored AS (SELECT doc_id, lang,
+        |  sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS en_hits,
+        |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS de_hits,
+        |  sum(CASE WHEN tok IN ('le','la','et','les','est') THEN 1 ELSE 0 END) AS fr_hits,
+        |  sum(CASE WHEN tok IN ('el','los','las','y','es') THEN 1 ELSE 0 END) AS es_hits
+        |  FROM toks GROUP BY doc_id, lang),
+        |pred AS (SELECT lang,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+        |            AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    // conv(hex, 16, 10) is the Spark spelling of the oracle's instr-
+    // over-hex-alphabet arithmetic: both read the first two md5 hex
+    // digits as the 0..255 sampling gate.
+    "c16_stratified_sample" ->
+      """WITH g AS (SELECT lang, doc_id, n_chars,
+        |    CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) AS gate
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM g
+        |WHERE gate < (CASE WHEN lang = 'en' THEN 32 WHEN lang = 'de' THEN 64 ELSE 128 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c17_quality_filter" ->
+      """WITH feat AS (SELECT lang, n_chars,
+        |  CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(size(array_distinct(filter(split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) AS n_alpha
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |  CASE WHEN n_chars < 50 THEN 'too_short'
+        |       WHEN n_chars > 5000 THEN 'too_long'
+        |       WHEN n_alpha * 10 < n_chars * 6 THEN 'low_alpha'
+        |       WHEN n_distinct * 10 < n_tokens * 3 THEN 'repetitive'
+        |       ELSE 'keep' END AS reason
+        |  FROM feat)
+        |SELECT lang, reason, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM r GROUP BY lang, reason ORDER BY lang, reason""".stripMargin,
+    "c30_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r WHERE rn <= 100
+        |GROUP BY source ORDER BY source""".stripMargin,
     "c21_incremental_dedup" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |batch AS (SELECT lang, doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
