@@ -94,9 +94,12 @@ object ScaleSmoke {
     (1 to n).map(_ => time(body)).min
 
   def main(args: Array[String]): Unit = {
-    // args: [shufflePartitions] [queryPrefixFilter] — defaults 32, all.
+    // args: [shufflePartitions] [reps] [queryPrefixes,csv] — defaults
+    // 32, 10, all. The replica count is the scale decade under test:
+    // reps=100 probes one decade further than the default ×10.
     val shuffle = args.headOption.getOrElse("32")
-    val only = args.lift(1)
+    val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    val only = args.lift(2).map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -105,8 +108,7 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/graft_scale10"
-    val reps = 10
+    val dst = s"/tmp/graft_scale$reps"
     build(spark, src, dst, reps)
 
     var results = Seq.empty[(String, Double, Double, Double)]
@@ -115,7 +117,7 @@ object ScaleSmoke {
       println(f"[scale] $name%-24s sf0.1=$t1%6.2fs x10=$t10%7.2fs ratio=${t10 / t1}%5.1f")
     }
 
-    for (q <- LinearQueries.filter(n => only.forall(n.startsWith))) {
+    for (q <- LinearQueries.filter(n => only.forall(_.exists(n.startsWith)))) {
       val fn = SparkEntry.queries(q)
       fn(spark, src).collect() // warm (JIT, codegen, footers)
       val t1 = bestOf(2)(fn(spark, src).collect())
