@@ -10,10 +10,12 @@ import graft.queries.Tables
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically), after which ANY query
   * is reachable as plain `spark.sql(...)` text. [[sparkSql]] curates
-  * Spark-dialect text for 50 queries across every family (a/b/c/d) —
-  * the COMPLETE b-family except the as-of trio (which runs on the
-  * custom MergeAsOfExec physical operator; Spark SQL has no ASOF JOIN
-  * syntax) — porting the DuckDB-only constructs of
+  * Spark-dialect text for 72 queries: the COMPLETE a-family (7/7) and
+  * d-family (31/31), the complete b-family except the as-of trio
+  * (which runs on the custom MergeAsOfExec physical operator; Spark
+  * SQL has no ASOF JOIN syntax), and the c-family queries whose logic
+  * does not ride a custom Catalyst kernel — porting the DuckDB-only
+  * constructs of
   * [[SparkEntry.oracleSql]] to their Spark spellings
   * (`unnest(string_split(...))` → `explode(split(...))`, `strftime` →
   * `date_format`, `epoch_us`/`//` → `unix_micros`/`div`, `string_agg
@@ -41,11 +43,69 @@ object SqlEntry {
     spark.sql(sparkSql(name))
   }
 
+  /** The synthetic file-manifest CTE every Group A query starts from —
+    * the Spark spelling of [[graft.queries.GroupA.manifestSql]]
+    * (CAST AS STRING for VARCHAR; `replace` and `concat` are shared).
+    */
+  private val manifestSql: String =
+    """WITH m AS (
+      |  SELECT concat('/src/tree', CAST(p_partkey % 3 AS STRING)) AS root,
+      |         concat('/src/tree', CAST(p_partkey % 3 AS STRING), '/',
+      |                lower(replace(p_brand, '#', '_')),
+      |                '/part_', CAST(p_partkey AS STRING), '.dat') AS path,
+      |         concat('data/part_', CAST(p_partkey % 147 AS STRING), '.dat') AS relative_dst,
+      |         CAST(p_size AS BIGINT) * 1024 + p_partkey % 977 AS length
+      |  FROM part
+      |)""".stripMargin
+
   /** Spark-dialect SQL, column-for-column identical to the DataFrame
     * path of the same query name.
     */
   val sparkSql: Map[String, String] = Map(
-    // a-family: the reference's status rollup as a windowed share.
+    // a-family: the reference's computations over the manifest CTE.
+    "a1_dup_dst" ->
+      s"""$manifestSql
+         |SELECT relative_dst, CAST(count(*) AS BIGINT) AS n_sources,
+         |       listagg(path, ',') WITHIN GROUP (ORDER BY path) AS src_paths
+         |FROM m GROUP BY relative_dst HAVING count(*) > 1
+         |ORDER BY relative_dst""".stripMargin,
+    "a2_job_metrics" ->
+      s"""$manifestSql
+         |SELECT root, CAST(count(*) AS BIGINT) AS file_count,
+         |       CAST(sum(length) AS BIGINT) AS byte_count,
+         |       max(length) AS max_len, min(path) AS first_path
+         |FROM m GROUP BY root ORDER BY root""".stripMargin,
+    "a3_bin_pack" ->
+      s"""$manifestSql
+         |SELECT root, path, length,
+         |       CAST(sum(length) OVER (PARTITION BY root ORDER BY path
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes,
+         |       (CAST(sum(length) OVER (PARTITION BY root ORDER BY path
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - length) div 1048576 AS bin
+         |FROM m ORDER BY root, path""".stripMargin,
+    "a4_map_count" ->
+      s"""$manifestSql
+         |SELECT root, CAST(count(*) AS BIGINT) AS file_count,
+         |       greatest(least(CAST(count(*) AS BIGINT), 640), 1) AS maps
+         |FROM m GROUP BY root ORDER BY root""".stripMargin,
+    "a5_relative_path" ->
+      s"""$manifestSql, u AS (
+         |  SELECT root, path FROM m
+         |  UNION ALL SELECT DISTINCT root, root AS path FROM m
+         |)
+         |SELECT root, path,
+         |       CASE WHEN path = root THEN '.'
+         |            ELSE substr(path, length(root) + 2) END AS rel
+         |FROM u ORDER BY root, path""".stripMargin,
+    "a6_topk_files" ->
+      s"""$manifestSql
+         |SELECT root, path, length, rn FROM (
+         |  SELECT root, path, length,
+         |         CAST(row_number() OVER (PARTITION BY root
+         |           ORDER BY length DESC, path) AS BIGINT) AS rn
+         |  FROM m)
+         |WHERE rn <= 5 ORDER BY root, rn""".stripMargin,
+    // The reference's status rollup as a windowed share.
     "a7_status_rollup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(*) AS DOUBLE) * 100.0 /
@@ -451,6 +511,16 @@ object SqlEntry {
         |  FROM feat)
         |SELECT lang, reason, CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY lang, reason ORDER BY lang, reason""".stripMargin,
+    // Same engine-private HLL++ estimate as the DataFrame path (same
+    // engine, same rsd → same sketch), so within_band agrees too.
+    "c24_sketch_distinct" ->
+      """WITH d AS (SELECT DISTINCT source, md5(CAST(text AS BINARY)) AS h FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+        |             approx_count_distinct(h, 0.02) AS n_approx
+        |      FROM d GROUP BY source)
+        |SELECT source, n_exact,
+        |       abs(n_approx - n_exact) * 20 <= n_exact AS within_band
+        |FROM a ORDER BY source""".stripMargin,
     "c30_source_quota" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,
@@ -540,6 +610,197 @@ object SqlEntry {
         |SELECT nationkey, decile, CAST(count(*) AS BIGINT) AS n,
         |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         |FROM d GROUP BY nationkey, decile ORDER BY nationkey, decile""".stripMargin,
+    "d1_props_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+        |         / count(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // date_format with 'SSSSSS' is the Spark spelling of DuckDB's
+    // strftime %f (6-digit microseconds).
+    "d4_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE user_id % 10 = 0),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 30*60*1000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       date_format(min(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_start,
+        |       date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_end
+        |FROM sessioned GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "d7_edit_distance" ->
+      s"""WITH p AS (
+        |  SELECT lang, doc_id, substr(text, 1, 40) AS prefix
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tk AS (
+        |  SELECT lang, doc_id, explode(slice(split(prefix, ' '), 1, 3)) AS tok
+        |  FROM p),
+        |tkf0 AS (SELECT lang, doc_id, tok FROM tk WHERE tok <> ''),
+        |blockdf AS (SELECT lang, tok FROM tkf0 GROUP BY lang, tok
+        |            HAVING count(*) <= ${graft.queries.Relational.D7_DF_CAP}),
+        |tkf AS (SELECT t.lang, t.doc_id, t.tok
+        |        FROM tkf0 t JOIN blockdf b ON t.lang = b.lang AND t.tok = b.tok),
+        |cand AS (
+        |  SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db
+        |  FROM tkf a JOIN tkf b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id)
+        |SELECT c.lang, c.da, c.db,
+        |       CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS dist
+        |FROM cand c JOIN p pa ON pa.doc_id = c.da
+        |            JOIN p pb ON pb.doc_id = c.db
+        |WHERE levenshtein(pa.prefix, pb.prefix) <= 26
+        |ORDER BY dist, da, db LIMIT 30""".stripMargin,
+    // percentile(col, p) is Spark's exact interpolated percentile —
+    // the same linear-interpolation definition as DuckDB's
+    // quantile_cont.
+    "d8_percentiles" ->
+      """SELECT event_type,
+        |       percentile(value, 0.5) AS p50,
+        |       percentile(value, 0.95) AS p95,
+        |       percentile(value, 0.99) AS p99,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d9_latest_event" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 100 = 0)
+        |SELECT user_id, event_type, event_id,
+        |       date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "d11_interval_join" ->
+      """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT ts FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_errors,
+        |       CAST(unix_micros(min(e.ts)) AS BIGINT) AS first_error_us
+        |FROM p JOIN e ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "d14_moving_avg" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id % 100 = 0),
+        |framed AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(vc) OVER w AS BIGINT) AS mov_sum_c,
+        |    CAST(count(*) OVER w AS BIGINT) AS mov_n
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |       date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+        |       CAST(mov_sum_c AS DOUBLE) / 100.0 AS mov_sum,
+        |       CAST(mov_sum_c AS DOUBLE) / 100.0 / mov_n AS mov_avg
+        |FROM framed ORDER BY user_id, ts_s, event_id""".stripMargin,
+    "d15_correlation" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+        |  FROM base GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+        |FROM sums ORDER BY event_type""".stripMargin,
+    // Same rows as the native TopKPerKey operator the DataFrame path
+    // plans — the SQL spelling takes the window route instead.
+    "d16_topk_native" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
+    "d19_trailing_1h" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE user_id % 100 = 0)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(sum(vc) OVER w AS DOUBLE) / 100.0 AS trail_sum,
+        |       CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM base
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "d21_merge_apply" ->
+      """WITH m AS (SELECT doc_id, lang, n_chars, doc_id % 10 AS md FROM documents),
+        |ch AS (SELECT CASE WHEN md = 2 THEN doc_id + 1000000000 ELSE doc_id END AS key,
+        |         CASE WHEN md = 0 THEN 'D' WHEN md = 1 THEN 'U' ELSE 'I' END AS op,
+        |         lang, CASE WHEN md = 1 THEN n_chars + 7 ELSE n_chars END AS new_chars
+        |       FROM m WHERE md <= 2),
+        |upserts AS (SELECT s.doc_id, s.lang,
+        |         coalesce(c.new_chars, s.n_chars) AS chars,
+        |         CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS origin
+        |       FROM documents s
+        |       LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') c ON s.doc_id = c.key
+        |       WHERE c.op IS NULL OR c.op <> 'D'),
+        |merged AS (SELECT * FROM upserts UNION ALL
+        |           SELECT key AS doc_id, lang, new_chars AS chars, 'inserted' AS origin
+        |           FROM ch WHERE op = 'I')
+        |SELECT lang, origin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM merged GROUP BY lang, origin ORDER BY lang, origin""".stripMargin,
+    "d22_table_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem)
+        |SELECT col_name, CAST(count(v) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |       min(v) AS vmin, max(v) AS vmax
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "d29_ref_integrity" ->
+      s"SELECT * FROM (\n${graft.queries.Relational.refEdgeSql}\n) ORDER BY relation",
+    "d30_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM ev
+        |       WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT event_type, unix_micros(ts) AS vf,
+        |        lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS vt
+        |      FROM ch)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_versions,
+        |       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |       CAST(coalesce(sum((vt - vf) div 1000000), 0) AS BIGINT) AS closed_s
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // explode(sequence(...)) is the Spark spelling of DuckDB's
+    // unnest(generate_series(...)).
+    "d31_date_spine" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |s AS (SELECT explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, date_format(s.day, 'yyyy-MM-dd') AS day,
+        |       coalesce(d.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM s CROSS JOIN t LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day
+        |ORDER BY t.event_type, date_format(s.day, 'yyyy-MM-dd')""".stripMargin,
     "d13_big_spenders" ->
       """WITH per AS (
         |  SELECT o_custkey,
