@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Tables
+import graft.queries.{ExtOps, Tables}
 
 /** SQL-text access to the query surface — the no-Scala entry point.
   *
@@ -13,9 +13,10 @@ import graft.queries.Tables
   * Spark-dialect text for 72 queries: the COMPLETE a-family (7/7) and
   * d-family (31/31), the complete b-family except the as-of trio
   * (which runs on the custom MergeAsOfExec physical operator; Spark
-  * SQL has no ASOF JOIN syntax), and the c-family queries whose logic
-  * does not ride a custom Catalyst kernel — porting the DuckDB-only
-  * constructs of
+  * SQL has no ASOF JOIN syntax), and a growing kernel-free slice of
+  * the c-family (queries riding the native Catalyst kernels —
+  * TokenNgrams/SimHash64/MinHashBands/LongArrayDot/sketch aggs — stay
+  * DataFrame-only by design) — porting the DuckDB-only constructs of
   * [[SparkEntry.oracleSql]] to their Spark spellings
   * (`unnest(string_split(...))` → `explode(split(...))`, `strftime` →
   * `date_format`, `epoch_us`/`//` → `unix_micros`/`div`, `string_agg
@@ -511,6 +512,341 @@ object SqlEntry {
         |  FROM feat)
         |SELECT lang, reason, CAST(count(*) AS BIGINT) AS n_docs
         |FROM r GROUP BY lang, reason ORDER BY lang, reason""".stripMargin,
+    "c8_quality" ->
+      """WITH perdoc AS (SELECT lang, n_chars,
+        |  CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS is_long
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS avg_tok_len,
+        |  CAST(sum(is_long) AS DOUBLE) / count(*) AS share_long
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c13_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c18_redact_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', ''))) AS BIGINT)
+        |         AS n_chars_redacted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c19_tfidf_terms" ->
+      """WITH raw AS (SELECT lang, doc_id, explode(split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM toks),
+        |tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |s AS (SELECT tf.lang, tf.tok,
+        |             CAST(tf.tf * n.n_total AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT lang, tok, score, rn FROM (
+        |  SELECT lang, tok, score,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS BIGINT) AS rn
+        |  FROM s)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "c29_salted_join" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |            FROM events),
+        |st AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS tot,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN e.vc * s.n > s.tot THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_above_avg
+        |FROM ev e JOIN st s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "c20_pack_plan" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |p AS (SELECT lang, doc_id, n_tokens, (cum - n_tokens) div 8192 AS pack_id FROM c)
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+    // explode(sequence(...)) + element_at replace DuckDB's lateral
+    // range() + list indexing; FILTER gains its WHERE keyword.
+    "c23_bigram_novelty" ->
+      """WITH toks AS (SELECT doc_id, lang, split(text, ' ') AS a FROM documents),
+        |bg0 AS (SELECT doc_id, lang, a,
+        |          explode(sequence(1, size(a) - 1)) AS i
+        |        FROM toks WHERE size(a) > 1),
+        |bg AS (SELECT doc_id, lang,
+        |         concat(element_at(a, i), ' ', element_at(a, i + 1)) AS b
+        |       FROM bg0
+        |       WHERE element_at(a, i) <> '' AND element_at(a, i + 1) <> ''),
+        |cnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+        |occ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS sum_bigrams,
+        |               CAST(coalesce(sum(n) FILTER (WHERE n <= 3), 0) AS BIGINT) AS sum_rare,
+        |               CAST(count(*) AS BIGINT) AS n_bigram_types
+        |        FROM cnt GROUP BY lang),
+        |d AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM bg GROUP BY lang)
+        |SELECT d.lang, d.n_docs, occ.sum_bigrams, occ.sum_rare, occ.n_bigram_types
+        |FROM d JOIN occ ON d.lang = occ.lang ORDER BY d.lang""".stripMargin,
+    "c26_vocab_coverage" ->
+      """WITH raw AS (SELECT explode(split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM raw WHERE tok <> '' GROUP BY tok),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |r AS (SELECT tok, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rn,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT CAST(p.pct AS BIGINT) AS pct, min(r.rn) AS vocab_size,
+        |       min(r.cum) AS covered_tokens, min(t.total) AS total_tokens
+        |FROM r CROSS JOIN t
+        |CROSS JOIN (SELECT explode(array(50, 90, 95, 99)) AS pct) p
+        |WHERE r.cum * 100 >= p.pct * t.total
+        |GROUP BY p.pct ORDER BY pct""".stripMargin,
+    "c33_token_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS STRING)) AS h FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |k AS (SELECT * FROM c WHERE cum - n_tokens < 800)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "c35_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |d AS (SELECT doc_id, lang, toks, CAST(size(toks) AS BIGINT) AS n
+         |      FROM t WHERE size(toks) > 0),
+         |c AS (SELECT doc_id, lang, toks, n,
+         |        explode(sequence(0, CASE WHEN n <= ${ExtOps.CHUNK_W} THEN 0
+         |          ELSE (n - ${ExtOps.CHUNK_W} + ${ExtOps.CHUNK_S} - 1) div ${ExtOps.CHUNK_S} END)) AS i
+         |      FROM d),
+         |ch AS (SELECT lang, doc_id,
+         |        least(${ExtOps.CHUNK_W}, n - i * ${ExtOps.CHUNK_S}) AS clen,
+         |        md5(array_join(slice(toks, CAST(i * ${ExtOps.CHUNK_S} + 1 AS INT),
+         |          CAST(least(${ExtOps.CHUNK_W}, n - i * ${ExtOps.CHUNK_S}) AS INT)), ' ')) AS h
+         |      FROM c)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(clen) AS BIGINT) AS chunk_tokens,
+         |       CAST(count(DISTINCT h) AS BIGINT) AS n_uniq_chunks
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    "c37_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) AS gate
+        |  FROM documents),
+        |w AS (SELECT source, doc_id, n_tokens, gate,
+        |        least(240, 16 + n_tokens * 2) AS w256 FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w256) AS BIGINT) AS expected_kept_x256,
+        |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
+        |         AS kept_tokens
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "c46_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1, true AS in1
+        |            FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h2,
+        |         true AS in2
+        |       FROM documents WHERE doc_id % 10 <> 7),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |        CASE WHEN in1 IS NULL THEN 'added'
+        |             WHEN in2 IS NULL THEN 'removed'
+        |             WHEN h1 IS DISTINCT FROM h2 THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc.lang, d.status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(d.id) AS min_doc, max(d.id) AS max_doc
+        |FROM d JOIN documents doc ON d.id = doc.doc_id
+        |GROUP BY doc.lang, d.status ORDER BY doc.lang, d.status""".stripMargin,
+    "c48_snapshot_drift" ->
+      """WITH v1 AS (SELECT lang,
+        |    CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT lang,
+        |    CAST(size(filter(split(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END, ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |h1 AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c1
+        |       FROM v1 GROUP BY lang, n_tokens),
+        |h2 AS (SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c2
+        |       FROM v2 GROUP BY lang, n_tokens),
+        |j AS (SELECT coalesce(h1.lang, h2.lang) AS lang,
+        |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |      FROM h1 FULL OUTER JOIN h2
+        |        ON h1.lang = h2.lang AND h1.n_tokens = h2.n_tokens)
+        |SELECT lang, CAST(sum(abs(c1 - c2)) AS BIGINT) AS l1_drift,
+        |       CAST(sum(c1) AS BIGINT) AS n_v1, CAST(sum(c2) AS BIGINT) AS n_v2
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    // DECIMAL(38,0) + div replace DuckDB's HUGEINT + // throughout the
+    // integer-exact c-family scores.
+    "c50_collocations" ->
+      """WITH toks AS (SELECT lang,
+        |    explode(filter(split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_u
+        |        FROM toks GROUP BY lang, tok),
+        |tot AS (SELECT lang, CAST(sum(n_u) AS BIGINT) AS n_tot FROM uni GROUP BY lang),
+        |t AS (SELECT lang, filter(split(text, ' '), x -> x <> '') AS tk
+        |      FROM documents),
+        |bg0 AS (SELECT lang,
+        |    explode(transform(sequence(1, size(tk) - 1),
+        |      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) AS bigram
+        |  FROM t WHERE size(tk) >= 2),
+        |bg AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bg0 GROUP BY lang, bigram HAVING count(*) >= 5),
+        |j AS (SELECT bg.lang, bg.bigram, bg.n_ab, ua.n_u AS n_a, ub.n_u AS n_b,
+        |             tot.n_tot
+        |      FROM bg
+        |      JOIN uni ua ON bg.lang = ua.lang
+        |        AND element_at(split(bg.bigram, ' '), 1) = ua.tok
+        |      JOIN uni ub ON bg.lang = ub.lang
+        |        AND element_at(split(bg.bigram, ' '), 2) = ub.tok
+        |      JOIN tot ON bg.lang = tot.lang)
+        |SELECT lang, bigram, n_ab, n_a, n_b,
+        |       CAST((CAST(n_ab AS DECIMAL(38,0)) * n_tot * 1000)
+        |            div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_x1000
+        |FROM j ORDER BY lift_x1000 DESC, lang, bigram LIMIT 20""".stripMargin,
+    "c52_mixture_weights" ->
+      """WITH d AS (SELECT source,
+        |    CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_tokens) AS BIGINT) AS actual_tokens
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(actual_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM s),
+        |w AS (SELECT source, n_docs, actual_tokens,
+        |             tot_tokens div n_sources AS target_tokens,
+        |             least(CAST(1000 AS BIGINT), ((tot_tokens div n_sources) * 1000)
+        |                   div greatest(actual_tokens, 1)) AS weight_x1000
+        |      FROM s CROSS JOIN t)
+        |SELECT source, n_docs, actual_tokens,
+        |       CAST(target_tokens AS BIGINT) AS target_tokens,
+        |       CAST(weight_x1000 AS BIGINT) AS weight_x1000,
+        |       CAST((actual_tokens * weight_x1000) div 1000 AS BIGINT) AS effective_tokens
+        |FROM w ORDER BY source""".stripMargin,
+    "c53_rarity_score" ->
+      """WITH raw AS (SELECT lang, doc_id, explode(split(text, ' ')) AS tok FROM documents),
+        |toks AS (SELECT lang, doc_id, tok FROM raw WHERE tok <> ''),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |perdoc AS (SELECT t.lang, t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |                  CAST(sum(df) AS BIGINT) AS sum_df
+        |           FROM toks t JOIN dft ON t.tok = dft.tok GROUP BY 1, 2),
+        |perlang AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_toks,
+        |                   CAST(sum(sum_df) AS BIGINT) AS lang_df
+        |            FROM perdoc GROUP BY lang)
+        |SELECT p.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE CAST(sum_df AS DECIMAL(38,0)) * lang_toks
+        |            < CAST(n_toks AS DECIMAL(38,0)) * lang_df) AS BIGINT) AS n_rare_docs,
+        |       CAST(max(lang_toks) AS BIGINT) AS lang_tokens,
+        |       CAST((CAST(max(lang_df) AS DECIMAL(38,0)) * 1000) div max(lang_toks) AS BIGINT)
+        |         AS avg_df_x1000
+        |FROM perdoc p JOIN perlang l ON p.lang = l.lang
+        |GROUP BY p.lang ORDER BY p.lang""".stripMargin,
+    "c54_fluency_score" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t2 AS (SELECT lang, doc_id, toks FROM t WHERE size(toks) >= 2),
+        |bg AS (SELECT lang, doc_id,
+        |    explode(transform(sequence(1, size(toks) - 1),
+        |           i -> array_join(slice(toks, i, 2), ' '))) AS bg
+        |  FROM t2),
+        |cbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY bg),
+        |cw1 AS (SELECT element_at(split(bg, ' '), 1) AS w1, CAST(count(*) AS BIGINT) AS c_w1
+        |        FROM bg GROUP BY 1),
+        |perdoc AS (SELECT b.lang, b.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+        |       CAST(sum((c_bg * 1000000) div c_w1) AS BIGINT) AS sum_p
+        |  FROM bg b JOIN cbg USING (bg)
+        |  JOIN cw1 ON element_at(split(b.bg, ' '), 1) = cw1.w1
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT lang, doc_id, sum_p div n_bg AS score FROM perdoc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(score) AS BIGINT) AS sum_score,
+        |       CAST(min(score) AS BIGINT) AS min_score,
+        |       CAST(max(score) AS BIGINT) AS max_score
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c63_tombstone_purge" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |th AS (SELECT DISTINCT h FROM d WHERE doc_id % 97 = 0),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_requests
+        |      FROM d GROUP BY source),
+        |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_purged
+        |      FROM d WHERE h IN (SELECT h FROM th) GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_requests,
+        |       coalesce(p.n_purged, 0) AS n_purged,
+        |       b.n_docs - coalesce(p.n_purged, 0) AS n_kept
+        |FROM b LEFT JOIN p ON b.source = p.source ORDER BY b.source""".stripMargin,
+    "c64_temperature_mix" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |        CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+        |      FROM d GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(sum(w) AS BIGINT) AS tot_w FROM l),
+        |sel AS (SELECT lang, n_docs, n_tokens,
+        |         CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tot_tokens AS BIGINT)
+        |           AS prop_x1m,
+        |         CAST((CAST(w AS DECIMAL(38,0)) * 1000000) div tot_w AS BIGINT) AS p_x1m
+        |        FROM l CROSS JOIN t)
+        |SELECT lang, n_docs, n_tokens, prop_x1m, p_x1m,
+        |       CAST((CAST(p_x1m AS DECIMAL(38,0)) * 1000) div greatest(prop_x1m, 1) AS BIGINT)
+        |         AS boost_x1000
+        |FROM sel ORDER BY lang""".stripMargin,
+    "c69_ks_drift" ->
+      """WITH d AS (SELECT source, CAST(n_chars div 16 AS BIGINT) AS bkt FROM documents),
+        |c AS (SELECT source, bkt, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |grid AS (SELECT s.source, b.bkt FROM (SELECT DISTINCT source FROM d) s
+        |         CROSS JOIN (SELECT DISTINCT bkt FROM d) b),
+        |cum AS (SELECT g.source, g.bkt,
+        |        sum(coalesce(c.n, 0)) OVER (PARTITION BY g.source ORDER BY g.bkt
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |        FROM grid g LEFT JOIN c ON c.source = g.source AND c.bkt = g.bkt),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt FROM d GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             abs(CAST(a.cn AS DECIMAL(38,0)) * tb.nt - CAST(b.cn AS DECIMAL(38,0)) * ta.nt)
+        |               AS dd,
+        |             ta.nt AS n_a, tb.nt AS n_b
+        |      FROM cum a JOIN cum b ON a.bkt = b.bkt AND a.source < b.source
+        |      JOIN tot ta ON ta.source = a.source
+        |      JOIN tot tb ON tb.source = b.source)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       CAST((max(dd) * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+        |         AS ks_x1e6
+        |FROM p GROUP BY source_a, source_b, n_a, n_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    "c43_dataset_split" ->
+      """WITH g AS (SELECT lang, doc_id,
+        |    CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) AS gate
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id, n_tokens,
+        |        CASE WHEN gate < 205 THEN 'train'
+        |             WHEN gate < 230 THEN 'val' ELSE 'test' END AS split
+        |      FROM g)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     // Same engine-private HLL++ estimate as the DataFrame path (same
     // engine, same rsd → same sketch), so within_band agrees too.
     "c24_sketch_distinct" ->
