@@ -10,8 +10,9 @@ import graft.queries.{ExtOps, Tables}
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically), after which ANY query
   * is reachable as plain `spark.sql(...)` text. [[sparkSql]] curates
-  * Spark-dialect text for 72 queries: the COMPLETE a-family (7/7) and
-  * d-family (31/31), the complete b-family except the as-of trio
+  * Spark-dialect text for 96 of the 137 declared queries: the COMPLETE
+  * a-family (7/7) and d-family (31/31), the complete b-family except
+  * the as-of trio
   * (which runs on the custom MergeAsOfExec physical operator; Spark
   * SQL has no ASOF JOIN syntax), and a growing kernel-free slice of
   * the c-family (queries riding the native Catalyst kernels —
@@ -654,6 +655,50 @@ object SqlEntry {
         |       CAST(coalesce(sum(CASE WHEN gate < w256 THEN n_tokens END), 0) AS BIGINT)
         |         AS kept_tokens
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    // The same interleave arithmetic the engine and the DuckDB oracle
+    // share (ZOrder.zvalueSql emits engine-neutral shift/mask SQL).
+    "c38_zorder_profile" ->
+      s"""WITH xy AS (SELECT user_id % 65536 AS x,
+         |    (unix_micros(ts) div 1000000) % 65536 AS y FROM events),
+         |z AS (SELECT x, y, ${graft.functions.ZOrder.zvalueSql("x", "y")} AS z FROM xy)
+         |SELECT z >> 26 AS z_cell, CAST(count(*) AS BIGINT) AS n_events,
+         |       min(x) AS x_min, max(x) AS x_max,
+         |       min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin,
+    // RLIKE is the Spark spelling of DuckDB's regexp_matches;
+    // regexp_extract_all + explode replace unnest.
+    "c41_pretokenize" ->
+      """WITH t AS (SELECT lang,
+        |    explode(regexp_extract_all(concat(text, ' id=', doc_id, '.', n_chars),
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS tok
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(sum(CASE WHEN tok RLIKE '^[A-Za-z]+$'
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alpha,
+        |       CAST(coalesce(sum(CASE WHEN tok RLIKE '^[0-9]+$'
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_num,
+        |       CAST(coalesce(sum(CASE WHEN tok RLIKE '^[A-Za-z0-9]'
+        |         THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_other,
+        |       CAST(sum(length(tok)) AS BIGINT) AS n_tok_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "c58_cross_source_overlap" ->
+      """WITH hp AS (SELECT DISTINCT source,
+        |    md5(array_join(slice(split(text, ' '), 1, 4), ' ')) AS h
+        |  FROM documents),
+        |he AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+        |pp AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_prefix
+        |       FROM hp a JOIN hp b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |pe AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_exact
+        |       FROM he a JOIN he b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT pp.source_a, pp.source_b, pp.n_shared_prefix,
+        |       coalesce(pe.n_shared_exact, 0) AS n_shared_exact
+        |FROM pp LEFT JOIN pe
+        |  ON pp.source_a = pe.source_a AND pp.source_b = pe.source_b
+        |ORDER BY pp.source_a, pp.source_b""".stripMargin,
     "c46_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1, true AS in1
         |            FROM documents WHERE doc_id % 10 <> 3),
