@@ -10,7 +10,7 @@ import graft.queries.{ExtOps, Tables}
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically), after which ANY query
   * is reachable as plain `spark.sql(...)` text. [[sparkSql]] curates
-  * Spark-dialect text for 96 of the 137 declared queries: the COMPLETE
+  * Spark-dialect text for 101 of the 137 declared queries: the COMPLETE
   * a-family (7/7) and d-family (31/31), the complete b-family except
   * the as-of trio
   * (which runs on the custom MergeAsOfExec physical operator; Spark
@@ -825,6 +825,53 @@ object SqlEntry {
         |       CAST(min(score) AS BIGINT) AS min_score,
         |       CAST(max(score) AS BIGINT) AS max_score
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c57_dup_ngram_fraction" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t8 AS (SELECT doc_id, lang, toks FROM t WHERE size(toks) >= 8),
+        |ng0 AS (SELECT doc_id, lang,
+        |    explode(transform(sequence(1, size(toks) - 7),
+        |           i -> array_join(slice(toks, i, 8), ' '))) AS g0
+        |  FROM t8),
+        |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
+        |dft AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY g),
+        |perdoc AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_ng,
+        |       CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_dup
+        |  FROM ng JOIN dft USING (g) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_ng) AS BIGINT) AS sum_ngrams,
+        |       CAST(sum(n_dup) AS BIGINT) AS sum_dup,
+        |       CAST((CAST(sum(n_dup) AS DECIMAL(38,0)) * 1000) div sum(n_ng) AS BIGINT)
+        |         AS dup_fraction_x1000,
+        |       CAST(count(*) FILTER (WHERE n_dup * 2 >= n_ng) AS BIGINT) AS n_boilerplate_docs
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "c67_triangle_tokens" ->
+      """WITH t AS (SELECT filter(split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |bg0 AS (SELECT explode(transform(sequence(1, size(tk) - 1),
+        |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))) AS bigram
+        |  FROM t WHERE size(tk) >= 2),
+        |bi AS (SELECT element_at(split(bigram, ' '), 1) AS u,
+        |              element_at(split(bigram, ' '), 2) AS v, count(*) AS c
+        |       FROM bg0
+        |       WHERE element_at(split(bigram, ' '), 1) <> element_at(split(bigram, ' '), 2)
+        |       GROUP BY 1, 2),
+        |e AS (SELECT least(u, v) AS u, greatest(u, v) AS v
+        |      FROM bi GROUP BY 1, 2 HAVING sum(c) >= 5),
+        |deg AS (SELECT t, count(*) AS deg
+        |        FROM (SELECT u AS t FROM e UNION ALL SELECT v FROM e) GROUP BY t),
+        |o AS (SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.u ELSE e.v END AS a,
+        |             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+        |                  THEN e.v ELSE e.u END AS b
+        |      FROM e JOIN deg du ON du.t = e.u JOIN deg dv ON dv.t = e.v),
+        |wdg AS (SELECT o1.a, o1.b, o2.b AS c
+        |        FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+        |tri AS (SELECT w.a, w.b, w.c FROM wdg w
+        |        JOIN e ON e.u = w.b AND e.v = w.c),
+        |x AS (SELECT explode(array(a, b, c)) AS tok FROM tri)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY tok ORDER BY n_triangles DESC, tok LIMIT 10""".stripMargin,
     "c63_tombstone_purge" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
         |th AS (SELECT DISTINCT h FROM d WHERE doc_id % 97 = 0),
@@ -892,6 +939,49 @@ object SqlEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "c22_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, count(*) AS tot, count(DISTINCT tok) AS dis
+        |  FROM (SELECT doc_id, lang, explode(split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE (tot - dis) * 100 >= tot * 50) AS BIGINT) AS n_repetitive,
+        |       CAST(sum(tot) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(dis) AS BIGINT) AS sum_distinct
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "c55_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t4 AS (SELECT doc_id, toks FROM t WHERE size(toks) >= 4),
+        |shing AS (SELECT doc_id,
+        |    explode(transform(sequence(1, size(toks) - 3),
+        |           i -> array_join(slice(toks, i, 4), ' '))) AS g0
+        |  FROM t4),
+        |shd AS (SELECT DISTINCT doc_id, md5(g0) AS sh FROM shing),
+        |kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+        |         WHERE df <= 256),
+        |s2 AS (SELECT shd.doc_id, shd.sh FROM shd JOIN kept USING (sh)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM s2 GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+        |          FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, inter, sz AS size_a,
+        |       CAST((inter * 1000) div sz AS BIGINT) AS containment_x1000
+        |FROM pairs JOIN sizes ON pairs.da = sizes.doc_id
+        |WHERE inter * 1000 >= 800 * sz
+        |ORDER BY containment_x1000 DESC, da, db LIMIT 50""".stripMargin,
+    "c59_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |p AS (SELECT tok, n, explode(sequence(1, length(tok) - 1)) AS i
+        |      FROM v WHERE length(tok) >= 2),
+        |q AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, tok, n FROM p)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+        |FROM q GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin,
     // Same engine-private HLL++ estimate as the DataFrame path (same
     // engine, same rsd → same sketch), so within_band agrees too.
     "c24_sketch_distinct" ->
