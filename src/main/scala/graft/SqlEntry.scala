@@ -10,7 +10,7 @@ import graft.queries.{ExtOps, Tables}
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically), after which ANY query
   * is reachable as plain `spark.sql(...)` text. [[sparkSql]] curates
-  * Spark-dialect text for 101 of the 137 declared queries: the COMPLETE
+  * Spark-dialect text for 103 of the 137 declared queries: the COMPLETE
   * a-family (7/7) and d-family (31/31), the complete b-family except
   * the as-of trio
   * (which runs on the custom MergeAsOfExec physical operator; Spark
@@ -611,6 +611,43 @@ object SqlEntry {
         |CROSS JOIN (SELECT explode(array(50, 90, 95, 99)) AS pct) p
         |WHERE r.cum * 100 >= p.pct * t.total
         |GROUP BY p.pct ORDER BY pct""".stripMargin,
+    "c27_contamination" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |t8 AS (SELECT doc_id, lang, toks FROM t WHERE size(toks) >= 8),
+         |ng0 AS (SELECT doc_id, lang,
+         |    explode(transform(sequence(1, size(toks) - 7),
+         |           i -> array_join(slice(toks, i, 8), ' '))) AS g0
+         |  FROM t8),
+         |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
+         |evn AS (SELECT doc_id, lang, g FROM ng WHERE doc_id % 97 = 0),
+         |trn0 AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0),
+         |gdf AS (SELECT g FROM trn0 GROUP BY g HAVING count(*) <= ${ExtOps.C27_DF_CAP}),
+         |trn AS (SELECT t.doc_id, t.g FROM trn0 t JOIN gdf ON t.g = gdf.g),
+         |pairs AS (SELECT DISTINCT e.lang, t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |  FROM trn t JOIN evn e ON t.g = e.g),
+         |ev AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_eval
+         |  FROM documents WHERE doc_id % 97 = 0 GROUP BY lang),
+         |cont AS (SELECT lang, CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_contaminated,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs GROUP BY lang)
+         |SELECT ev.lang, ev.n_eval,
+         |       coalesce(cont.n_contaminated, 0) AS n_contaminated,
+         |       coalesce(cont.n_pairs, 0) AS n_pairs
+         |FROM ev LEFT JOIN cont ON ev.lang = cont.lang ORDER BY ev.lang""".stripMargin,
+    "c32_repeated_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    filter(split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |t8 AS (SELECT doc_id, toks FROM t WHERE size(toks) >= 8),
+        |ng0 AS (SELECT doc_id,
+        |    explode(transform(sequence(1, size(toks) - 7),
+        |           i -> array_join(slice(toks, i, 8), ' '))) AS g0
+        |  FROM t8),
+        |ng AS (SELECT DISTINCT doc_id, md5(g0) AS g FROM ng0)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM ng GROUP BY g HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, g LIMIT 100""".stripMargin,
     "c33_token_budget" ->
       """WITH d AS (SELECT source, doc_id,
         |    CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
