@@ -10,28 +10,51 @@ import org.apache.spark.sql.functions._
   * all converge on: a compact per-series SIGNATURE blocks the pair
   * space, exact distance runs on candidates only.
   *
-  *  - profile: 24-dim hourly vector of value sums per user, in integer
-  *    cents (exact, mergeable, one groupBy);
-  *  - signature: 24 bits, bit h = [hour h's sum > user average]
+  *  - fine profile: 96-dim quarter-hour-of-day vector of value sums per
+  *    user, in integer cents (exact, mergeable, one groupBy);
+  *  - verify profile: the 24-dim hourly vector, derived from the fine
+  *    profile by `hour = qh div 4` (no second scan of events) — the
+  *    OUTPUT semantics (exact hourly L1) are unchanged from the
+  *    original hourly formulation;
+  *  - signature: 96 bits, bit q = [quarter q's sum > user average]
   *    (the SAX idea reduced to its sign bit — cross-multiplied integer
-  *    compare, no division);
-  *  - blocking: 4 × 6-bit bands of the signature; by pigeonhole any
-  *    pair within signature-Hamming ≤ 3 shares a band — the candidate
-  *    join shuffles (band_id, value) keys, never the O(n²) pair space;
+  *    compare, no division), carried as two 48-bit longs `lo`/`hi`;
+  *  - blocking: 8 × 12-bit bands of the signature → 8 × 4096 = 32,768
+  *    distinct (band_id, bv) join keys — the same key-space order as
+  *    the SimHash near-dup blocking (16-bit bands, 65,536 buckets)
+  *    whose scale argument this operator borrows. By pigeonhole any
+  *    pair within signature-Hamming ≤ 7 shares a band; the candidate
+  *    join shuffles (band_id, value) keys, never the O(n²) pair space.
+  *    (The r6 design banded a 24-bit signature into 4 × 6-bit bands =
+  *    256 keys, making candidate generation Σ|bucket|² quadratic in
+  *    user count with only a 1/256 constant — the 4096-value bands
+  *    restore the 1/|keyspace| constant the scale argument needs.)
   *  - verify: exact L1 distance on candidates via a union-of-signed-
   *    contributions aggregate (missing hours contribute their full
   *    magnitude — a plain relational spelling both engines run
   *    identically).
   *
-  * At 100 TB the profile table is |users|·24 rows of longs and the
-  * banded join is bounded by band-bucket sizes — the same scale
-  * argument as SimHash near-dup.
+  * At 100 TB the fine profile table is |users|·96 rows of longs and the
+  * banded join is bounded by band-bucket sizes of ~N/4096 — the same
+  * scale argument as SimHash near-dup.
   */
 object TimeSeries {
 
-  /** (user_id, hour, v) — hourly value sums in cents. Hour-of-day is
-    * integer micros arithmetic, not `hour(ts)` — the d24 discipline: no
-    * date functions for the two engines to disagree on.
+  /** (user_id, qh, v) — quarter-hour-of-day value sums in cents.
+    * Quarter-of-day is integer micros arithmetic, not date functions —
+    * the d24 discipline: nothing for the two engines to disagree on.
+    */
+  def quarterProfile(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        expr("(unix_micros(ts) div 900000000) % 96").as("qh"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+      .groupBy(col("user_id"), col("qh"))
+      .agg(sum(col("vc")).as("v"))
+
+  /** (user_id, hour, v) — hourly value sums in cents (the L1-verify
+    * profile). Kept as a public single-scan API; inside
+    * [[topKSimilarPairs]] the same shape is derived from the quarter
+    * profile instead (hour = qh div 4, exact because 96 = 24 × 4).
     */
   def hourlyProfile(events: DataFrame): DataFrame =
     events.select(col("user_id"),
@@ -40,26 +63,43 @@ object TimeSeries {
       .groupBy(col("user_id"), col("hour"))
       .agg(sum(col("vc")).as("v"))
 
-  /** (user_id, sig) — the 24-bit above-average signature. */
-  def signature(prof: DataFrame): DataFrame = {
-    val tot = prof.groupBy(col("user_id")).agg(sum(col("v")).as("tot"))
-    prof.join(tot, "user_id")
+  /** (user_id, lo, hi) — the 96-bit above-average signature over the
+    * quarter profile, as two 48-bit halves (quarters 0–47 in `lo`,
+    * 48–95 in `hi`). One row per user with ≥ 1 event; absent quarters
+    * contribute bit 0 (0·96 > tot is false for any positive total), so
+    * the dense semantics need no densify join.
+    */
+  def signature96(qprof: DataFrame): DataFrame = {
+    val tot = qprof.groupBy(col("user_id")).agg(sum(col("v")).as("tot"))
+    qprof.join(tot, "user_id")
       .groupBy(col("user_id"))
-      .agg(sum(expr(
-        "CASE WHEN v * 24 > tot THEN shiftleft(CAST(1 AS BIGINT), CAST(hour AS INT)) " +
-          "ELSE CAST(0 AS BIGINT) END")).as("sig"))
+      .agg(
+        sum(expr(
+          "CASE WHEN qh < 48 AND v * 96 > tot " +
+            "THEN shiftleft(CAST(1 AS BIGINT), CAST(qh AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END")).as("lo"),
+        sum(expr(
+          "CASE WHEN qh >= 48 AND v * 96 > tot " +
+            "THEN shiftleft(CAST(1 AS BIGINT), CAST(qh - 48 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END")).as("hi"))
   }
 
-  /** Top-`k` most similar user pairs by exact L1 profile distance,
-    * searched among banded-signature candidates (full recall up to
-    * signature Hamming 3). Output: (da, db, l1_cents).
+  /** Top-`k` most similar user pairs by exact hourly L1 profile
+    * distance, searched among banded-signature candidates (full recall
+    * up to 96-bit signature Hamming 7 — pigeonhole over the 8 × 12-bit
+    * bands). Output: (da, db, l1_cents).
     */
   def topKSimilarPairs(events: DataFrame, k: Int): DataFrame = {
-    val prof = hourlyProfile(events).localCheckpoint(true)
-    val sig = signature(prof)
+    val qprof = quarterProfile(events).localCheckpoint(true)
+    val prof = qprof
+      .groupBy(col("user_id"), expr("qh div 4").as("hour"))
+      .agg(sum(col("v")).as("v"))
+    val sig = signature96(qprof)
     val banded = sig.selectExpr("user_id",
-      "stack(4, 0, sig & 63, 1, (sig >> 6) & 63, 2, (sig >> 12) & 63, " +
-        "3, (sig >> 18) & 63) AS (band_id, bv)")
+      "stack(8, " +
+        "0, lo & 4095, 1, (lo >> 12) & 4095, 2, (lo >> 24) & 4095, 3, (lo >> 36) & 4095, " +
+        "4, hi & 4095, 5, (hi >> 12) & 4095, 6, (hi >> 24) & 4095, 7, (hi >> 36) & 4095" +
+        ") AS (band_id, bv)")
     val cand = banded.select(col("band_id"), col("bv"), col("user_id").as("da"))
       .join(banded.select(col("band_id"), col("bv"), col("user_id").as("db")),
         Seq("band_id", "bv"))

@@ -902,11 +902,13 @@ object ExtOps {
     // c51 — time-series similarity search: the 20 most-similar user
     // pairs by exact L1 distance between 24-hour activity profiles,
     // searched among banded-signature candidates (operators.TimeSeries
-    // — the SimHash banding discipline applied to per-user series; 4 ×
-    // 6-bit bands of the above-average sign bit per hour give full
-    // recall up to signature Hamming 3 by pigeonhole). Every shuffle
-    // carries (band, value) keys or (pair, hour) contributions — the
-    // O(n²) pair space never materializes (PlanSpec: no cartesian).
+    // — the SimHash banding discipline applied to per-user series; 8 ×
+    // 12-bit bands of the 96-bit quarter-hourly above-average signature
+    // = 32,768 blocking keys, full recall up to signature Hamming 7 by
+    // pigeonhole). Every shuffle carries (band, value) keys or (pair,
+    // hour) contributions — the O(n²) pair space never materializes
+    // (PlanSpec: no cartesian), and band buckets hold ~N/4096 users so
+    // candidate generation keeps the 1/|keyspace| constant at scale.
     // Integer cents end to end; the oracle replays
     // profile→signature→bands→L1 exactly.
     "c51_ts_similar_users" -> ((s, dir) =>
@@ -2016,26 +2018,36 @@ object ExtOps {
         |       CAST(sum(frames) AS BIGINT) AS sum_frames,
         |       CAST(sum(least(frames, 8)) AS BIGINT) AS sum_sampled
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
-    // c51 replay: hourly cents profile → 24-bit above-average signature
-    // → 4 × 6-bit bands → distinct candidate pairs → sparse L1 (signed
-    // per-hour contributions, |·| summed) → total-order top 20.
+    // c51 replay: quarter-hourly cents profile → 96-bit above-average
+    // signature (two 48-bit halves) → 8 × 12-bit bands → distinct
+    // candidate pairs → sparse hourly L1 (signed per-hour
+    // contributions, |·| summed) → total-order top 20.
     "c51_ts_similar_users" ->
-      """WITH prof AS (
-        |  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour,
+      """WITH qprof AS (
+        |  SELECT user_id, (epoch_us(ts) // 900000000) % 96 AS qh,
         |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
-        |tot AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS tot FROM prof GROUP BY 1),
+        |prof AS (
+        |  SELECT user_id, qh // 4 AS hour, CAST(sum(v) AS BIGINT) AS v
+        |  FROM qprof GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(v) AS BIGINT) AS tot FROM qprof GROUP BY 1),
         |sig AS (
         |  SELECT p.user_id,
-        |         CAST(sum(CASE WHEN p.v * 24 > t.tot
-        |                       THEN (CAST(1 AS BIGINT) << CAST(p.hour AS INT))
-        |                       ELSE 0 END) AS BIGINT) AS sig
-        |  FROM prof p JOIN tot t USING (user_id) GROUP BY p.user_id),
+        |         CAST(sum(CASE WHEN p.qh < 48 AND p.v * 96 > t.tot
+        |                       THEN (CAST(1 AS BIGINT) << CAST(p.qh AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(sum(CASE WHEN p.qh >= 48 AND p.v * 96 > t.tot
+        |                       THEN (CAST(1 AS BIGINT) << CAST(p.qh - 48 AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS hi
+        |  FROM qprof p JOIN tot t USING (user_id) GROUP BY p.user_id),
         |banded AS (
         |  SELECT user_id, b.band_id,
-        |         CASE b.band_id WHEN 0 THEN sig & 63 WHEN 1 THEN (sig >> 6) & 63
-        |              WHEN 2 THEN (sig >> 12) & 63 ELSE (sig >> 18) & 63 END AS bv
-        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+        |         CASE b.band_id
+        |              WHEN 0 THEN lo & 4095 WHEN 1 THEN (lo >> 12) & 4095
+        |              WHEN 2 THEN (lo >> 24) & 4095 WHEN 3 THEN (lo >> 36) & 4095
+        |              WHEN 4 THEN hi & 4095 WHEN 5 THEN (hi >> 12) & 4095
+        |              WHEN 6 THEN (hi >> 24) & 4095 ELSE (hi >> 36) & 4095 END AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band_id) b),
         |cand AS (
         |  SELECT DISTINCT a.user_id AS da, b.user_id AS db
         |  FROM banded a JOIN banded b

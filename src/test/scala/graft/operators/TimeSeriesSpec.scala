@@ -6,56 +6,95 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 /** TimeSeries similarity search: the banded signature blocking must be
-  * a pure speed-up — full recall at signature Hamming ≤ 3 (pigeonhole
-  * over the 4 × 6-bit bands), and the distributed pipeline must equal a
-  * straight-line Scala model of profile → signature → candidates → L1.
+  * a pure speed-up — full recall at 96-bit signature Hamming ≤ 7
+  * (pigeonhole over the 8 × 12-bit bands), and the distributed pipeline
+  * must equal a straight-line Scala model of quarter-profile →
+  * signature → candidates → hourly L1.
   */
 class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val events: DataFrame =
     graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "events")
 
-  /** Collected profiles: user → (hour → cents). */
-  private lazy val profiles: Map[Long, Map[Long, Long]] =
-    TimeSeries.hourlyProfile(events).collect()
+  /** Collected quarter profiles: user → (qh → cents). */
+  private lazy val qprofiles: Map[Long, Map[Long, Long]] =
+    TimeSeries.quarterProfile(events).collect()
       .groupBy(_.getLong(0))
       .map { case (u, rows) =>
         u -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
       }
 
-  private lazy val sigs: Map[Long, Long] =
-    TimeSeries.signature(TimeSeries.hourlyProfile(events)).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  /** Hourly verify profiles derived the same way topKSimilarPairs does:
+    * hour = qh div 4.
+    */
+  private lazy val profiles: Map[Long, Map[Long, Long]] =
+    qprofiles.map { case (u, qp) =>
+      u -> qp.groupBy(_._1 / 4).map { case (h, qs) => h -> qs.values.sum }
+    }
 
-  private def bands(sig: Long): Seq[Long] =
-    Seq(sig & 63L, (sig >> 6) & 63L, (sig >> 12) & 63L, (sig >> 18) & 63L)
+  /** (lo, hi) 48-bit signature halves per user. */
+  private lazy val sigs: Map[Long, (Long, Long)] =
+    TimeSeries.signature96(TimeSeries.quarterProfile(events)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-  private def shareBand(a: Long, b: Long): Boolean =
+  private def bands(sig: (Long, Long)): Seq[(Int, Long)] = {
+    val (lo, hi) = sig
+    Seq(0 -> (lo & 4095L), 1 -> ((lo >> 12) & 4095L),
+      2 -> ((lo >> 24) & 4095L), 3 -> ((lo >> 36) & 4095L),
+      4 -> (hi & 4095L), 5 -> ((hi >> 12) & 4095L),
+      6 -> ((hi >> 24) & 4095L), 7 -> ((hi >> 36) & 4095L))
+  }
+
+  private def shareBand(a: (Long, Long), b: (Long, Long)): Boolean =
     bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+
+  private def hamming(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
 
   private def l1(a: Map[Long, Long], b: Map[Long, Long]): Long =
     (a.keySet ++ b.keySet).toSeq
       .map(h => math.abs(a.getOrElse(h, 0L) - b.getOrElse(h, 0L))).sum
 
-  test("signature replays the above-average sign bits of the profile") {
-    for ((u, prof) <- profiles.take(50)) {
-      val tot = prof.values.sum
-      val expected = prof.collect {
-        case (h, v) if v * 24 > tot => 1L << h.toInt
+  test("signature96 replays the above-average sign bits of the quarter profile") {
+    for ((u, qp) <- qprofiles.take(50)) {
+      val tot = qp.values.sum
+      val expLo = qp.collect {
+        case (q, v) if q < 48 && v * 96 > tot => 1L << q.toInt
       }.sum
-      assert(sigs(u) == expected, s"signature mismatch for user $u")
+      val expHi = qp.collect {
+        case (q, v) if q >= 48 && v * 96 > tot => 1L << (q.toInt - 48)
+      }.sum
+      assert(sigs(u) == ((expLo, expHi)), s"signature mismatch for user $u")
     }
   }
 
-  test("banded candidates have full recall at signature Hamming <= 3") {
+  test("hourly profile equals the qh div 4 roll-up of the quarter profile") {
+    val direct = TimeSeries.hourlyProfile(events).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    assert(direct == profiles)
+  }
+
+  test("banded candidates have full recall at signature Hamming <= 7") {
     val users = sigs.keys.toSeq.sorted
     for {
       i <- users.indices; j <- (i + 1) until users.size
       (a, b) = (users(i), users(j))
-      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+      if hamming(sigs(a), sigs(b)) <= 7
     } assert(shareBand(sigs(a), sigs(b)),
-      s"pair ($a,$b) at Hamming ${java.lang.Long.bitCount(sigs(a) ^ sigs(b))} " +
-        "must share a band (pigeonhole over 4 bands)")
+      s"pair ($a,$b) at Hamming ${hamming(sigs(a), sigs(b))} " +
+        "must share a band (pigeonhole over 8 bands)")
+  }
+
+  test("band key space is 8 x 4096 (the SimHash-order blocking constant)") {
+    // Not a data assertion — a design pin: every band value must fit in
+    // 12 bits so the (band_id, bv) key space is 32,768, restoring the
+    // 1/|keyspace| candidate constant the 100 TB argument needs.
+    for ((_, sig) <- sigs; (bid, bv) <- bands(sig)) {
+      assert(bid >= 0 && bid < 8 && bv >= 0 && bv < 4096)
+    }
   }
 
   test("topKSimilarPairs equals the straight-line model on sf0.001") {
