@@ -147,11 +147,94 @@ object Similarity {
     * Window.partitionBy(vec_id), which shuffled nCells× the vector
     * table PER LLOYD ROUND — now only the nCells-row mean aggregate
     * exchanges data (A/B in PERF.md).
+    *
+    * Codebooks LARGER than [[HierThreshold]] dispatch to the two-level
+    * coarse quantizer [[withCellHier]] — flat O(nCells) dots per row is
+    * exactly IVF-flat's published assignment cost and goes quadratic
+    * when corpus and codebook grow together (the r6 ScaleSmoke measured
+    * 174× at 10×-data/10×-cells); the hierarchical path is
+    * O(√nCells) per row, the same flat-vs-IMI/HNSW coarse-quantizer
+    * switch FAISS makes at large nlist. Oracle-replayed configs all
+    * sit at nCells = 8 ≤ threshold, so their assignment stays
+    * bit-identical to the flat argmax the DuckDB oracle replays.
     */
-  private[graft] def withCell(df: DataFrame, cents: Seq[Cent]): DataFrame = {
-    val arr = array(cents.map(c =>
-      struct(cosLit(c).as("c"), lit(-c.cid).as("negcell"))): _*)
-    df.withColumn("cell", (-array_max(arr).getField("negcell")).cast("long"))
+  private[graft] def withCell(df: DataFrame, cents: Seq[Cent]): DataFrame =
+    if (cents.size > HierThreshold) withCellHier(df, cents)
+    else {
+      val arr = array(cents.map(c =>
+        struct(cosLit(c).as("c"), lit(-c.cid).as("negcell"))): _*)
+      df.withColumn("cell", (-array_max(arr).getField("negcell")).cast("long"))
+    }
+
+  /** Codebook size above which assignment goes two-level. */
+  private[graft] val HierThreshold = 16
+
+  /** Driver-side grouping of the codebook into ~√nCells super-cells:
+    * the same deterministic Lloyd discipline as [[trainedLit]] run in
+    * plain Scala over the nCells centroid points (seed = lowest-cid
+    * centroids, cosine argmax with ties to the lowest super index,
+    * half-away-quantized means). Pure function of the codebook —
+    * deterministic, and microseconds of driver work for any realistic
+    * nCells.
+    */
+  private[graft] def groupCents(cents: Seq[Cent], nSupers: Int,
+      iters: Int = 2): Seq[(Cent, Seq[Cent])] = {
+    def dotL(a: Seq[Long], b: Seq[Long]): Double =
+      a.lazyZip(b).map(_ * _).sum / 1e8
+    def normL(a: Seq[Long]): Double = math.sqrt(dotL(a, a))
+    def assign(supers: Seq[(Seq[Long], Double)]): Map[Int, Seq[Cent]] =
+      cents.groupBy { c =>
+        supers.zipWithIndex.map { case ((sv, sn), si) =>
+          (dotL(c.ce, sv) / (c.cn * sn), -si)
+        }.max._2 * -1
+      }
+    def meanQ(ms: Seq[Cent]): Seq[Long] =
+      (0 until Dims).map { j =>
+        val d = ms.map(_.ce(j)).sum.toDouble / ms.size
+        BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    var supers = cents.sortBy(_.cid).take(nSupers)
+      .map(c => (c.ce, c.cn))
+    for (_ <- 1 to iters) {
+      supers = assign(supers).toSeq.sortBy(_._1).map { case (_, ms) =>
+        val m = meanQ(ms); (m, normL(m))
+      }
+    }
+    assign(supers).toSeq.sortBy(_._1).map { case (si, ms) =>
+      val (sv, sn) = supers(si)
+      (Cent(si.toLong, sv, sn), ms)
+    }
+  }
+
+  /** Two-level cell assignment, still a pure no-shuffle projection:
+    * stage 1 argmaxes over the ~√nCells literal super-centroids;
+    * stage 2 argmaxes over the member cells of the chosen super only —
+    * each member cosine sits under `when(_scell = s, cos)`, and both
+    * `If` branches and `CaseWhen` arms evaluate lazily in interpreted
+    * AND codegen mode, so per row only √nCells + |members| ≈ 2√nCells
+    * dot products run (non-members contribute a constant −∞ struct to
+    * the argmax). Approximate like every hierarchical coarse quantizer:
+    * a vector whose true-best cell lives in a different super than its
+    * best super-centroid lands one cell over — the standard IMI
+    * trade-off, only taken above [[HierThreshold]] where the oracle
+    * never looks.
+    */
+  private[graft] def withCellHier(df: DataFrame, cents: Seq[Cent]): DataFrame = {
+    val nSupers = math.max(2, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val groups = groupCents(cents, nSupers)
+    val sArr = array(groups.zipWithIndex.map { case ((sc, _), si) =>
+      struct(cosLit(sc).as("c"), lit(-si.toLong).as("negs"))
+    }: _*)
+    val superOf: Map[Long, Int] = groups.zipWithIndex.flatMap {
+      case ((_, ms), si) => ms.map(_.cid -> si)
+    }.toMap
+    val arr = array(cents.map(c => struct(
+      when(col("_scell") === superOf(c.cid), cosLit(c))
+        .otherwise(lit(Double.NegativeInfinity)).as("c"),
+      lit(-c.cid).as("negcell"))): _*)
+    df.withColumn("_scell", (-array_max(sArr).getField("negs")).cast("int"))
+      .withColumn("cell", (-array_max(arr).getField("negcell")).cast("long"))
+      .drop("_scell")
   }
 
   /** Ranks 1..`maxRank` of the literal centroids per row (ties → lowest
@@ -209,19 +292,15 @@ object Similarity {
     * touches ~nProbe·N/nCells vectors — the recall/cost dial every IVF
     * index exposes (recall floor asserted in SimilaritySpec).
     *
-    * Scaling caveat, MEASURED (ScaleSmoke, 10× corpus with nCells
-    * 8→80): coarse assignment is a flat scan over the codebook —
-    * O(N·nCells) dot products — which is exactly IVF-flat's published
-    * assignment cost, so growing the corpus AND the codebook together
-    * scales assignment quadratically (the 10×-data/10×-cells smoke ran
-    * ~100× the assignment work, not 10×). This is inherent to flat
-    * coarse quantization, not to this implementation; at real scale
-    * the published mitigations apply: assign through a hierarchical
-    * coarse quantizer (tree/HNSW over the centroids — O(N·log
-    * nCells)), or batch the dot products as a chunked matrix multiply,
-    * and train/assign INCREMENTALLY via the persisted IvfIndexLayout
-    * (the production path: the full-corpus assignment happens once,
-    * appends assign against the stored codebook).
+    * Scaling: coarse assignment against a codebook larger than
+    * [[HierThreshold]] rides the two-level quantizer ([[withCellHier]]
+    * — O(√nCells) dots per row instead of the flat O(nCells) whose
+    * corpus×codebook co-growth the r6 ScaleSmoke measured at ~100× the
+    * work for a 10×-data/10×-cells step); oracle-replayed configs sit
+    * at nCells = 8 and keep the flat bit-exact argmax. At real scale
+    * train/assign INCREMENTALLY via the persisted IvfIndexLayout (the
+    * production path: the full-corpus assignment happens once, appends
+    * assign against the stored codebook).
     */
   /** Default Lloyd training subsample modulus: rounds train on the
     * `vec_id % trainMod == 0` subsample (assignment of the FULL corpus
