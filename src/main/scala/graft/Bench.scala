@@ -38,9 +38,14 @@ object Bench {
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(p)) {
+      // Files.walk's contract requires closing the returned stream —
+      // an unclosed walk leaks its directory handles.
+      val stream = java.nio.file.Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally stream.close()
+    }
   }
 
   /** R10 exec-path scenario: `nFiles` × 1 KB through `cat` — the

@@ -114,10 +114,15 @@ object SqlEntry {
         |         CAST(sum(count(*)) OVER () AS DOUBLE) AS pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // b-family: exact dedup census and the two TPC-H flagships.
+    // COALESCE: the DataFrame twin distinct-then-counts, which keeps a
+    // (source, NULL-hash) row; a bare count(DISTINCT md5(text)) skips
+    // NULL text and would drift by one per source on corpora with NULL
+    // text (the c24 oracle's NULL rule — md5 is 32 hex chars, never '',
+    // so the sentinel cannot collide).
     "b1_exact_dedup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+        |       CAST(count(DISTINCT coalesce(md5(text), '')) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT coalesce(md5(text), '')) AS BIGINT) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "b4_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -330,8 +330,17 @@ object Similarity {
     * share one Lloyd loop instead of five. Bounded: nCells×64 longs per
     * entry.
     */
-  private val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(AnyRef, Int, Int, Int), Seq[Cent]]()
+  /** LRU-bounded (32 entries): VALUES are tiny (nCells×64 longs) but a
+    * KEY for an in-memory input retains the full analyzed LogicalPlan
+    * (row-inclusive for LocalRelation) — unbounded key growth across a
+    * long session would be a leak, so the eldest entry is evicted.
+    */
+  private val centCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(AnyRef, Int, Int, Int), Seq[Cent]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(AnyRef, Int, Int, Int), Seq[Cent]]): Boolean =
+        size() > 32
+    })
 
   /** Cache identity of a training input. The canonicalized plan STRING
     * alone is NOT enough: canonicalization strips data-identifying
@@ -359,8 +368,17 @@ object Similarity {
       val hconf = df.sparkSession.sessionState.newHadoopConf()
       analyzed.canonicalized.toString + "\n@@\n" + files.sorted.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(hconf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
+        val fs = p.getFileSystem(hconf)
+        val st = fs.getFileStatus(p)
+        // (len, mtime) alone misses a same-length in-place rewrite
+        // inside the FS's mtime granularity; fold in the FS checksum /
+        // etag where the filesystem exposes one (HDFS block checksums,
+        // object-store etags via their Hadoop connectors). Local FS
+        // returns null — len+mtime-millis remains the identity there.
+        val ck = Option(fs.getFileChecksum(p))
+          .map(c => ":" + c.getBytes.map("%02x".format(_)).mkString)
+          .getOrElse("")
+        s"$f:${st.getLen}:${st.getModificationTime}$ck"
       }.mkString("\n")
     }
   }

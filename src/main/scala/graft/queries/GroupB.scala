@@ -29,7 +29,12 @@ object GroupB {
     // on the text itself).
     "b1_exact_dedup" -> ((s, dir) => {
       load(s, dir, "documents")
-        .select(col("source"), md5(col("text").cast("binary")).as("h"))
+        // c24's NULL rule: a NULL-text row hashes to the '' sentinel so
+        // count(DISTINCT) sees it — md5 output is 32 hex chars, never
+        // '', so the sentinel cannot collide. Twin, oracle and the
+        // SqlEntry text all apply the same coalesce.
+        .select(col("source"),
+          coalesce(md5(col("text").cast("binary")), lit("")).as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("h")).as("n_distinct"),
@@ -386,8 +391,8 @@ object GroupB {
   def oracle: Map[String, String] = Map(
     "b1_exact_dedup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+        |       CAST(count(DISTINCT coalesce(md5(text), '')) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT coalesce(md5(text), '')) AS BIGINT) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "b1b_prefix_dedup" ->
       """WITH h AS (

@@ -63,8 +63,12 @@ object Relational {
         .agg(count(lit(1)).as("bn"),
           sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
             .as("bc"))
+      // coalesce: on EMPTY input the grand-total row of a direct rollup
+      // carries count(*) = 0, but sum(bn) over the empty pre-aggregate
+      // is NULL — the rewrite must stay row-identical on degenerate
+      // inputs (money sums stay NULL in both formulations).
       base.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("bn")).as("n"),
+        .agg(coalesce(sum(col("bn")), lit(0L)).as("n"),
           (sum(col("bc")).cast("double") / 100.0).as("sum_price"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -188,8 +192,9 @@ object Relational {
         .agg(count(lit(1)).as("bn"),
           sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
             .as("bc"))
+      // coalesce: empty-input identity with the direct cube (see d2)
       base.cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(grouping_id().as("gid"), sum(col("bn")).as("n"),
+        .agg(grouping_id().as("gid"), coalesce(sum(col("bn")), lit(0L)).as("n"),
           (sum(col("bc")).cast("double") / 100.0).as("sum_total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
@@ -432,7 +437,9 @@ object Relational {
       s.sql("""
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               sum(bn) AS n_items,
+               -- coalesce: empty-input identity with a direct grouping-
+               -- sets count(*) (see d2)
+               coalesce(sum(bn), CAST(0 AS BIGINT)) AS n_items,
                CAST(sum(bq) AS BIGINT) AS qty_cents
         FROM d27_base
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())

@@ -67,11 +67,20 @@ object EventStream {
       if (fs.getFileStatus(root).isFile) root
       else {
         val it = fs.listFiles(root, true) // lazy remote iterator
+        // Spark's own listing skips '_'/'.'-prefixed DIRECTORIES too
+        // (_temporary/, .spark-staging/); a name-only filter would sniff
+        // an in-progress part file's partial footer. Check every path
+        // component between the root and the file.
+        val rootUri = root.toUri.getPath.stripSuffix("/")
+        def hiddenComponent(p: org.apache.hadoop.fs.Path): Boolean = {
+          val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          rel.split("/").exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+        }
         var found: org.apache.hadoop.fs.Path = null
         while (found == null && it.hasNext) {
           val f = it.next()
-          val n = f.getPath.getName
-          if (f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
+          if (f.isFile && f.getLen > 0 && !hiddenComponent(f.getPath))
             found = f.getPath
         }
         require(found != null, s"no data file under $path to sniff a schema from")

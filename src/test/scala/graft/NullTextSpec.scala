@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NULL-text semantics of the exact-dedup census: the driver testdata
+  * has no NULL text, so the oracle gate can never exercise the rule.
+  * This spec pins it: b1's DataFrame twin and its SqlEntry text must
+  * agree on a corpus WITH NULL text, and the NULL row must count as one
+  * distinct value (the c24 coalesce-to-'' rule) — not silently vanish
+  * from count(DISTINCT).
+  */
+class NullTextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("nulltext").toFile
+    // reuse the real tables for everything registerViews loads...
+    for (t <- SqlEntry.tableNames if t != "documents") {
+      Files.createSymbolicLink(
+        new java.io.File(d, s"$t.parquet").toPath,
+        Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    }
+    // ...but swap documents for a corpus with NULL text: srcA has two
+    // identical docs + one NULL; srcB has one doc + two NULLs.
+    Seq(
+      (1L, "same text", "en", "srcA", 9L),
+      (2L, "same text", "en", "srcA", 9L),
+      (3L, null.asInstanceOf[String], "en", "srcA", 0L),
+      (4L, "only doc", "en", "srcB", 8L),
+      (5L, null.asInstanceOf[String], "en", "srcB", 0L),
+      (6L, null.asInstanceOf[String], "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(d, "documents.parquet").toString)
+    d.getAbsolutePath
+  }
+
+  test("b1 twin counts a NULL-text row as one distinct hash") {
+    val rows = graft.queries.GroupB.queries("b1_exact_dedup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // srcA: 3 docs, 2 distinct ({'same text', NULL}), 1 dupe
+    // srcB: 3 docs, 2 distinct ({'only doc', NULL}), 1 dupe (2nd NULL)
+    assert(rows.toSeq == Seq(("srcA", 3L, 2L, 1L), ("srcB", 3L, 2L, 1L)))
+  }
+
+  test("b1 SQL text matches the twin on NULL text row-for-row") {
+    val twin = graft.queries.GroupB.queries("b1_exact_dedup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val text = SqlEntry.sql(spark, dir, "b1_exact_dedup")
+      .collect().map(_.toSeq).toSeq
+    assert(text == twin)
+  }
+}

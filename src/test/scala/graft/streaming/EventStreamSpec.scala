@@ -61,4 +61,26 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("footer sniff skips files under hidden directories (_temporary etc)") {
+    // A leftover in-progress write (_temporary/0/task_x/part-....parquet)
+    // must not be sniffed: its footer may be partial, and Spark's own
+    // listing would never read it. The filter has to reject hidden path
+    // COMPONENTS, not just hidden file names.
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("sniff-hidden").toFile
+    val tmp = new java.io.File(streamDir, "_temporary/0/task_0")
+    tmp.mkdirs()
+    // a garbage 'parquet' file with a visible name inside the hidden dir
+    // — listed FIRST lexicographically, so a name-only filter sniffs it
+    Files.write(new java.io.File(tmp, "aaa-part-00000.parquet").toPath,
+      Array.fill(128)(0x42.toByte))
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      new java.io.File(streamDir, "events.parquet").toPath)
+    // must not throw (sniffing the garbage footer would), and must carry
+    // the normalized timestamp schema
+    val stream = EventStream.readEventParquetStream(spark, streamDir.getAbsolutePath)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
