@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Data-size-derived session tuning.
+  *
+  * `spark.sql.shuffle.partitions` must track DATA SIZE, not core count:
+  * the r6 ScaleSmoke measured c55 (n-gram containment) at 12.4× for a
+  * 10× data step with the partition count frozen, recovering to 7.4×
+  * once partitions scaled with the input. AQE coalesces DOWN from an
+  * over-estimate at runtime, so the initial number only has to be a
+  * same-order ceiling — the rule here is one partition per
+  * [[TargetBytesPerPartition]] of INPUT bytes (post-shuffle data for
+  * the explode-heavy queries is larger, which AQE's coalescing and
+  * skew-splitting then shape), clamped to [8, 2000].
+  */
+object Tuning {
+
+  /** ~16 MiB of input per initial shuffle partition: sf0.1 (~100 MB)
+    * lands on the floor of 8 (the measured sweet spot there — 32 × 3 MB
+    * tasks were scheduling-dominated), 10× lands at ~64, 100× at ~640.
+    */
+  val TargetBytesPerPartition: Long = 16L << 20
+
+  /** Total bytes of the parquet tables under `dir` (driver-side listing
+    * — the same O(files) work Spark does to plan a scan of them). Needs
+    * no SparkSession: runs BEFORE the builder so the result can seed
+    * the session conf.
+    */
+  def dirBytes(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      total
+    }
+  }
+
+  def shufflePartitionsFor(bytes: Long): Int =
+    math.min(2000L, math.max(8L,
+      (bytes + TargetBytesPerPartition - 1) / TargetBytesPerPartition)).toInt
+
+  /** Derive and APPLY the initial shuffle-partition count for a job over
+    * the tables under `dir` on a live session; returns the chosen count.
+    */
+  def autoShufflePartitions(spark: SparkSession, dir: String): Int = {
+    val n = shufflePartitionsFor(dirBytes(dir))
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+}

@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions derive from input bytes (Tuning; floor 8, AQE
+    // coalesces down) — correctness is partition-count-independent by
+    // the exact-arithmetic contract, so this only moves time.
+    val shuffle = Tuning.shufflePartitionsFor(Tuning.dirBytes(sfDir))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -100,15 +100,19 @@ object ScaleSmoke {
     (1 to n).map(_ => time(body)).min
 
   def main(args: Array[String]): Unit = {
-    // args: [shufflePartitions] [reps] [queryPrefixes,csv] — defaults
-    // 32, 10, all. The replica count is the scale decade under test:
-    // reps=100 probes one decade further than the default ×10.
-    val shuffle = args.headOption.getOrElse("32")
+    // args: [shufflePartitions|auto] [reps] [queryPrefixes,csv] —
+    // defaults auto, 10, all. The replica count is the scale decade
+    // under test: reps=100 probes one decade further than the default
+    // ×10. "auto" re-derives spark.sql.shuffle.partitions from the
+    // bytes of each side's input (Tuning) — the scaled side hits its
+    // scaled-partition numbers without a hand-set count.
+    val shuffle = args.headOption.getOrElse("auto")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
     val only = args.lift(2).map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.shuffle.partitions",
+        if (shuffle == "auto") "32" else shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -116,6 +120,13 @@ object ScaleSmoke {
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_scale$reps"
     build(spark, src, dst, reps)
+    // per-side partition counts: derived from each input's bytes unless
+    // a fixed count was passed
+    def setShuffle(dir: String): Unit =
+      if (shuffle == "auto") {
+        val n = Tuning.autoShufflePartitions(spark, dir)
+        println(s"[scale] shuffle.partitions($dir) = $n")
+      }
 
     var results = Seq.empty[(String, Double, Double, Double)]
     def report(name: String, t1: Double, t10: Double): Unit = {
@@ -125,8 +136,10 @@ object ScaleSmoke {
 
     for (q <- LinearQueries.filter(n => only.forall(_.exists(n.startsWith)))) {
       val fn = SparkEntry.queries(q)
+      setShuffle(src)
       fn(spark, src).collect() // warm (JIT, codegen, footers)
       val t1 = bestOf(2)(fn(spark, src).collect())
+      setShuffle(dst)
       fn(spark, dst).collect()
       val t10 = bestOf(2)(fn(spark, dst).collect())
       report(q, t1, t10)
@@ -139,17 +152,21 @@ object ScaleSmoke {
     import graft.operators.Similarity
     val e1 = spark.read.parquet(s"$src/embeddings.parquet")
     val e10 = spark.read.parquet(s"$dst/embeddings.parquet")
+    setShuffle(src)
     Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect()
     val i1 = bestOf(2)(Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect())
     // Expected ratio ≈ 10·√10 ≈ 32: timed work is the final full-corpus
     // assignment (O(N·√nCells) on the two-level path — ×10 data, ×√10
     // codebook) plus the linear probe join; measured 32.5 (r7), down
     // from 174 on the r6 flat-assignment/probes-×10 parameterization.
+    setShuffle(dst)
     Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect()
     val i10 = bestOf(2)(Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect())
     report("c12_ivf (cells 8~80)", i1, i10)
+    setShuffle(src)
     Similarity.semDedup(e1, 8, 2, 0.42).collect()
     val s1 = bestOf(2)(Similarity.semDedup(e1, 8, 2, 0.42).collect())
+    setShuffle(dst)
     Similarity.semDedup(e10, 80, 2, 0.42).collect()
     val s10 = bestOf(2)(Similarity.semDedup(e10, 80, 2, 0.42).collect())
     report("c31_semdedup (8~80)", s1, s10)
