@@ -84,23 +84,42 @@ object TimeSeries {
             "ELSE CAST(0 AS BIGINT) END")).as("hi"))
   }
 
+  /** Below this many users the candidate set is ALL pairs, not banded:
+    * ≤ cap²/2 ≈ 500k pairs is cheaper than the band machinery's fixed
+    * cost, and at tiny populations the 32,768-key blocking legitimately
+    * yields NO collisions (15 users × 8 bands / 4096 values ≈ 0
+    * expected shared buckets) — an empty report, where the useful
+    * answer is the exact one. The flat-below/banded-above switch is the
+    * same small-N escape every ANN index makes (FAISS flat vs IVF); the
+    * cap is a pure function of a COUNT both engines compute, so the
+    * DuckDB oracle replays the branch decision exactly.
+    */
+  val BruteForceUserCap = 1024L
+
   /** Top-`k` most similar user pairs by exact hourly L1 profile
     * distance, searched among banded-signature candidates (full recall
     * up to 96-bit signature Hamming 7 — pigeonhole over the 8 × 12-bit
-    * bands). Output: (da, db, l1_cents).
+    * bands); populations ≤ `bruteCap` take the exact all-pairs branch
+    * instead (see [[BruteForceUserCap]]). Output: (da, db, l1_cents).
     */
-  def topKSimilarPairs(events: DataFrame, k: Int): DataFrame = {
+  def topKSimilarPairs(events: DataFrame, k: Int,
+      bruteCap: Long = BruteForceUserCap): DataFrame = {
     val qprof = quarterProfile(events).localCheckpoint(true)
     val prof = qprof
       .groupBy(col("user_id"), expr("qh div 4").as("hour"))
       .agg(sum(col("v")).as("v"))
-    val sig = signature96(qprof)
+    val sig = signature96(qprof).localCheckpoint(true)
     val banded = sig.selectExpr("user_id",
       "stack(8, " +
         "0, lo & 4095, 1, (lo >> 12) & 4095, 2, (lo >> 24) & 4095, 3, (lo >> 36) & 4095, " +
         "4, hi & 4095, 5, (hi >> 12) & 4095, 6, (hi >> 24) & 4095, 7, (hi >> 36) & 4095" +
         ") AS (band_id, bv)")
-    val cand = banded.select(col("band_id"), col("bv"), col("user_id").as("da"))
+    val cand = if (sig.count() <= bruteCap) {
+      // bounded by construction: both sides ≤ bruteCap rows, so the
+      // nested-loop product is ≤ cap²/2 pairs on one broadcast
+      sig.select(col("user_id").as("da"))
+        .join(sig.select(col("user_id").as("db")), col("da") < col("db"))
+    } else banded.select(col("band_id"), col("bv"), col("user_id").as("da"))
       .join(banded.select(col("band_id"), col("bv"), col("user_id").as("db")),
         Seq("band_id", "bv"))
       .filter(col("da") < col("db"))

@@ -2020,8 +2020,11 @@ object ExtOps {
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
     // c51 replay: quarter-hourly cents profile → 96-bit above-average
     // signature (two 48-bit halves) → 8 × 12-bit bands → distinct
-    // candidate pairs → sparse hourly L1 (signed per-hour
-    // contributions, |·| summed) → total-order top 20.
+    // candidate pairs (ALL pairs when the population is ≤ the 1024-user
+    // brute-force cap — the count-driven branch TimeSeries takes on the
+    // driver, replayed here as mutually exclusive UNION arms) → sparse
+    // hourly L1 (signed per-hour contributions, |·| summed) →
+    // total-order top 20.
     "c51_ts_similar_users" ->
       """WITH qprof AS (
         |  SELECT user_id, (epoch_us(ts) // 900000000) % 96 AS qh,
@@ -2040,6 +2043,7 @@ object ExtOps {
         |                       THEN (CAST(1 AS BIGINT) << CAST(p.qh - 48 AS INT))
         |                       ELSE 0 END) AS BIGINT) AS hi
         |  FROM qprof p JOIN tot t USING (user_id) GROUP BY p.user_id),
+        |nu AS (SELECT count(*) AS n FROM sig),
         |banded AS (
         |  SELECT user_id, b.band_id,
         |         CASE b.band_id
@@ -2049,9 +2053,14 @@ object ExtOps {
         |              WHEN 6 THEN (hi >> 24) & 4095 ELSE (hi >> 36) & 4095 END AS bv
         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band_id) b),
         |cand AS (
+        |  SELECT a.user_id AS da, b.user_id AS db
+        |  FROM sig a JOIN sig b ON a.user_id < b.user_id
+        |  WHERE (SELECT n FROM nu) <= 1024
+        |  UNION
         |  SELECT DISTINCT a.user_id AS da, b.user_id AS db
         |  FROM banded a JOIN banded b
-        |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id),
+        |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id
+        |  WHERE (SELECT n FROM nu) > 1024),
         |contrib AS (
         |  SELECT c.da, c.db, p.hour, p.v AS x
         |  FROM cand c JOIN prof p ON p.user_id = c.da

@@ -113,14 +113,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         "ranks + a 32-row offset table reconstruct the global rank")
   }
 
-  test("c51 ts similarity: banded candidate join, no all-pairs product") {
-    val p = plan("c51_ts_similar_users")
+  test("c51 ts similarity: banded candidate join above the cap, no all-pairs product") {
+    // The SCALE path (population forced past the brute-force cap): the
+    // pair space must come from the (band_id, band_value) equi-join.
+    val ev = queries.Tables.load(spark, dir, "events")
+    val p = graft.operators.TimeSeries.topKSimilarPairs(ev, 20, bruteCap = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       "the user-pair space must come from the band-bucket join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidates must join on (band_id, band_value) equi-keys")
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must ride a bounded heap, not a global sort")
+    // The declared query at sf0.001 sits under BruteForceUserCap and
+    // takes the exact branch (covered by the sweep allowlist below).
+    assert(plan("c51_ts_similar_users").contains("TakeOrderedAndProject"))
   }
 
   test("d7 edit distance: blocking tokens are df-capped") {
@@ -425,7 +432,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "c42_heavy_hitters",       // 1-row CMS sketch broadcast to the probe
       "d8_percentiles",          // ≤(groups×3)-row bracketing-rank table
       "d31_date_spine",          // generated calendar × distinct types grid
-      "c69_ks_drift"             // distinct sources × length-buckets grid
+      "c69_ks_drift",            // distinct sources × length-buckets grid
+      "c51_ts_similar_users"     // ≤BruteForceUserCap-row exact all-pairs
+                                 // small-N branch (banded equi-join above
+                                 // the cap — asserted separately above)
     )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val usedAllowances = scala.collection.mutable.Set[String]()

@@ -97,18 +97,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("topKSimilarPairs equals the straight-line model on sf0.001") {
-    val k = 20
+  /** All-pairs (candFilter = keep-all) or banded model of the pipeline. */
+  private def model(k: Int, candFilter: (Long, Long) => Boolean): Seq[(Long, Long, Long)] = {
     val users = sigs.keys.toSeq.sorted
-    val expected = (for {
+    (for {
       i <- users.indices; j <- (i + 1) until users.size
       (a, b) = (users(i), users(j))
-      if shareBand(sigs(a), sigs(b))
+      if candFilter(a, b)
     } yield (a, b, l1(profiles(a), profiles(b))))
       .sortBy { case (a, b, d) => (d, a, b) }
       .take(k)
-    val got = TimeSeries.topKSimilarPairs(events, k).collect()
+  }
+
+  test("topKSimilarPairs takes the exact all-pairs branch below the user cap") {
+    // sf0.001 has ~15 users, far under BruteForceUserCap: the declared
+    // query must return the EXACT top-k (the banded 32,768-key blocking
+    // would legitimately find zero collisions at this population).
+    assert(sigs.size <= TimeSeries.BruteForceUserCap)
+    val got = TimeSeries.topKSimilarPairs(events, 20).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == expected)
+    assert(got == model(20, (_, _) => true))
+    assert(got.nonEmpty)
+  }
+
+  test("banded path (cap forced to 0) equals the straight-line banded model") {
+    val got = TimeSeries.topKSimilarPairs(events, 20, bruteCap = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == model(20, (a, b) => shareBand(sigs(a), sigs(b))))
   }
 }
