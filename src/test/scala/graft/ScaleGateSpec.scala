@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ASSERTED weak-scaling gate (the big-SF evidence run stays in
+  * [[ScaleSmoke]]): every gated query runs on sf0.01 and on 10
+  * key-disjoint sf0.01 replicas (ScaleSmoke.build — same disjointness
+  * and token/embedding salting discipline as the r6 evidence run,
+  * scale_smoke_r6.log), and the best-of-2 time ratio must stay inside
+  * its pinned band. A query whose plan goes quadratic in the data shows
+  * a 10×-data ratio of ~30+ even at this size (the quadratic term grows
+  * ×100 while fixed overhead stays put); the linear plans measure ~1–6
+  * here, so the bands below — ~3× the calibrated ratio, floored at 10 —
+  * catch a superlinear regression without flaking on scheduler noise.
+  *
+  * Threshold provenance: calibrated on this suite's own session (see
+  * per-query comments; sf0.1-scale evidence in scale_smoke_r6.log and
+  * PERF.md §scale). `SPARK_GRAFT_SKIP_SCALE_GATE=1` skips the gate
+  * (for contended boxes where timing assertions are meaningless) — the
+  * driver's test runs leave it unset.
+  */
+class ScaleGateSpec extends AnyFunSuite with SparkSpec {
+
+  private val src = "/root/testdata/sf0.01"
+  private val dst = "/tmp/graft_scale_gate10"
+
+  /** (query, max allowed t10/t1). Bands ~3× calibration, floor 10. */
+  private val Gated: Seq[(String, Double)] = Seq(
+    "b4_pricing_summary" -> 10.0, // cal 1.6 — scan + hash agg
+    "b13_part_top_supplier" -> 12.0, // cal 2.9 — fact join + TopKPerKey
+    "c1_minhash_lsh" -> 12.0, // cal 1.3 — banded LSH + candidate verify
+    "c9_token_count" -> 10.0, // cal 1.2 — explode + vocab-bounded agg
+    "c14_simhash_neardup" -> 12.0, // cal 1.4 — 65,536-bucket band join
+    "c17_quality_filter" -> 10.0, // cal 2.0 — per-doc scoring scan
+    "c27_contamination" -> 14.0, // cal 2.3 — df-capped 8-gram postings
+    "c51_ts_similar_users" -> 12.0, // cal 3.1 — ≤cap exact branch here
+    "c55_containment" -> 18.0, // cal 2.6 — df-capped postings self-join
+    "d22_table_profile" -> 12.0, // cal 3.7 — stack-unpivot single scan
+    "d29_ref_integrity" -> 10.0) // cal 1.9 — FK anti joins
+
+  private def skip = sys.env.get("SPARK_GRAFT_SKIP_SCALE_GATE").contains("1")
+
+  private lazy val built: Unit = ScaleSmoke.build(spark, src, dst, 10)
+
+  private def bestOf2(body: => Unit): Double = {
+    def once = { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+    math.min(once, once)
+  }
+
+  for ((name, band) <- Gated) {
+    test(s"$name: 10x-data weak-scaling ratio stays under $band") {
+      assume(!skip, "SPARK_GRAFT_SKIP_SCALE_GATE=1")
+      built
+      val fn = SparkEntry.queries(name)
+      fn(spark, src).collect() // warm: codegen, JIT, parquet footers
+      val t1 = bestOf2(fn(spark, src).collect())
+      fn(spark, dst).collect()
+      val t10 = bestOf2(fn(spark, dst).collect())
+      // Floor the base at 50 ms: a sub-scheduler-tick denominator turns
+      // noise into ratio, not signal.
+      val ratio = t10 / math.max(t1, 0.05)
+      info(f"$name: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f (band $band)")
+      assert(ratio <= band,
+        f"$name 10x-data ratio $ratio%.1f exceeded its band $band — a plan " +
+          "went superlinear (check shuffles/joins against PERF.md §scale)")
+    }
+  }
+
+  /** The c12/c31 parameter-scaling rule (nCells grows WITH the corpus,
+    * nProbe fixed): assignment must ride the two-level coarse quantizer
+    * above HierThreshold, keeping the 10×-data/10×-cells step bounded.
+    * Expected ≈ 10·√10 ≈ 32 for IVF (see ScaleSmoke scaladoc); the flat
+    * path this replaced measured 174× (scale_smoke_r6.log).
+    */
+  test("c12 IVF at 10x data + 10x cells rides the hierarchical quantizer") {
+    assume(!skip, "SPARK_GRAFT_SKIP_SCALE_GATE=1")
+    built
+    import graft.operators.Similarity
+    val e1 = graft.queries.Tables.load(spark, src, "embeddings")
+    val e10 = spark.read.parquet(s"$dst/embeddings.parquet")
+    Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect()
+    val t1 = bestOf2(Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect())
+    Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect()
+    val t10 = bestOf2(Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect())
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"c12 ivf 8~80: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f")
+    assert(ratio <= 60.0, // cal 9.5; O(N·√nCells) predicts ~32 worst-case
+      f"IVF 10x-data/10x-cells ratio $ratio%.1f: coarse assignment has " +
+        "gone flat-quadratic again (HierThreshold path lost?)")
+  }
+
+  test("c31 SemDeDup at 10x data + 10x cells keeps bounded cell populations") {
+    assume(!skip, "SPARK_GRAFT_SKIP_SCALE_GATE=1")
+    built
+    import graft.operators.Similarity
+    val e1 = graft.queries.Tables.load(spark, src, "embeddings")
+    val e10 = spark.read.parquet(s"$dst/embeddings.parquet")
+    Similarity.semDedup(e1, 8, 2, 0.42).collect()
+    val t1 = bestOf2(Similarity.semDedup(e1, 8, 2, 0.42).collect())
+    Similarity.semDedup(e10, 80, 2, 0.42).collect()
+    val t10 = bestOf2(Similarity.semDedup(e10, 80, 2, 0.42).collect())
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"c31 semdedup 8~80: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f")
+    assert(ratio <= 60.0, // cal 4.0; Σ|cell|² scales ×10 at constant pop
+      f"SemDeDup 10x ratio $ratio%.1f: pair space no longer bounded by " +
+        "cell population (nCells scaling rule broken?)")
+  }
+}
