@@ -110,11 +110,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions track DATA SIZE, not core count (measured: 8
-    // beats 32 by ~15% at sf0.1's ~100 MB; c55 at 10× wants ~64+). The
-    // default derives from the input bytes under sfDir (Tuning: one
-    // partition per 16 MiB, floor 8 — sf0.1 stays at the measured 8,
-    // larger inputs scale up without a hand-set env); SPARK_GRAFT_SHUFFLE
-    // still overrides.
+    // beats 32 by ~15% at sf0.1; c55 at 10× wants ~64+). The default
+    // derives from the COMPRESSED input bytes under sfDir (Tuning: one
+    // partition per 2 MiB on disk ≈ 16–20 MiB decoded, floor 8 — sf0.1's
+    // 17.5 MB stays at the measured ~8, larger inputs scale up without a
+    // hand-set env); SPARK_GRAFT_SHUFFLE still overrides.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "auto") match {
       case "auto" => Tuning.shufflePartitionsFor(Tuning.dirBytes(sfDir)).toString
       case n      => n

@@ -16,11 +16,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Tuning {
 
-  /** ~16 MiB of input per initial shuffle partition: sf0.1 (~100 MB)
-    * lands on the floor of 8 (the measured sweet spot there — 32 × 3 MB
-    * tasks were scheduling-dominated), 10× lands at ~64, 100× at ~640.
+  /** ~2 MiB of COMPRESSED parquet per initial shuffle partition.
+    * The listing below counts on-disk bytes, and snappy parquet of this
+    * corpus decodes to ~8–10× its file size (sf0.1 is 17.5 MB on disk
+    * for ~150 MB of rows), so 2 MiB compressed ≈ 16–20 MiB of in-memory
+    * shuffle input — the granularity the r6 evidence calibrated: sf0.1
+    * lands near the floor of 8 (the measured sweet spot — 32 × small
+    * tasks were scheduling-dominated), 10× (118 MB on disk) lands at
+    * ~57 (the c55 recovery band, 12.4×→7.4× measured at 64–128), 100×
+    * at ~570.
     */
-  val TargetBytesPerPartition: Long = 16L << 20
+  val TargetBytesPerPartition: Long = 2L << 20
 
   /** Total bytes of the parquet tables under `dir` (driver-side listing
     * — the same O(files) work Spark does to plan a scan of them). Needs

@@ -207,35 +207,47 @@ object Similarity {
   }
 
   /** Two-level cell assignment, still a pure no-shuffle projection:
-    * stage 1 argmaxes over the ~√nCells literal super-centroids;
-    * stage 2 argmaxes over the member cells of the chosen super only —
-    * each member cosine sits under `when(_scell = s, cos)`, and both
-    * `If` branches and `CaseWhen` arms evaluate lazily in interpreted
-    * AND codegen mode, so per row only √nCells + |members| ≈ 2√nCells
-    * dot products run (non-members contribute a constant −∞ struct to
-    * the argmax). Approximate like every hierarchical coarse quantizer:
-    * a vector whose true-best cell lives in a different super than its
-    * best super-centroid lands one cell over — the standard IMI
-    * trade-off, only taken above [[HierThreshold]] where the oracle
-    * never looks.
+    * stage 1 argmaxes over the ~√nCells super-centroids, stage 2 over
+    * the member cells of the chosen super only — O(√nCells + |members|)
+    * ≈ 2√nCells dot products per row. The codebook rides ONE referenced
+    * [[graft.functions.CodebookModel]] object and the generated code is
+    * a single compiled-method call — constant source size in nCells.
+    * (Two r7 dead ends, kept for the record: unrolling the argmax as a
+    * literal expression tree cost ~20 s of Janino compilation PER STAGE
+    * at nCells = 80, and forcing that tree interpreted traded the
+    * compile bomb for ~90 s of boxed tree-walking; the method call is
+    * compile-free AND JIT-compiled.) Approximate like every
+    * hierarchical coarse quantizer: a vector whose true-best cell lives
+    * in a different super than its best super-centroid lands one cell
+    * over — the standard IMI trade-off, only taken above
+    * [[HierThreshold]] where the oracle never looks.
     */
   private[graft] def withCellHier(df: DataFrame, cents: Seq[Cent]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    df.withColumn("cell", GraftBridge.column(graft.functions.CodebookCellHier(
+      GraftBridge.expression(col("ie")), GraftBridge.expression(col("nv")),
+      buildModel(cents))))
+  }
+
+  /** [[graft.functions.CodebookModel]] over this codebook: centroids
+    * ascending by cid, supers from the same deterministic [[groupCents]]
+    * grouping the expression form used (ties → lowest index, exact
+    * cosine arithmetic `(dot/1e8)/(nv·cn)` — bit-identical semantics).
+    */
+  private def buildModel(cents: Seq[Cent]): graft.functions.CodebookModel = {
+    val sorted = cents.sortBy(_.cid)
+    val idxOf = sorted.zipWithIndex.map { case (c, i) => c.cid -> i }.toMap
     val nSupers = math.max(2, math.round(math.sqrt(cents.size.toDouble)).toInt)
     val groups = groupCents(cents, nSupers)
-    val sArr = array(groups.zipWithIndex.map { case ((sc, _), si) =>
-      struct(cosLit(sc).as("c"), lit(-si.toLong).as("negs"))
-    }: _*)
-    val superOf: Map[Long, Int] = groups.zipWithIndex.flatMap {
-      case ((_, ms), si) => ms.map(_.cid -> si)
-    }.toMap
-    val arr = array(cents.map(c => struct(
-      when(col("_scell") === superOf(c.cid), cosLit(c))
-        .otherwise(lit(Double.NegativeInfinity)).as("c"),
-      lit(-c.cid).as("negcell"))): _*)
-    df.withColumn("_scell", (-array_max(sArr).getField("negs")).cast("int"))
-      .withColumn("cell", (-array_max(arr).getField("negcell")).cast("long"))
-      .drop("_scell")
+    graft.functions.CodebookModel(
+      sorted.map(_.cid).toArray,
+      sorted.map(_.ce.toArray).toArray,
+      sorted.map(_.cn).toArray,
+      groups.map(_._1.ce.toArray).toArray,
+      groups.map(_._1.cn).toArray,
+      groups.map(_._2.map(c => idxOf(c.cid)).sorted.toArray).toArray)
   }
+
 
   /** Ranks 1..`maxRank` of the literal centroids per row (ties → lowest
     * cid) — the multi-probe cell list. Explode + window over
@@ -243,14 +255,30 @@ object Similarity {
     * full corpus (assignment is [[withCell]]'s projection).
     */
   private def withCellRanks(df: DataFrame, cents: Seq[Cent], maxRank: Int): DataFrame = {
-    val arr = array(cents.map(c =>
-      struct(cosLit(c).as("ccos"), lit(c.cid).as("cell"))): _*)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc.ccos").desc, col("cc.cell"))
-    df.select(col("vec_id"), col("ie"), col("nv"), explode(arr).as("cc"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") <= maxRank)
-      .select(col("vec_id"), col("ie"), col("nv"), col("cc.cell").as("cell"), col("arn"))
+    if (cents.size > HierThreshold) {
+      // Same compile-bomb rule as assignment: above the threshold the
+      // probe list comes from the compiled-method CodebookTopCells call
+      // (identical rank semantics: global cosine order, ties → lowest
+      // cid) — and posexplode of the ranked array replaces the
+      // explode-all + window, dropping a per-query-row sort exchange.
+      import org.apache.spark.sql.GraftBridge
+      val probes = GraftBridge.column(graft.functions.CodebookTopCells(
+        GraftBridge.expression(col("ie")), GraftBridge.expression(col("nv")),
+        buildModel(cents), maxRank))
+      df.select(col("vec_id"), col("ie"), col("nv"),
+          posexplode(probes).as(Seq("pos", "cell")))
+        .select(col("vec_id"), col("ie"), col("nv"), col("cell"),
+          (col("pos") + 1).cast("int").as("arn"))
+    } else {
+      val arr = array(cents.map(c =>
+        struct(cosLit(c).as("ccos"), lit(c.cid).as("cell"))): _*)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc.ccos").desc, col("cc.cell"))
+      df.select(col("vec_id"), col("ie"), col("nv"), explode(arr).as("cc"))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") <= maxRank)
+        .select(col("vec_id"), col("ie"), col("nv"), col("cc.cell").as("cell"), col("arn"))
+    }
   }
 
   /** Elementwise-mean centroids of an assignment, quantized back to the

@@ -69,8 +69,10 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
   /** The c12/c31 parameter-scaling rule (nCells grows WITH the corpus,
     * nProbe fixed): assignment must ride the two-level coarse quantizer
     * above HierThreshold, keeping the 10×-data/10×-cells step bounded.
-    * Expected ≈ 10·√10 ≈ 32 for IVF (see ScaleSmoke scaladoc); the flat
-    * path this replaced measured 174× (scale_smoke_r6.log).
+    * Expected ≈ 10 (linear) with the compiled-method CodebookModel
+    * assignment (see ScaleSmoke scaladoc); the flat path measured 174×
+    * (scale_smoke_r6.log) and the unrolled-literal-tree form ~54× (the
+    * Janino compile bomb, r7).
     */
   test("c12 IVF at 10x data + 10x cells rides the hierarchical quantizer") {
     assume(!skip, "SPARK_GRAFT_SKIP_SCALE_GATE=1")
@@ -84,7 +86,7 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     val t10 = bestOf2(Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect())
     val ratio = t10 / math.max(t1, 0.05)
     info(f"c12 ivf 8~80: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f")
-    assert(ratio <= 60.0, // cal 9.5; O(N·√nCells) predicts ~32 worst-case
+    assert(ratio <= 20.0, // cal 1.4 post-CodebookModel (was 9.5 unrolled)
       f"IVF 10x-data/10x-cells ratio $ratio%.1f: coarse assignment has " +
         "gone flat-quadratic again (HierThreshold path lost?)")
   }
@@ -101,7 +103,7 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     val t10 = bestOf2(Similarity.semDedup(e10, 80, 2, 0.42).collect())
     val ratio = t10 / math.max(t1, 0.05)
     info(f"c31 semdedup 8~80: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f")
-    assert(ratio <= 60.0, // cal 4.0; Σ|cell|² scales ×10 at constant pop
+    assert(ratio <= 30.0, // cal 4.0; Σ|cell|² scales ×10 at constant pop
       f"SemDeDup 10x ratio $ratio%.1f: pair space no longer bounded by " +
         "cell population (nCells scaling rule broken?)")
   }

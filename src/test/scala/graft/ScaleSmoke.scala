@@ -58,8 +58,9 @@ object ScaleSmoke {
     "b4_pricing_summary", "b5_top_revenue", "b9_local_supplier_volume",
     "b12_waiting_suppliers", "b13_part_top_supplier", "c1_minhash_lsh",
     "c9_token_count", "c15_dedup_groups", "c17_quality_filter",
-    "c27_contamination", "c55_containment", "d2_rollup_pricing",
-    "d8_percentiles", "d22_table_profile", "d29_ref_integrity")
+    "c27_contamination", "c51_ts_similar_users", "c55_containment",
+    "d2_rollup_pricing", "d8_percentiles", "d22_table_profile",
+    "d29_ref_integrity")
 
   def build(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)
@@ -155,10 +156,15 @@ object ScaleSmoke {
     setShuffle(src)
     Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect()
     val i1 = bestOf(2)(Similarity.ivfTopK(e1, 50, 3, 8, 2, 6).collect())
-    // Expected ratio ≈ 10·√10 ≈ 32: timed work is the final full-corpus
-    // assignment (O(N·√nCells) on the two-level path — ×10 data, ×√10
-    // codebook) plus the linear probe join; measured 32.5 (r7), down
-    // from 174 on the r6 flat-assignment/probes-×10 parameterization.
+    // Expected ratio ≈ 10 (linear): assignment is the compiled-method
+    // CodebookCellHier call (O(N·√nCells) work, constant codegen size)
+    // and the probe join candidates scale with N at fixed nProbe and
+    // constant cell population. Measured 4.0 (r7, post-CodebookModel);
+    // the r6 flat-assignment/probes-×10 parameterization measured 174,
+    // and the two intermediate r7 forms (unrolled literal tree /
+    // interpreted gate) measured 54 and 90 — the Janino compile bomb
+    // and boxed tree-walking, both removed by the method-call design
+    // (see Similarity.withCellHier scaladoc).
     setShuffle(dst)
     Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect()
     val i10 = bestOf(2)(Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect())
