@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *  - embeddings get deterministic per-(dim, replica) noise of the
   *    same magnitude as the signal, decorrelating replica vectors for
   *    the pair-forming vector queries.
-  * The k-means queries re-run with nCells scaled 8 → 80 (constant
+  * The k-means queries re-run with nCells scaled 8 → 8·reps (constant
   * cell population — the documented scaling rule: `nCells` scales WITH
   * the corpus) and nProbe held CONSTANT: per-query candidate count is
   * nProbe × cell population, so fixed nProbe keeps per-query work
@@ -145,10 +145,12 @@ object ScaleSmoke {
       val t10 = bestOf(2)(fn(spark, dst).collect())
       report(q, t1, t10)
     }
-    // k-means family with the documented parameter scaling: nCells and
-    // probes ×10 (constant scan fraction / cell population). The ×10
-    // codebook (80 cells) rides Similarity's two-level coarse quantizer
-    // (> HierThreshold), so assignment work is O(N·√nCells).
+    // k-means family with the documented parameter scaling: nCells ×reps
+    // (constant cell population — nlist grows WITH the corpus), nProbe
+    // held constant. The scaled codebook rides Similarity's two-level
+    // coarse quantizer (> HierThreshold), so assignment work is
+    // O(N·√nCells).
+    val cellsN = 8 * reps
     if (only.forall(_.exists(p => "c12_ivf".startsWith(p) || "c31_semdedup".startsWith(p)))) {
     import graft.operators.Similarity
     val e1 = spark.read.parquet(s"$src/embeddings.parquet")
@@ -166,16 +168,16 @@ object ScaleSmoke {
     // and boxed tree-walking, both removed by the method-call design
     // (see Similarity.withCellHier scaladoc).
     setShuffle(dst)
-    Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect()
-    val i10 = bestOf(2)(Similarity.ivfTopK(e10, 50, 3, 80, 2, 6).collect())
-    report("c12_ivf (cells 8~80)", i1, i10)
+    Similarity.ivfTopK(e10, 50, 3, cellsN, 2, 6).collect()
+    val i10 = bestOf(2)(Similarity.ivfTopK(e10, 50, 3, cellsN, 2, 6).collect())
+    report(s"c12_ivf (cells 8~$cellsN)", i1, i10)
     setShuffle(src)
     Similarity.semDedup(e1, 8, 2, 0.42).collect()
     val s1 = bestOf(2)(Similarity.semDedup(e1, 8, 2, 0.42).collect())
     setShuffle(dst)
-    Similarity.semDedup(e10, 80, 2, 0.42).collect()
-    val s10 = bestOf(2)(Similarity.semDedup(e10, 80, 2, 0.42).collect())
-    report("c31_semdedup (8~80)", s1, s10)
+    Similarity.semDedup(e10, cellsN, 2, 0.42).collect()
+    val s10 = bestOf(2)(Similarity.semDedup(e10, cellsN, 2, 0.42).collect())
+    report(s"c31_semdedup (8~$cellsN)", s1, s10)
     }
 
     val sorted = results.sortBy(-_._4)
