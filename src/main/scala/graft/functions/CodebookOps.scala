@@ -77,6 +77,21 @@ final case class CodebookModel(
     cids(best)
   }
 
+  @transient private lazy val cidIndex: java.util.HashMap[Long, Integer] = {
+    val m = new java.util.HashMap[Long, Integer](cids.length * 2)
+    var i = 0
+    while (i < cids.length) { m.put(cids(i), i); i += 1 }
+    m
+  }
+
+  /** Cosine of the vector to the centroid of cell `cid` (NaN for an
+    * unknown cid — callers only pass cids produced by [[cellHier]]).
+    */
+  def cosToCell(ie: ArrayData, nv: Double, cid: Long): Double = {
+    val i = cidIndex.get(cid)
+    if (i == null) Double.NaN else cos(ie, vecs(i), norms(i), nv)
+  }
+
   /** The `k` globally best cells by cosine (ties → lowest cid), in rank
     * order — the multi-probe list. O(k·nCells) per QUERY row only.
     */
@@ -138,6 +153,44 @@ final case class CodebookCellHier(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CodebookCellHier =
     copy(left = newLeft, right = newRight)
+}
+
+/** double cosine of the vector to the centroid of the cell in the third
+  * operand — see [[CodebookModel.cosToCell]]. Powers the farthest-member
+  * pass of the empty-slot reseeding (split candidates are the members
+  * FARTHEST from their centroid).
+  */
+final case class CodebookCos(first: Expression, second: Expression,
+    third: Expression, model: CodebookModel)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), DoubleType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, double, bigint), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "codebook_cos"
+
+  override def nullSafeEval(v: Any, n: Any, c: Any): Any =
+    model.cosToCell(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n, c) => {
+      val m = ctx.addReferenceObj("codebookModel", model,
+        classOf[CodebookModel].getName)
+      s"${ev.value} = $m.cosToCell($v, $n, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CodebookCos =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** array<bigint> of the `k` best cells in rank order — see

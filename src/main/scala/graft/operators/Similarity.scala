@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * broadcasts the (small) query batch and scans the vector table once;
   * the LSH path joins on the sign-bucket key so each query only meets
   * ~N/2^bits candidates; near-dup pairs run banded candidate generation
-  * then verify (see [[nearDupPairs]]). Top-k is a per-query window over
-  * the candidate rows.
+  * then verify (see [[nearDupPairs]]). Top-k heap-prunes the candidate
+  * rows per query (native TopKPerKey, no sort) before the tiny ranking
+  * window (see [[topK]]).
   */
 object Similarity {
 
@@ -58,10 +59,26 @@ object Similarity {
   /** L2 norm of a pre-scaled long-array column. */
   private[graft] def norm(a: String): Column = sqrt(dot(a, a))
 
+  /** Top-k per query with the rank column: the candidate table is
+    * heap-pruned FIRST by the native [[graft.plans.TopKPerKey]] operator
+    * (bounded per-key heaps, map-side partial, NO sort of the candidate
+    * table — the shuffle moves ≤ partitions×queries×k rows), then the
+    * ≤ queries×k survivors get their `rn` from a window that now ranks a
+    * tiny input. Row-identical to ranking the full candidate table:
+    * (cos desc, vec_id asc) is a total order per query — (qid, vec_id)
+    * is unique — so the heap keeps exactly the window's rn ≤ k rows.
+    * The direct window form sorted EVERY candidate row: at ×100 scale
+    * the probe join can emit ~10⁸ rows into a handful of map partitions
+    * (broadcast join preserves the scan's partitioning) and the
+    * window's map-side group-limit sort spill-merged one such partition
+    * for ~45 min on one core (r7, measured) — the heap pass is
+    * single-scan, spill-free, and order-insensitive.
+    */
   private[graft] def topK(cos: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.perKey(cos, Seq("qid"),
+      Seq(("cos", false), ("vec_id", true)), k)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cos.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    pruned.withColumn("rn", row_number().over(w).cast("long"))
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
@@ -430,11 +447,72 @@ object Similarity {
       val train = base.filter(col("vec_id") % trainMod === 0)
       val seed = collectCents(base.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn")))
-      (1 to lloydIters).foldLeft(seed) { (c, _) =>
+      val trained = (1 to lloydIters).foldLeft(seed) { (c, _) =>
         collectCents(meanCentroids(withCell(train, c)))
       }
+      // Above the oracle threshold, fill empty slots by splitting the
+      // largest cells (the standard empty-cell reassignment every
+      // production k-means/IVF trainer performs) — ≤ 16-cell codebooks
+      // keep the exact drop-out semantics the DuckDB oracle replays.
+      if (nCells > HierThreshold && trained.size < nCells)
+        reseedEmpty(train, trained, nCells)
+      else trained
     })
     (base, cents)
+  }
+
+  /** Deterministic empty-slot reassignment (the FAISS
+    * `Clustering::post_process_centroids` idea, public): while slots are
+    * empty, split the most-populated cells — the member FARTHEST from
+    * its centroid (min cosine; ties → lowest vec_id) becomes the seed of
+    * a missing cid — then run one polish Lloyd iteration. Near-uniform
+    * data with adjacent-id seeding leaves half the slots empty (r7
+    * measured 409 of 800 at ×100 scale — and probe candidate mass
+    * carries the resulting skew: top cells held 23× the balanced
+    * population), so this is what makes `nCells`-grows-with-corpus a
+    * real dial rather than a nominal one. Deterministic: every pick is
+    * ordered (pop desc, cell asc / missing cid asc), so the codebook is
+    * a pure function of the data — the cache key needs no change. All
+    * driver state is ≤ nCells rows per round.
+    */
+  private def reseedEmpty(train: DataFrame, cents0: Seq[Cent],
+      nCells: Int): Seq[Cent] = {
+    import org.apache.spark.sql.GraftBridge
+    var cents = cents0
+    var round = 0
+    while (cents.size < nCells && round < 4) {
+      val model = buildModel(cents)
+      val missing = (0L until nCells.toLong)
+        .filterNot(cents.map(_.cid).toSet).sorted
+      val cellCol = GraftBridge.column(graft.functions.CodebookCellHier(
+        GraftBridge.expression(col("ie")), GraftBridge.expression(col("nv")),
+        model))
+      val assigned = train.withColumn("cell", cellCol)
+      val ccCol = GraftBridge.column(graft.functions.CodebookCos(
+        GraftBridge.expression(col("ie")), GraftBridge.expression(col("nv")),
+        GraftBridge.expression(col("cell")), model))
+      // per cell: population + farthest member id (one distributed pass,
+      // ≤ |cents| result rows)
+      val far = assigned.withColumn("cc", ccCol)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("pop"), min(struct(col("cc"), col("vec_id"))).as("fm"))
+        .select(col("cell"), col("pop"), col("fm.vec_id").as("fid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val splitFrom = far.filter(_._2 >= 2).sortBy { case (cell, pop, _) => (-pop, cell) }
+      val picks = missing.zip(splitFrom.map(_._3))
+      if (picks.isEmpty) return cents
+      val seedRows = train.filter(col("vec_id").isin(picks.map(_._2): _*))
+        .select(col("vec_id"), col("ie"), col("nv")).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+      cents = (cents ++ picks.collect {
+        case (cid, fid) if seedRows.contains(fid) =>
+          val (ce, cn) = seedRows(fid); Cent(cid, ce, cn)
+      }).sortBy(_.cid)
+      cents = collectCents(meanCentroids(withCell(train, cents)))
+      round += 1
+    }
+    cents
   }
 
   /** Final cell assignment (vec_id → cell) after Lloyd training — the
