@@ -15,6 +15,13 @@ run / fork := true
 // the bench/verify mains emit machine-parsed JSON lines that must not be
 // "[info]"-prefixed (round-1 driver parse failure).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench driver keeps only the last 2000 chars of stdout and parses
+// that tail as JSON; sbt's "[success] Total time: …" footer after the
+// bench's final JSON line broke that parse every round. Suppress both.
+Global / showSuccess := false
+Global / showTiming := false
+// (command-consumed keys — excluded from sbt's unused-setting lint)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -154,7 +154,13 @@ object Bench {
     // competing process pauses.
     val loadLimit5 = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT5",
       (loadLimit * 1.25).toString).toDouble
-    val loadWaitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toInt
+    // 420 s default (was 300): a 5-min average needs ~5 min to decay, so
+    // a 300 s budget can time out while a genuinely-idle box still
+    // carries a stale 5-min reading. (NB the pre-launch guard cannot
+    // catch load that RETURNS mid-run — the driver's r7 run cleared the
+    // guard at 0.18/1.24 and ended at loadavg 4.72; the pass-major
+    // ordering below is what defends the medians in that case.)
+    val loadWaitBudget = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "420").toInt
     val loadAtLaunch = loadavg()
     def loaded(): Boolean = load1min() > loadLimit || load5min() > loadLimit5
     var loadWaited = 0
@@ -184,19 +190,33 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).collect()
       catch { case _: Throwable => () }
     }
-    // K timed passes per query (query-major: pass 1..K back-to-back per
-    // query keeps each query's code/footer caches hot between its own
-    // passes, so the median isolates EXTERNAL noise, not cache state).
-    val results = names.map { n =>
-      val times = (1 to passes).map { _ =>
+    // K timed passes per query, PASS-MAJOR (all queries pass 1, then all
+    // pass 2, …): the untimed warmup already made every query's codegen
+    // and parquet-footer caches hot, so ordering no longer affects cache
+    // state — but it decides what a multi-second EXTERNAL contention
+    // burst contaminates. Query-major ran a query's K passes
+    // back-to-back, so one burst inflated ALL of them and the median
+    // with it (driver's r7 run: c62 passes [5.98, 4.28, 0.68] — real
+    // cost 0.68 s, reported 4.28 s). Pass-major spaces a query's passes
+    // a full suite apart (~50 s at sf0.1), so a burst touches at most
+    // one pass of any query and the median discards it.
+    val timed = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to passes).foreach { _ =>
+      names.foreach { n =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(n)(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] $n FAILED: ${t.getMessage}")
-            -1.0
-        }
+        val t =
+          try { SparkEntry.queries(n)(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+              -1.0
+          }
+        timed(n) = timed(n) :+ t
       }
+    }
+    val results = names.map { n =>
+      val times = timed(n)
       // ANY failed pass ⇒ the query reports -1: a flaky query must not
       // masquerade as a healthy median of its surviving passes.
       (n, if (times.exists(_ < 0)) -1.0 else median(times), times)
@@ -234,6 +254,25 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()
     println(json)
+    // The driver keeps only the LAST 2000 chars of stdout and its parse
+    // of that tail has been null every round — the full 137-query JSON
+    // line (~12 KB) overflows the window, leaving the tail starting
+    // mid-JSON. Emit a SECOND, compact summary line LAST (≤ ~1.5 KB:
+    // headline totals, load stamps, exec legs, the slowest queries at
+    // 3 decimals, and a pointer to the full per-query artifact) so the
+    // tail always ends with one complete parseable JSON object.
+    // build.sbt sets showSuccess/showTiming false so sbt appends nothing
+    // after it.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries_total":${results.size},"queries":$slowest,""" +
+      s""""queries_note":"slowest 25 of ${results.size}; full per-query map in $outFile",""" +
+      s""""passes":$passes,"load_warning":$loadWarning,""" +
+      s""""loadavg_start":"$load0","loadavg_end":"$load1",""" +
+      f""""wall_sec":$wallSec%.1f$execJson$execBytesJson}"""
+    println(summary)
     System.out.flush()
   }
 }

@@ -38,6 +38,45 @@ final case class CodebookModel(
     superNorms: Array[Double],
     members: Array[Array[Int]]) extends Serializable {
 
+  /** Case-class equality over Array fields is reference-based, which
+    * would defeat Catalyst's expression canonicalization and
+    * subexpression elimination for two expressions built from identical
+    * codebooks (correctness unaffected, but equal work would be done
+    * twice). Structural equality restores `semanticEquals`.
+    */
+  override def equals(o: Any): Boolean = o match {
+    case that: CodebookModel =>
+      java.util.Arrays.equals(cids, that.cids) &&
+        java.util.Arrays.equals(norms, that.norms) &&
+        java.util.Arrays.equals(superNorms, that.superNorms) &&
+        vecs.length == that.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), that.vecs(i))) &&
+        superVecs.length == that.superVecs.length &&
+        superVecs.indices.forall(i =>
+          java.util.Arrays.equals(superVecs(i), that.superVecs(i))) &&
+        members.length == that.members.length &&
+        members.indices.forall(i => java.util.Arrays.equals(members(i), that.members(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(cids) + java.util.Arrays.hashCode(norms)
+
+  /** true iff any slot of the array is null. [[graft.functions.LongArrayDot]]
+    * returns null on any null element; the codebook expressions mirror
+    * that contract (null in ⇒ null out) instead of reading an undefined
+    * slot — see each expression's null guard.
+    */
+  def hasNullElement(ie: ArrayData): Boolean = {
+    val n = ie.numElements()
+    var k = 0
+    while (k < n) {
+      if (ie.isNullAt(k)) return true
+      k += 1
+    }
+    false
+  }
+
   private def dotPrefix(ie: ArrayData, v: Array[Long]): Long = {
     val n = math.min(ie.numElements(), v.length)
     var s = 0L
@@ -140,14 +179,25 @@ final case class CodebookCellHier(left: Expression, right: Expression,
   override def dataType: DataType = LongType
   override def prettyName: String = "codebook_cell_hier"
 
-  override def nullSafeEval(v: Any, n: Any): Any =
-    model.cellHier(v.asInstanceOf[ArrayData], n.asInstanceOf[Double])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val ie = v.asInstanceOf[ArrayData]
+    if (model.hasNullElement(ie)) null
+    else model.cellHier(ie, n.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, n) => {
       val m = ctx.addReferenceObj("codebookModel", model,
         classOf[CodebookModel].getName)
-      s"${ev.value} = $m.cellHier($v, $n);"
+      s"""
+         |if ($m.hasNullElement($v)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $m.cellHier($v, $n);
+         |}
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -176,15 +226,25 @@ final case class CodebookCos(first: Expression, second: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "codebook_cos"
 
-  override def nullSafeEval(v: Any, n: Any, c: Any): Any =
-    model.cosToCell(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
-      c.asInstanceOf[Long])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, n: Any, c: Any): Any = {
+    val ie = v.asInstanceOf[ArrayData]
+    if (model.hasNullElement(ie)) null
+    else model.cosToCell(ie, n.asInstanceOf[Double], c.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, n, c) => {
       val m = ctx.addReferenceObj("codebookModel", model,
         classOf[CodebookModel].getName)
-      s"${ev.value} = $m.cosToCell($v, $n, $c);"
+      s"""
+         |if ($m.hasNullElement($v)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $m.cosToCell($v, $n, $c);
+         |}
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -202,14 +262,25 @@ final case class CodebookTopCells(left: Expression, right: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "codebook_top_cells"
 
-  override def nullSafeEval(v: Any, n: Any): Any =
-    model.topCells(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], k)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val ie = v.asInstanceOf[ArrayData]
+    if (model.hasNullElement(ie)) null
+    else model.topCells(ie, n.asInstanceOf[Double], k)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, n) => {
       val m = ctx.addReferenceObj("codebookModel", model,
         classOf[CodebookModel].getName)
-      s"${ev.value} = $m.topCells($v, $n, $k);"
+      s"""
+         |if ($m.hasNullElement($v)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $m.topCells($v, $n, $k);
+         |}
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

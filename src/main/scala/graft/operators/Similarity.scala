@@ -443,7 +443,15 @@ object Similarity {
     val base = emb.select(col("vec_id"), expr(scaled("embedding")).as("ie"))
       .withColumn("nv", norm("ie"))
     val key = (datasetKey(base), nCells, lloydIters, trainMod)
-    val cents = centCache.computeIfAbsent(key, _ => {
+    // Training runs OUTSIDE the cache's monitor (get → train →
+    // putIfAbsent): computeIfAbsent on a synchronizedMap would hold the
+    // map lock for the whole multi-job Lloyd loop, serializing
+    // concurrent sessions that train on DIFFERENT datasets. The race is
+    // benign — training is deterministic (seeded, ordered ties), so two
+    // concurrent trainers for the same key produce identical codebooks
+    // and putIfAbsent keeps exactly one.
+    val cached = centCache.get(key)
+    val cents = if (cached != null) cached else {
       val train = base.filter(col("vec_id") % trainMod === 0)
       val seed = collectCents(base.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("ie").as("ce"), col("nv").as("cn")))
@@ -454,18 +462,26 @@ object Similarity {
       // largest cells (the standard empty-cell reassignment every
       // production k-means/IVF trainer performs) — ≤ 16-cell codebooks
       // keep the exact drop-out semantics the DuckDB oracle replays.
-      if (nCells > HierThreshold && trained.size < nCells)
-        reseedEmpty(train, trained, nCells)
-      else trained
-    })
+      val computed =
+        if (nCells > HierThreshold && trained.size < nCells)
+          reseedEmpty(train, trained, nCells)
+        else trained
+      val prev = centCache.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
     (base, cents)
   }
 
   /** Deterministic empty-slot reassignment (the FAISS
-    * `Clustering::post_process_centroids` idea, public): while slots are
-    * empty, split the most-populated cells — the member FARTHEST from
-    * its centroid (min cosine; ties → lowest vec_id) becomes the seed of
-    * a missing cid — then run one polish Lloyd iteration. Near-uniform
+    * `Clustering::post_process_centroids` idea, public): for up to FOUR
+    * rounds while slots are empty, split the most-populated cells — the
+    * member FARTHEST from its centroid (min cosine; ties → lowest
+    * vec_id) becomes the seed of a missing cid — then run one polish
+    * Lloyd iteration. The polish pass can re-empty a freshly seeded
+    * slot, so the bounded loop may exit with a codebook still short of
+    * `nCells`; that residual is not silent — it is reported on stderr
+    * (below) so a scale log can distinguish a full codebook from a
+    * partially filled one. Near-uniform
     * data with adjacent-id seeding leaves half the slots empty (r7
     * measured 409 of 800 at ×100 scale — and probe candidate mass
     * carries the resulting skew: top cells held 23× the balanced
@@ -501,7 +517,10 @@ object Similarity {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val splitFrom = far.filter(_._2 >= 2).sortBy { case (cell, pop, _) => (-pop, cell) }
       val picks = missing.zip(splitFrom.map(_._3))
-      if (picks.isEmpty) return cents
+      if (picks.isEmpty) {
+        reportResidual(cents, nCells)
+        return cents
+      }
       val seedRows = train.filter(col("vec_id").isin(picks.map(_._2): _*))
         .select(col("vec_id"), col("ie"), col("nv")).collect()
         .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getDouble(2)))).toMap
@@ -512,8 +531,19 @@ object Similarity {
       cents = collectCents(meanCentroids(withCell(train, cents)))
       round += 1
     }
+    reportResidual(cents, nCells)
     cents
   }
+
+  /** Stderr note when reseeding exits below the requested codebook size
+    * — callers and scale logs can tell a partial codebook from a full
+    * one without re-deriving the count.
+    */
+  private def reportResidual(cents: Seq[Cent], nCells: Int): Unit =
+    if (cents.size < nCells)
+      System.err.println(s"[graft] reseedEmpty: codebook has ${cents.size} " +
+        s"of $nCells requested cells after bounded reseeding " +
+        s"(${nCells - cents.size} slots remain empty)")
 
   /** Final cell assignment (vec_id → cell) after Lloyd training — the
     * join surface for cross-modal cluster analysis (see c34).
