@@ -33,6 +33,28 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** The compact final stdout line. The driver keeps only the LAST 2000
+    * chars of stdout and parses that tail as JSON; the full per-query
+    * line (~12 KB at 137 queries) overflows the window, so rounds 1–7
+    * all recorded parsed:null. This line carries the headline totals,
+    * load stamps, exec legs and the slowest `topN` queries at 3
+    * decimals, sized to always fit the tail (BenchSummarySpec pins the
+    * bound at 137 queries with worst-case names).
+    */
+  private[graft] def summaryLine(medians: Seq[(String, Double)], total: Double,
+      sfDir: String, passes: Int, loadWarning: Boolean, load0: String,
+      load1: String, wallSec: Double, execJson: String, outFile: String,
+      topN: Int = 25): String = {
+    val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(topN)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries_total":${medians.size},"queries":$slowest,""" +
+      s""""queries_note":"slowest $topN of ${medians.size}; full per-query map in $outFile",""" +
+      s""""passes":$passes,"load_warning":$loadWarning,""" +
+      s""""loadavg_start":"$load0","loadavg_end":"$load1",""" +
+      f""""wall_sec":$wallSec%.1f$execJson}"""
+  }
+
   private def load1min(): Double =
     try loadavg().split(" ")(0).toDouble catch { case _: Throwable => 0.0 }
 
@@ -254,25 +276,11 @@ object Bench {
       java.nio.charset.StandardCharsets.UTF_8)
     spark.stop()
     println(json)
-    // The driver keeps only the LAST 2000 chars of stdout and its parse
-    // of that tail has been null every round — the full 137-query JSON
-    // line (~12 KB) overflows the window, leaving the tail starting
-    // mid-JSON. Emit a SECOND, compact summary line LAST (≤ ~1.5 KB:
-    // headline totals, load stamps, exec legs, the slowest queries at
-    // 3 decimals, and a pointer to the full per-query artifact) so the
-    // tail always ends with one complete parseable JSON object.
-    // build.sbt sets showSuccess/showTiming false so sbt appends nothing
-    // after it.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
-      .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries_total":${results.size},"queries":$slowest,""" +
-      s""""queries_note":"slowest 25 of ${results.size}; full per-query map in $outFile",""" +
-      s""""passes":$passes,"load_warning":$loadWarning,""" +
-      s""""loadavg_start":"$load0","loadavg_end":"$load1",""" +
-      f""""wall_sec":$wallSec%.1f$execJson$execBytesJson}"""
-    println(summary)
+    // Second, compact summary line LAST — see [[summaryLine]]; build.sbt
+    // sets showSuccess/showTiming false so sbt appends nothing after it.
+    println(summaryLine(results.map { case (k, v, _) => (k, v) }, total,
+      sfDir, passes, loadWarning, load0, load1, wallSec,
+      execJson + execBytesJson, outFile.toString))
     System.out.flush()
   }
 }

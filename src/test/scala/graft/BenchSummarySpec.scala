@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench driver keeps only the last 2000 chars of stdout and
+  * parses that tail as JSON. [[Bench.summaryLine]] exists solely to fit
+  * that window — this spec pins the bound so a future field addition
+  * can't silently push the line back over it, and checks the line is
+  * actually JSON-shaped (balanced braces, quoted keys).
+  */
+class BenchSummarySpec extends AnyFunSuite {
+
+  // Worst-case realistic inventory: 137 queries with names as long as
+  // the longest real ones (c60_minhash_calibration = 23 chars; allow 28).
+  private val medians: Seq[(String, Double)] =
+    (1 to 137).map(i => (f"c$i%02d_worst_case_query_name_xx", 123.456789))
+
+  private val exec =
+    ""","exec":{"files":10000,"failed":0,"bytes":10240000,"sec":14.148,"files_per_sec":706.8}""" +
+    ""","exec_bytes":{"files":32,"failed":0,"bytes":2147483648,"sec":3.711,"mb_per_sec":551.8}"""
+
+  test("summary line fits the driver's 2000-char tail with margin") {
+    val line = Bench.summaryLine(medians, 12345.678, "/root/testdata/sf0.1",
+      3, loadWarning = true, "12.34 12.34 12.34", "12.34 12.34 12.34",
+      99999.9, exec, "bench_out.json")
+    info(s"summary line length: ${line.length}")
+    // ≤ 1900: the tail must hold the whole line plus a trailing newline
+    // even if a stray short log line lands after it.
+    assert(line.length <= 1900, s"summary line ${line.length} chars")
+  }
+
+  test("summary line is minimally JSON-shaped and keeps headline fields") {
+    val line = Bench.summaryLine(medians, 1.5, "/x", 3, loadWarning = false,
+      "0 0 0", "0 0 0", 2.0, "", "out.json")
+    assert(line.startsWith("""{"metric":"total","value":1.500,"unit":"sec""""))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.contains(""""queries_total":137"""))
+    assert(line.endsWith("}"))
+  }
+
+  test("failed queries (-1) are excluded from the slowest list") {
+    val line = Bench.summaryLine(
+      Seq(("q_ok", 0.5), ("q_bad", -1.0)), 0.5, "/x", 1,
+      loadWarning = false, "0 0 0", "0 0 0", 1.0, "", "out.json")
+    assert(line.contains(""""q_ok":0.500"""))
+    assert(!line.contains("q_bad"))
+  }
+}
