@@ -154,6 +154,15 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark's compiled-codegen (Janino) cache holds 100 entries by
+      // default; the 137-query suite generates several codegen units per
+      // query, so ANY full-suite rotation evicts everything and every
+      // revisit pays ~0.1–0.3 s/stage recompile — measured: the first
+      // pass-major run, before this conf, came in at 77 s vs 50 s purely
+      // from recompiles (passes uniform, exec legs unaffected). A
+      // long-lived production cluster would size this to its workload
+      // for exactly the same reason.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
