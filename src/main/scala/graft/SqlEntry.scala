@@ -14,7 +14,7 @@ import graft.queries.{ExtOps, Tables}
   * [[graft.plans.GraftExtensions]] builders a cluster would inject via
   * `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
-  * text for 124 of the 137 declared queries: the COMPLETE a-family
+  * text for 125 of the 138 declared queries: the COMPLETE a-family
   * (7/7), d-family (31/31), the b-family except the as-of trio, and
   * the c-family except the iterative-training queries — porting the
   * DuckDB-only constructs of [[SparkEntry.oracleSql]] to their Spark
@@ -1093,6 +1093,34 @@ object SqlEntry {
         |SELECT source, n_exact,
         |       abs(n_approx - n_exact) * 20 <= n_exact AS within_band
         |FROM a ORDER BY source""".stripMargin,
+    // kernel-riding: the registered qdigest_quantiles aggregate; the
+    // band arithmetic mirrors the DataFrame twin exactly (rank
+    // intervals widened by the deterministic bits·⌊n/k⌋+1 bound).
+    "c70_quantile_sketch" ->
+      """WITH vals AS (SELECT l_returnflag AS flag,
+        |                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |              FROM lineitem),
+        |est AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |               qdigest_quantiles(v, 24, 2048, 500, 900) AS e
+        |        FROM vals GROUP BY flag),
+        |e2 AS (SELECT flag, n, e[0] AS e50, e[1] AS e90 FROM est),
+        |cum AS (SELECT flag, v, sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum
+        |        FROM (SELECT flag, v, count(*) AS c FROM vals GROUP BY flag, v)),
+        |g AS (SELECT c.flag, n, e50, e90,
+        |             min(CASE WHEN cum >= (500 * n + 999) DIV 1000 THEN v END) AS exact_p50,
+        |             min(CASE WHEN cum >= (900 * n + 999) DIV 1000 THEN v END) AS exact_p90,
+        |             coalesce(max(CASE WHEN v <= e50 THEN cum END), CAST(0 AS BIGINT)) AS h50,
+        |             coalesce(max(CASE WHEN v <  e50 THEN cum END), CAST(0 AS BIGINT)) + 1 AS l50,
+        |             coalesce(max(CASE WHEN v <= e90 THEN cum END), CAST(0 AS BIGINT)) AS h90,
+        |             coalesce(max(CASE WHEN v <  e90 THEN cum END), CAST(0 AS BIGINT)) + 1 AS l90
+        |      FROM cum c JOIN e2 ON c.flag = e2.flag
+        |      GROUP BY c.flag, n, e50, e90)
+        |SELECT flag, n, exact_p50, exact_p90,
+        |       ((500 * n + 999) DIV 1000 >= l50 - (24 * (n DIV 2048) + 1) AND
+        |        (500 * n + 999) DIV 1000 <= h50 + (24 * (n DIV 2048) + 1) AND
+        |        (900 * n + 999) DIV 1000 >= l90 - (24 * (n DIV 2048) + 1) AND
+        |        (900 * n + 999) DIV 1000 <= h90 + (24 * (n DIV 2048) + 1)) AS sketch_within_band
+        |FROM g ORDER BY flag""".stripMargin,
     "c30_source_quota" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

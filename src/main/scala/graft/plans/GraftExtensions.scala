@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CountMinSketchAgg, LongArrayDot, MinHashBands, SimHash64, TokenNgrams}
+import graft.functions.{CountMinSketchAgg, LongArrayDot, MinHashBands, QDigestAgg, SimHash64, TokenNgrams}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.tokenNgrams)
     ext.injectFunction(GraftExtensions.countMinSketch)
+    ext.injectFunction(GraftExtensions.qdigestQuantiles)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
   }
@@ -77,6 +78,28 @@ object GraftExtensions {
       }
       CountMinSketchAgg(args.head,
         intLit(args(1), "depth"), intLit(args(2), "width")).toAggregateExpression()
+    })
+
+  /** (name, info, builder) for the aggregate
+    * `qdigest_quantiles(v, bits, k, q1[, q2, ...])` — bits/k and the
+    * permille targets must be integer literals (they size the buffer
+    * and the output array). Returns array<bigint> of rank estimates;
+    * see [[graft.functions.QDigestAgg]] for the worst-case bound.
+    */
+  val qdigestQuantiles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("qdigest_quantiles"),
+    new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest_quantiles"),
+    (args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      require(args.length >= 4,
+        "qdigest_quantiles(v, bits, k, q1[, q2, ...]) takes at least four arguments")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+      }
+      QDigestAgg(args.head, intLit(args(1), "bits"), intLit(args(2), "k"),
+        args.drop(3).zipWithIndex.map { case (e, i) => intLit(e, s"q${i + 1}") })
+        .toAggregateExpression()
     })
 
   /** (name, info, builder) for `token_ngrams(text, n[, max_starts[, skip_empty]])`

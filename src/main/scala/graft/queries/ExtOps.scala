@@ -141,6 +141,58 @@ object ExtOps {
             .as("within_band"))
         .orderBy(col("source"))
     }),
+    // c70 — mergeable q-digest rank statistics (completes the sketch
+    // quartet: CMS c42 frequency, HLL c45 distinct, KMV c47 sample,
+    // q-digest c70 worst-case-bounded quantiles): per return flag the
+    // 100 TB quantile shape — O(k·log U) state per partial aggregate,
+    // counts-add merge, one pass, no sort/value shuffle; only digests
+    // move. The digest's ESTIMATES depend on Spark's merge order, so
+    // per the c24 sketch contract the output carries only oracle-
+    // replayable columns: n, the EXACT p50/p90 price cents (rank-based
+    // integer arithmetic — this verification leg is bench-scale only;
+    // at 100 TB you ship just the digest aggregate), and the engine-
+    // computed assertion that each estimate's rank INTERVAL, widened by
+    // the deterministic q-digest bound bits·⌊n/k⌋+1, contains its
+    // target rank — pinned TRUE by the oracle. Interval, not point
+    // rank: with tied values even the exact percentile's point rank
+    // can sit far past the target.
+    "c70_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      val bits = 24
+      val k = 2048
+      val bound = lit(bits.toLong) * expr(s"n DIV $k") + lit(1L)
+      val vals = load(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      val digCol = GraftBridge.column(graft.functions.QDigestAgg(
+        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
+        .toAggregateExpression())
+      val est = vals.groupBy("flag")
+        .agg(count(lit(1)).as("n"), digCol.as("est"))
+        .select(col("flag"), col("n"),
+          col("est")(0).as("e50"), col("est")(1).as("e90"))
+      val cum = vals.groupBy(col("flag"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("flag").orderBy("v")))
+      val t50 = expr("(500 * n + 999) DIV 1000")
+      val t90 = expr("(900 * n + 999) DIV 1000")
+      cum.join(est, "flag")
+        .groupBy(col("flag"), col("n"), col("e50"), col("e90"))
+        .agg(
+          min(when(col("cum") >= t50, col("v"))).as("exact_p50"),
+          min(when(col("cum") >= t90, col("v"))).as("exact_p90"),
+          // estimate rank intervals: hi = count(≤ e), lo = count(< e)+1
+          coalesce(max(when(col("v") <= col("e50"), col("cum"))), lit(0L)).as("h50"),
+          (coalesce(max(when(col("v") < col("e50"), col("cum"))), lit(0L)) + lit(1L)).as("l50"),
+          coalesce(max(when(col("v") <= col("e90"), col("cum"))), lit(0L)).as("h90"),
+          (coalesce(max(when(col("v") < col("e90"), col("cum"))), lit(0L)) + lit(1L)).as("l90"))
+        .select(col("flag"), col("n"), col("exact_p50"), col("exact_p90"),
+          (t50 >= col("l50") - bound && t50 <= col("h50") + bound &&
+            t90 >= col("l90") - bound && t90 <= col("h90") + bound)
+            .as("sketch_within_band"))
+        .orderBy(col("flag"))
+    }),
     // c45 — oracle-replayable HLL distinct counting: c24's sketch idea
     // with every bit md5-derived and every step 64-bit integer, so the
     // DuckDB oracle replays the ESTIMATOR itself (registers, harmonic
@@ -1227,6 +1279,25 @@ object ExtOps {
         |       CAST(count(DISTINCT COALESCE(md5(text), '')) AS BIGINT) AS n_exact,
         |       true AS within_band
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // c70: exact rank percentiles replayed with identical integer
+    // arithmetic; the in-band boolean is the sketch's cross-engine
+    // promise, pinned TRUE (the c24 contract — see the Spark side).
+    "c70_quantile_sketch" ->
+      """WITH vals AS (SELECT l_returnflag AS flag,
+        |                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |              FROM lineitem),
+        |counts AS (SELECT flag, v, count(*) AS c FROM vals GROUP BY 1, 2),
+        |cum AS (SELECT flag, v,
+        |               sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum
+        |        FROM counts),
+        |nn AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1)
+        |SELECT nn.flag AS flag, nn.n AS n,
+        |       min(CASE WHEN c.cum >= (500 * nn.n + 999) // 1000 THEN c.v END) AS exact_p50,
+        |       min(CASE WHEN c.cum >= (900 * nn.n + 999) // 1000 THEN c.v END) AS exact_p90,
+        |       true AS sketch_within_band
+        |FROM cum c JOIN nn ON c.flag = nn.flag
+        |GROUP BY nn.flag, nn.n
+        |ORDER BY flag""".stripMargin,
     "c1_minhash_lsh" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |             FROM documents WHERE doc_id % 5 = 0),

@@ -33,7 +33,8 @@ object GraftBridge {
       graft.plans.GraftExtensions.simhash64,
       graft.plans.GraftExtensions.minhashBands,
       graft.plans.GraftExtensions.tokenNgrams,
-      graft.plans.GraftExtensions.countMinSketch).foreach { case (id, _, builder) =>
+      graft.plans.GraftExtensions.countMinSketch,
+      graft.plans.GraftExtensions.qdigestQuantiles).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }

@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.{GraftBridge, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q-digest: interval arithmetic, exactness below compression, the
+  * worst-case rank-error bound under compression and adversarial merge
+  * splits, bounded state, and the full DataFrame aggregation path.
+  */
+class QDigestAggSpec extends AnyFunSuite with SparkSpec {
+
+  private val bits = 16
+
+  /** straight-line model: digest-free exact rank percentile —
+    * smallest v with |{x ≤ v}| ≥ ceil(q·n/1000).
+    */
+  private def exactPermille(vs: Seq[Long], q: Int): Long = {
+    val sorted = vs.sorted
+    val target = ((q.toLong * vs.size + 999L) / 1000L).toInt
+    sorted(math.max(0, target - 1))
+  }
+
+  /** Tie-robust acceptance: a value `v` is within `bound` ranks of
+    * `target` if its rank INTERVAL [count(<v)+1, count(≤v)], widened by
+    * `bound` both ways, contains the target — with heavy ties even the
+    * exact percentile's point rank count(≤v) can sit far past the
+    * target, so a point-rank check would reject correct answers.
+    */
+  private def withinBound(vs: Seq[Long], v: Long, target: Long, bound: Long): Boolean = {
+    val rLo = vs.count(_ < v).toLong + 1
+    val rHi = vs.count(_ <= v).toLong
+    target >= rLo - bound && target <= rHi + bound
+  }
+
+  /** Drive the aggregate buffer protocol by hand: partition `vs` into
+    * `splits` chunks, update each into its own buffer (with per-buffer
+    * compression), then merge left-to-right — the executor/partial-
+    * aggregate dance without needing Spark.
+    */
+  private def digestOf(vs: Seq[Long], k: Int, splits: Int)
+      : java.util.HashMap[Long, Long] = {
+    val agg = QDigestAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      bits, k, Seq(500))
+    val chunks = vs.grouped(math.max(1, (vs.size + splits - 1) / splits)).toSeq
+    val bufs = chunks.map { c =>
+      val b = agg.createAggregationBuffer()
+      c.foreach { x =>
+        b.merge((1L << bits) + x, 1L, (p, q) => p + q)
+        if (b.size > 3 * k) QDigestAgg.compress(b, k)
+      }
+      b
+    }
+    bufs.reduceLeft { (a, b) => agg.merge(a, b) }
+  }
+
+  test("hi(): heap-id interval arithmetic") {
+    // bits=4 universe [0,16): root 1 covers hi=15; leaf 16+v covers v.
+    assert(QDigestAgg.hi(1L, 4) == 15L)
+    assert(QDigestAgg.hi(16L, 4) == 0L)
+    assert(QDigestAgg.hi(31L, 4) == 15L)
+    assert(QDigestAgg.hi(2L, 4) == 7L)   // left half [0,7]
+    assert(QDigestAgg.hi(3L, 4) == 15L)  // right half [8,15]
+    assert(QDigestAgg.hi(5L, 4) == 7L)   // second quarter [4,7]
+    assert(QDigestAgg.hi(6L, 4) == 11L)  // third quarter [8,11]
+  }
+
+  test("below compression the estimates are exact discrete percentiles") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(200)(rnd.nextInt(1 << bits).toLong)
+    val buf = digestOf(vs, k = 4096, splits = 3) // t = n/k = 0: no folding
+    for (q <- Seq(10, 250, 500, 900, 1000)) {
+      val est = QDigestAgg.quantiles(buf, bits, Seq(q))(0)
+      assert(est == exactPermille(vs, q), s"q=$q")
+    }
+  }
+
+  test("rank-error bound holds under compression and adversarial splits") {
+    val rnd = new scala.util.Random(42)
+    // skewed: dense cluster + heavy tail, the shape that stresses folding
+    val vs = Seq.fill(4000)(rnd.nextInt(64).toLong) ++
+      Seq.fill(2000)(rnd.nextInt(1 << bits).toLong) ++
+      Seq.fill(1000)((1 << bits) - 1 - rnd.nextInt(16).toLong)
+    val n = vs.size.toLong
+    val k = 64
+    val bound = bits.toLong * (n / k) + 1
+    for (splits <- Seq(1, 2, 7, 32)) {
+      val buf = digestOf(vs, k, splits)
+      assert(buf.size <= 6 * k, s"state ${buf.size} exceeds 6k at splits=$splits")
+      for (q <- Seq(100, 500, 950)) {
+        val est = QDigestAgg.quantiles(buf, bits, Seq(q))(0)
+        val target = (q.toLong * n + 999L) / 1000L
+        assert(withinBound(vs, est, target, bound),
+          s"splits=$splits q=$q: estimate $est out of rank band $bound")
+      }
+    }
+  }
+
+  test("DataFrame path: grouped, repartitioned, serialized — in bound; nulls skipped; empty group null") {
+    val rnd = new scala.util.Random(3)
+    val rows: Seq[Row] = (1 to 3000).map { i =>
+      Row(if (i % 2 == 0) "a" else "b",
+        if (i % 97 == 0) null else java.lang.Long.valueOf(rnd.nextInt(1 << bits).toLong))
+    } :+ Row("empty", null)
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType, nullable = true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).repartition(13)
+    val k = 64
+    val aggCol = GraftBridge.column(QDigestAgg(
+      GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
+      .toAggregateExpression())
+    val out = df.groupBy("g").agg(aggCol.as("est")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out("empty") == null, "all-null group must eval to null")
+    for (g <- Seq("a", "b")) {
+      val vs = rows.collect { case r: Row if r.getString(0) == g && r.get(1) != null =>
+        r.getLong(1) }
+      val n = vs.size.toLong
+      val bound = bits.toLong * (n / k) + 1
+      val est = out(g)
+      assert(est != null && est.size == 2)
+      for ((q, e) <- Seq(500, 900).zip(est)) {
+        val target = (q.toLong * n + 999L) / 1000L
+        assert(withinBound(vs, e, target, bound), s"g=$g q=$q est=$e bound=$bound")
+      }
+    }
+  }
+
+  test("out-of-universe value fails loudly") {
+    val agg = QDigestAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0, LongType, true),
+      8, 64, Seq(500))
+    val buf = agg.createAggregationBuffer()
+    val row = org.apache.spark.sql.catalyst.InternalRow(256L)
+    assertThrows[IllegalArgumentException] { agg.update(buf, row) }
+  }
+}
