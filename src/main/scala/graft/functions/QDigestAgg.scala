@@ -187,15 +187,20 @@ object QDigestAgg {
     val nodes = buf.entrySet().asScala.toArray
       .map(e => (hi(e.getKey, bits), -level(e.getKey), e.getValue))
       .sortBy(x => (x._1, x._2))
-    val targets = permille.map(q => (q.toLong * n + 999L) / 1000L)
+    // The scan needs ascending targets; callers may list quantiles in
+    // any order, so sort (target, slot) pairs and write through the
+    // original slot index.
+    val targets = permille.zipWithIndex
+      .map { case (q, slot) => ((q.toLong * n + 999L) / 1000L, slot) }
+      .sortBy(_._1)
     val out = new Array[Long](permille.size)
     var qi = 0
     var acc = 0L
     var i = 0
-    while (i < nodes.length && qi < out.length) {
+    while (i < nodes.length && qi < targets.size) {
       acc += nodes(i)._3
-      while (qi < out.length && acc >= targets(qi)) {
-        out(qi) = nodes(i)._1
+      while (qi < targets.size && acc >= targets(qi)._1) {
+        out(targets(qi)._2) = nodes(i)._1
         qi += 1
       }
       i += 1

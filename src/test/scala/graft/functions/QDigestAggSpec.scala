@@ -76,6 +76,10 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
       val est = QDigestAgg.quantiles(buf, bits, Seq(q))(0)
       assert(est == exactPermille(vs, q), s"q=$q")
     }
+    // slot order is the CALLER's order, whatever it is — a descending or
+    // shuffled target list must not smear one node across several slots
+    val multi = QDigestAgg.quantiles(buf, bits, Seq(900, 10, 500))
+    assert(multi.toSeq == Seq(900, 10, 500).map(exactPermille(vs, _)))
   }
 
   test("rank-error bound holds under compression and adversarial splits") {
