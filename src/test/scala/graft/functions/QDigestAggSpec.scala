@@ -36,22 +36,19 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     target >= rLo - bound && target <= rHi + bound
   }
 
-  /** Drive the aggregate buffer protocol by hand: partition `vs` into
-    * `splits` chunks, update each into its own buffer (with per-buffer
-    * compression), then merge left-to-right — the executor/partial-
+  /** Drive the aggregate buffer protocol through the REAL update/merge
+    * methods: partition `vs` into `splits` chunks, update each into its
+    * own buffer, then merge left-to-right — the executor/partial-
     * aggregate dance without needing Spark.
     */
-  private def digestOf(vs: Seq[Long], k: Int, splits: Int)
-      : java.util.HashMap[Long, Long] = {
-    val agg = QDigestAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L),
+  private def digestOf(vs: Seq[Long], k: Int, splits: Int): LongLongCountMap = {
+    val agg = QDigestAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0, LongType, true),
       bits, k, Seq(500))
     val chunks = vs.grouped(math.max(1, (vs.size + splits - 1) / splits)).toSeq
     val bufs = chunks.map { c =>
       val b = agg.createAggregationBuffer()
-      c.foreach { x =>
-        b.merge((1L << bits) + x, 1L, (p, q) => p + q)
-        if (b.size > 3 * k) QDigestAgg.compress(b, k)
-      }
+      c.foreach(x => agg.update(b, org.apache.spark.sql.catalyst.InternalRow(x)))
       b
     }
     bufs.reduceLeft { (a, b) => agg.merge(a, b) }
@@ -93,7 +90,8 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     val bound = bits.toLong * (n / k) + 1
     for (splits <- Seq(1, 2, 7, 32)) {
       val buf = digestOf(vs, k, splits)
-      assert(buf.size <= 6 * k, s"state ${buf.size} exceeds 6k at splits=$splits")
+      assert(buf.size <= 6 * k + 1,
+        s"state ${buf.size} exceeds the 6k+1 trigger bound at splits=$splits")
       for (q <- Seq(100, 500, 950)) {
         val est = QDigestAgg.quantiles(buf, bits, Seq(q))(0)
         val target = (q.toLong * n + 999L) / 1000L

@@ -1,0 +1,67 @@
+package graft.operators
+
+/** Throwaway-style A/B harness for c70's component costs (kept, like
+  * D22Ab, as the committed record of the measurement): times the digest
+  * aggregate alone, the exact-verification cum/window leg alone, and
+  * the full query, at SPARK_GRAFT_SF_DIR (default sf0.1).
+  * Run: `sbt "Test/runMain graft.operators.C70Ab"`.
+  */
+object C70Ab {
+
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.GraftBridge
+
+    val vals = graft.queries.Tables.load(spark, sfDir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+
+    def time(name: String)(f: => Unit): Unit = {
+      f // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${ts.sorted.apply(1)}%.3f s  (passes ${ts.map(t => f"$t%.2f").mkString(",")})")
+    }
+
+    val digCol = GraftBridge.column(graft.functions.QDigestAgg(
+      GraftBridge.expression(col("v")), 24, 2048, Seq(500, 900))
+      .toAggregateExpression())
+
+    time("scan+project only") {
+      vals.agg(count(lit(1))).collect()
+    }
+    time("cast forced, sum(v)") {
+      vals.groupBy("flag").agg(sum(col("v"))).collect()
+    }
+    time("digest agg") {
+      vals.groupBy("flag").agg(count(lit(1)).as("n"), digCol.as("est")).collect()
+    }
+    time("digest agg, pre-agg'd input") {
+      // weighted by the (flag,v) counts: same digest, 594k -> same rows
+      vals.groupBy("flag").agg(digCol.as("est")).collect()
+    }
+    time("counts groupBy(flag,v)") {
+      vals.groupBy("flag", "v").agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()
+    }
+    time("cum window leg") {
+      vals.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("flag").orderBy("v")))
+        .agg(count(lit(1))).collect()
+    }
+    time("full c70") {
+      graft.queries.ExtOps.queries("c70_quantile_sketch")(spark, sfDir).collect()
+    }
+    spark.stop()
+  }
+}
