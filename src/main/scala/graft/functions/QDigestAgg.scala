@@ -43,6 +43,7 @@ final case class QDigestAgg(
     bits: Int,
     k: Int,
     quantilesPermille: Seq[Int],
+    weight: Expression = org.apache.spark.sql.catalyst.expressions.Literal(1L),
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[LongLongCountMap] {
@@ -53,13 +54,15 @@ final case class QDigestAgg(
     quantilesPermille.forall(q => q >= 1 && q <= 1000),
     "quantiles are permille ranks in [1, 1000]")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a bigint column, got ${dt.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (dt, wt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint value, bigint weight), got " +
+          s"${dt.catalogString} and ${wt.catalogString}")
+    }
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "qdigest_quantiles"
@@ -75,8 +78,17 @@ final case class QDigestAgg(
       val x = v.asInstanceOf[Long]
       require(x >= 0 && x < leafBase,
         s"qdigest value $x outside universe [0, $leafBase) — rescale or raise bits")
-      buf.addTo(leafBase + x, 1L)
-      if (buf.size > QDigestAgg.compressTrigger(k)) QDigestAgg.compress(buf, k)
+      // Weighted ingest (a pre-aggregated (value, count) table is the
+      // same multiset): a null weight skips the row, like a null value.
+      val w = weight.eval(input)
+      if (w != null) {
+        val wl = w.asInstanceOf[Long]
+        require(wl >= 0, s"qdigest weight $wl is negative")
+        if (wl > 0) {
+          buf.addTo(leafBase + x, wl)
+          if (buf.size > QDigestAgg.compressTrigger(k)) QDigestAgg.compress(buf, k)
+        }
+      }
     }
     buf
   }
@@ -112,7 +124,7 @@ final case class QDigestAgg(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): QDigestAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head, weight = newChildren(1))
 }
 
 object QDigestAgg {

@@ -157,14 +157,17 @@ object ExtOps {
     // rank: with tied values even the exact percentile's point rank
     // can sit far past the target.
     //
-    // Cost decomposition at sf0.1 (C70Ab, committed): digest leg 1.2 s
-    // — the typed-imperative partial agg runs on ONE task because the
-    // local lineitem parquet is a single row group (a bench-layout
-    // artifact; real inputs have thousands of splits and the map-side
-    // partials parallelize) — and exact-verification legs ~1.5 s
-    // (594k distinct prices → counts + per-flag cum window + band
-    // join), which exist ONLY for the oracle contract; the production
-    // path at 100 TB is the digest aggregate alone.
+    // Cost shape at sf0.1 (C70Ab is the committed A/B record): ONE
+    // lineitem scan builds the (flag, v, c) counts table — bounded by
+    // the VALUE DOMAIN, not by row count — which is localCheckpoint-
+    // materialized for its two consumers (the c49/c55 twice-referenced
+    // discipline): the digest ingests it WEIGHTED (addTo(v, c) — the
+    // identical multiset, and the partial aggregates run parallel on
+    // the post-shuffle side instead of single-file scan tasks), and
+    // the cum window + band join replay the exact ranks for the
+    // oracle. The production path at 100 TB is the digest aggregate
+    // alone over raw rows (QuantileStream.digestCol) — no counts
+    // table, no shuffle of values, only digests move.
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
       val bits = 24
@@ -173,16 +176,17 @@ object ExtOps {
       val vals = load(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      val counts = vals.groupBy(col("flag"), col("v"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
-        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
+        GraftBridge.expression(col("v")), bits, k, Seq(500, 900),
+        GraftBridge.expression(col("c")))
         .toAggregateExpression())
-      val est = vals.groupBy("flag")
-        .agg(count(lit(1)).as("n"), digCol.as("est"))
+      val est = counts.groupBy("flag")
+        .agg(sum(col("c")).as("n"), digCol.as("est"))
         .select(col("flag"), col("n"),
           col("est")(0).as("e50"), col("est")(1).as("e90"))
-      val cum = vals.groupBy(col("flag"), col("v"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum",
+      val cum = counts.withColumn("cum",
           sum(col("c")).over(Window.partitionBy("flag").orderBy("v")))
       val t50 = expr("(500 * n + 999) DIV 1000")
       val t90 = expr("(900 * n + 999) DIV 1000")

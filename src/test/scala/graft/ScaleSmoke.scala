@@ -59,6 +59,7 @@ object ScaleSmoke {
     "b12_waiting_suppliers", "b13_part_top_supplier", "c1_minhash_lsh",
     "c9_token_count", "c15_dedup_groups", "c17_quality_filter",
     "c27_contamination", "c51_ts_similar_users", "c55_containment",
+    "c70_quantile_sketch",
     "d2_rollup_pricing", "d8_percentiles", "d22_table_profile",
     "d29_ref_integrity")
 

@@ -133,6 +133,31 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("weighted ingest of a (value, count) table carries the multiset contract") {
+    val rnd = new scala.util.Random(19)
+    val vs = Seq.fill(5000)(rnd.nextInt(256).toLong * rnd.nextInt(8))
+    val counts = vs.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }.toSeq
+    val schema = StructType(Seq(
+      StructField("v", LongType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    val rows = counts.map { case (v, c) => Row(v, c) }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).repartition(7)
+    val k = 64
+    val aggCol = GraftBridge.column(QDigestAgg(
+      GraftBridge.expression(col("v")), bits, k, Seq(500, 900),
+      GraftBridge.expression(col("c"))).toAggregateExpression())
+    val est = df.agg(aggCol.as("est")).head().getSeq[Long](0)
+    val n = vs.size.toLong
+    val bound = bits.toLong * (n / k) + 1
+    for ((q, e) <- Seq(500, 900).zip(est)) {
+      val target = (q.toLong * n + 999L) / 1000L
+      assert(withinBound(vs, e, target, bound),
+        s"weighted q=$q est=$e outside rank band $bound")
+    }
+  }
+
   test("out-of-universe value fails loudly") {
     val agg = QDigestAgg(
       org.apache.spark.sql.catalyst.expressions.BoundReference(0, LongType, true),

@@ -47,8 +47,18 @@ object C70Ab {
       vals.groupBy("flag").agg(count(lit(1)).as("n"), digCol.as("est")).collect()
     }
     time("digest agg, pre-agg'd input") {
-      // weighted by the (flag,v) counts: same digest, 594k -> same rows
+      // raw rows again (the data is ~unique): no row reduction, no win
       vals.groupBy("flag").agg(digCol.as("est")).collect()
+    }
+    time("digest weighted from counts") {
+      // the shipped c70 shape: weighted ingest of the counts table —
+      // partials run parallel on the post-shuffle side, not on the
+      // single-row-group scan task
+      val counts = vals.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+      val wCol = GraftBridge.column(graft.functions.QDigestAgg(
+        GraftBridge.expression(col("v")), 24, 2048, Seq(500, 900),
+        GraftBridge.expression(col("c"))).toAggregateExpression())
+      counts.groupBy("flag").agg(sum(col("c")).as("n"), wCol.as("est")).collect()
     }
     time("counts groupBy(flag,v)") {
       vals.groupBy("flag", "v").agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()
