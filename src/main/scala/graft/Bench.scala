@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Locale-pinned decimal formatting for the machine-parsed JSON
+    * lines: the f-interpolator goes through String.format with the JVM
+    * DEFAULT locale, and a comma-decimal locale (de_DE, fr_FR, …)
+    * would render `123,457` — invalid JSON, resurrecting the exact
+    * parsed:null failure the summary line exists to fix.
+    */
+  private[graft] def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f",
+      v.asInstanceOf[AnyRef])
+
   private def loadavg(): String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -35,24 +45,26 @@ object Bench {
 
   /** The compact final stdout line. The driver keeps only the LAST 2000
     * chars of stdout and parses that tail as JSON; the full per-query
-    * line (~12 KB at 137 queries) overflows the window, so rounds 1–7
+    * line (~12 KB at 138 queries) overflows the window, so rounds 1–7
     * all recorded parsed:null. This line carries the headline totals,
     * load stamps, exec legs and the slowest `topN` queries at 3
-    * decimals, sized to always fit the tail (BenchSummarySpec pins the
-    * bound at 137 queries with worst-case names).
+    * decimals, sized to always fit the tail — the length is
+    * query-count-independent past the top-25 cap (BenchSummarySpec
+    * pins the bound with a 150-query worst-case-named inventory, under
+    * a comma-decimal default locale).
     */
   private[graft] def summaryLine(medians: Seq[(String, Double)], total: Double,
       sfDir: String, passes: Int, loadWarning: Boolean, load0: String,
       load1: String, wallSec: Double, execJson: String, outFile: String,
       topN: Int = 25): String = {
     val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(topN)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+      .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
       s""""queries_total":${medians.size},"queries":$slowest,""" +
       s""""queries_note":"slowest $topN of ${medians.size}; full per-query map in $outFile",""" +
       s""""passes":$passes,"load_warning":$loadWarning,""" +
       s""""loadavg_start":"$load0","loadavg_end":"$load1",""" +
-      f""""wall_sec":$wallSec%.1f$execJson}"""
+      s""""wall_sec":${fmt(wallSec, 1)}$execJson}"""
   }
 
   private def load1min(): Double =
@@ -94,9 +106,9 @@ object Bench {
         graft.operators.DistExecOptions())
       val c = graft.operators.DistExecJob.counters(status)
       val sec = (System.nanoTime() - t0) / 1e9
-      f""""exec":{"files":${c.executed},"failed":${c.failed},""" +
-        f""""bytes":${c.bytesExecuted},"sec":$sec%.3f,""" +
-        f""""files_per_sec":${c.executed / sec}%.1f}"""
+      s""""exec":{"files":${c.executed},"failed":${c.failed},""" +
+        s""""bytes":${c.bytesExecuted},"sec":${fmt(sec, 3)},""" +
+        s""""files_per_sec":${fmt(c.executed / sec, 1)}}"""
     } finally { deleteRec(src); deleteRec(dstRoot) }
   }
 
@@ -123,8 +135,8 @@ object Bench {
       val c = graft.operators.DistExecJob.counters(status)
       val sec = (System.nanoTime() - t0) / 1e9
       val mb = c.bytesExecuted / (1024.0 * 1024.0)
-      f""""exec_bytes":{"files":${c.executed},"failed":${c.failed},""" +
-        f""""bytes":${c.bytesExecuted},"sec":$sec%.3f,"mb_per_sec":${mb / sec}%.1f}"""
+      s""""exec_bytes":{"files":${c.executed},"failed":${c.failed},""" +
+        s""""bytes":${c.bytesExecuted},"sec":${fmt(sec, 3)},"mb_per_sec":${fmt(mb / sec, 1)}}"""
     } finally { deleteRec(src); deleteRec(dstRoot) }
   }
 

@@ -75,16 +75,18 @@ final case class QDigestAgg(
       input: InternalRow): LongLongCountMap = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
-      require(x >= 0 && x < leafBase,
-        s"qdigest value $x outside universe [0, $leafBase) — rescale or raise bits")
       // Weighted ingest (a pre-aggregated (value, count) table is the
-      // same multiset): a null weight skips the row, like a null value.
+      // same multiset): a null or zero weight skips the row, like a
+      // null value — including the universe check, so a skipped row
+      // can't fail the aggregation.
       val w = weight.eval(input)
       if (w != null) {
         val wl = w.asInstanceOf[Long]
         require(wl >= 0, s"qdigest weight $wl is negative")
         if (wl > 0) {
+          val x = v.asInstanceOf[Long]
+          require(x >= 0 && x < leafBase,
+            s"qdigest value $x outside universe [0, $leafBase) — rescale or raise bits")
           buf.addTo(leafBase + x, wl)
           if (buf.size > QDigestAgg.compressTrigger(k)) QDigestAgg.compress(buf, k)
         }

@@ -31,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Extract an integer-literal builder argument (buffer-sizing
+    * parameters must be literals) — shared by every builder below.
+    */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
   /** (name, info, builder) for `long_array_dot(array<bigint>, array<bigint>)`. */
   val longArrayDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("long_array_dot"),
@@ -69,13 +79,8 @@ object GraftExtensions {
     new FunctionIdentifier("count_min_sketch_exactable"),
     new ExpressionInfo(classOf[CountMinSketchAgg].getName, "count_min_sketch_exactable"),
     (args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Literal
       require(args.length == 3,
         "count_min_sketch_exactable(tok, depth, width) takes exactly three arguments")
-      def intLit(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _) => v
-        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
-      }
       CountMinSketchAgg(args.head,
         intLit(args(1), "depth"), intLit(args(2), "width")).toAggregateExpression()
     })
@@ -90,13 +95,8 @@ object GraftExtensions {
     new FunctionIdentifier("qdigest_quantiles"),
     new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest_quantiles"),
     (args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Literal
       require(args.length >= 4,
         "qdigest_quantiles(v, bits, k, q1[, q2, ...]) takes at least four arguments")
-      def intLit(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _) => v
-        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
-      }
       QDigestAgg(args.head, intLit(args(1), "bits"), intLit(args(2), "k"),
         args.drop(3).zipWithIndex.map { case (e, i) => intLit(e, s"q${i + 1}") })
         .toAggregateExpression()
@@ -111,13 +111,8 @@ object GraftExtensions {
     new FunctionIdentifier("token_ngrams"),
     new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
     (args: Seq[Expression]) => {
-      import org.apache.spark.sql.catalyst.expressions.Literal
       require(args.length >= 2 && args.length <= 4,
         "token_ngrams(text, n[, max_starts[, skip_empty]])")
-      def intLit(e: Expression, what: String): Int = e match {
-        case Literal(v: Int, _) => v
-        case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
-      }
       val maxStarts =
         if (args.length >= 3) intLit(args(2), "max_starts") else Int.MaxValue
       val skipEmpty = if (args.length == 4) args(3) match {

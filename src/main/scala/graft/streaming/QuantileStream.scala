@@ -39,6 +39,10 @@ object QuantileStream {
   def quantiles(rows: DataFrame, keyCol: String, valueCol: String,
       bits: Int, k: Int, permille: Seq[Int]): DataFrame =
     rows.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
+      // count(valueCol), not count(*): the digest skips null values, and
+      // n must describe the same multiset the digest ingested or a
+      // consumer's target rank ceil(q·n/1000) points past the digest's
+      // actual mass.
+      .agg(count(col(valueCol)).as("n"),
         digestCol(col(valueCol), bits, k, permille).as("est"))
 }

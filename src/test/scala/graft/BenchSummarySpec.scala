@@ -10,10 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSummarySpec extends AnyFunSuite {
 
-  // Worst-case realistic inventory: 137 queries with names as long as
-  // the longest real ones (c60_minhash_calibration = 23 chars; allow 28).
+  // Worst-case inventory: 150 queries (the suite is at 138 — headroom)
+  // with names as long as the longest real ones
+  // (c60_minhash_calibration = 23 chars; allow 28).
   private val medians: Seq[(String, Double)] =
-    (1 to 137).map(i => (f"c$i%02d_worst_case_query_name_xx", 123.456789))
+    (1 to 150).map(i => (f"c$i%03d_worst_case_query_name_x", 123.456789))
 
   private val exec =
     ""","exec":{"files":10000,"failed":0,"bytes":10240000,"sec":14.148,"files_per_sec":706.8}""" +
@@ -34,8 +35,20 @@ class BenchSummarySpec extends AnyFunSuite {
       "0 0 0", "0 0 0", 2.0, "", "out.json")
     assert(line.startsWith("""{"metric":"total","value":1.500,"unit":"sec""""))
     assert(line.count(_ == '{') == line.count(_ == '}'))
-    assert(line.contains(""""queries_total":137"""))
+    assert(line.contains(""""queries_total":150"""))
     assert(line.endsWith("}"))
+  }
+
+  test("summary line is locale-proof (comma-decimal default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
+      val line = Bench.summaryLine(medians.take(3), 12.5, "/x", 3,
+        loadWarning = false, "0 0 0", "0 0 0", 99.9, "", "out.json")
+      assert(line.contains(""""value":12.500"""),
+        s"decimal point lost to the default locale: $line")
+      assert(!line.contains("12,5"), s"comma decimal leaked into JSON: $line")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("failed queries (-1) are excluded from the slowest list") {
