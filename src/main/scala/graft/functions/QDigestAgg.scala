@@ -108,6 +108,11 @@ final case class QDigestAgg(
       QDigestAgg.quantiles(buf, bits, quantilesPermille))
 
   override def serialize(buf: LongLongCountMap): Array[Byte] = {
+    // Ship partials at steady-state size: a buffer sitting between the
+    // 3k post-compress floor and the 6k trigger halves its shuffle
+    // bytes by folding first. Safe at any time — each fold respects the
+    // same ⌊n/k⌋ invariant the error bound charges against.
+    if (buf.size > 3 * k) QDigestAgg.compress(buf, k)
     val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
     buf.foreachEntry((id, c) => { bb.putLong(id); bb.putLong(c) })
     bb.array()
