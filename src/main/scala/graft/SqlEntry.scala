@@ -10,9 +10,9 @@ import graft.queries.{ExtOps, Tables}
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically) and registers graft's
   * native SQL functions (`simhash64`, `minhash_bands`, `token_ngrams`,
-  * `long_array_dot`, `count_min_sketch_exactable` — the same
-  * [[graft.plans.GraftExtensions]] builders a cluster would inject via
-  * `spark.sql.extensions`), after which ANY curated query is reachable
+  * `long_array_dot`, `count_min_sketch_exactable`, `qdigest_quantiles`
+  * — the same [[graft.plans.GraftExtensions]] builders a cluster would
+  * inject via `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
   * text for 125 of the 138 declared queries: the COMPLETE a-family
   * (7/7), d-family (31/31), the b-family except the as-of trio, and
