@@ -14,7 +14,7 @@ import graft.queries.{ExtOps, Tables}
   * — the same [[graft.plans.GraftExtensions]] builders a cluster would
   * inject via `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
-  * text for 125 of the 138 declared queries: the COMPLETE a-family
+  * text for 126 of the 138 declared queries: the COMPLETE a-family
   * (7/7), d-family (31/31), the b-family except the as-of trio, and
   * the c-family except the iterative-training queries — porting the
   * DuckDB-only constructs of [[SparkEntry.oracleSql]] to their Spark
@@ -26,7 +26,7 @@ import graft.queries.{ExtOps, Tables}
   * twin in SqlEntrySpec, which runs both paths and compares collected
   * rows.
   *
-  * The 13 remaining queries are DataFrame-only, each for a structural
+  * The 12 remaining queries are DataFrame-only, each for a structural
   * reason no SQL text can express (not a missing port):
   *
   * | Query | Why no SQL text |
@@ -35,7 +35,6 @@ import graft.queries.{ExtOps, Tables}
   * | c11_multimodal | typed `mapPartitions` binary decode — imperative per-partition logic, not a relational expression |
   * | c12_ann_ivf, c31_semdedup, c34_cluster_profile, c56_diverse_sample, c65_label_outliers, c66_knn_agreement | driver-side Lloyd k-means training loop (literal-centroid codebook collected per round); Spark SQL has no iteration |
   * | c15_dedup_groups, c25_canonical_docs | connected components by min-label propagation run to FIXPOINT. Spark 4.1 DOES parse `WITH RECURSIVE`, but only with UNION ALL (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`, probed on this build) — on the SYMMETRIC near-dup edge set a UNION ALL closure walks cycles forever (and a depth-bounded variant enumerates paths, exponential in clique size), so a cycle-safe transitive closure is still inexpressible as text; DuckDB's oracle uses recursive UNION (set semantics), which is exactly the part Spark lacks |
-  * | c62_textrank_keywords | TextRank power iteration (fixed-point loop over the token graph) |
   */
 object SqlEntry {
 
@@ -946,6 +945,49 @@ object SqlEntry {
         |         AS dup_fraction_x1000,
         |       CAST(count(*) FILTER (WHERE n_dup * 2 >= n_ng) AS BIGINT) AS n_boilerplate_docs
         |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    // c62: the TextRank loop runs a FIXED 4 rounds (CorpusRank.Rounds —
+    // chosen precisely so the oracle could replay it as chained CTEs),
+    // so the "iterative" part unrolls into four rank CTEs; truncation
+    // points (per-edge DIV wt, then ×850 DIV 1000) mirror the
+    // DataFrame twin's DECIMAL(38,0) arithmetic bit for bit.
+    "c62_textrank_keywords" ->
+      """WITH t AS (SELECT filter(split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |bg AS (SELECT element_at(tk, i) AS u, element_at(tk, i + 1) AS v
+        |       FROM (SELECT tk, explode(sequence(1, size(tk) - 1)) AS i
+        |             FROM t WHERE size(tk) >= 2)),
+        |bi AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM bg WHERE u <> v GROUP BY 1, 2),
+        |e AS (SELECT u, v, CAST(sum(c) AS BIGINT) AS w FROM (
+        |        SELECT u, v, c FROM bi
+        |        UNION ALL SELECT v AS u, u AS v, c FROM bi)
+        |      GROUP BY u, v),
+        |wo AS (SELECT u, CAST(sum(w) AS BIGINT) AS wt,
+        |              CAST(count(*) AS BIGINT) AS degree
+        |       FROM e GROUP BY u),
+        |r0 AS (SELECT u AS tok, CAST(1000000 AS BIGINT) AS r FROM wo),
+        |r1 AS (SELECT e.v AS tok,
+        |         CAST((850 * sum(CAST((CAST(r.r AS DECIMAL(38,0)) * e.w) DIV wo.wt
+        |                              AS DECIMAL(38,0)))) DIV 1000 + 150000 AS BIGINT) AS r
+        |       FROM e JOIN wo ON e.u = wo.u JOIN r0 r ON r.tok = e.u
+        |       GROUP BY e.v),
+        |r2 AS (SELECT e.v AS tok,
+        |         CAST((850 * sum(CAST((CAST(r.r AS DECIMAL(38,0)) * e.w) DIV wo.wt
+        |                              AS DECIMAL(38,0)))) DIV 1000 + 150000 AS BIGINT) AS r
+        |       FROM e JOIN wo ON e.u = wo.u JOIN r1 r ON r.tok = e.u
+        |       GROUP BY e.v),
+        |r3 AS (SELECT e.v AS tok,
+        |         CAST((850 * sum(CAST((CAST(r.r AS DECIMAL(38,0)) * e.w) DIV wo.wt
+        |                              AS DECIMAL(38,0)))) DIV 1000 + 150000 AS BIGINT) AS r
+        |       FROM e JOIN wo ON e.u = wo.u JOIN r2 r ON r.tok = e.u
+        |       GROUP BY e.v),
+        |r4 AS (SELECT e.v AS tok,
+        |         CAST((850 * sum(CAST((CAST(r.r AS DECIMAL(38,0)) * e.w) DIV wo.wt
+        |                              AS DECIMAL(38,0)))) DIV 1000 + 150000 AS BIGINT) AS r
+        |       FROM e JOIN wo ON e.u = wo.u JOIN r3 r ON r.tok = e.u
+        |       GROUP BY e.v)
+        |SELECT r4.tok, wo.degree, wo.wt AS w_out, r4.r AS rank_x1m
+        |FROM r4 JOIN wo ON wo.u = r4.tok
+        |ORDER BY rank_x1m DESC, tok LIMIT 30""".stripMargin,
     "c67_triangle_tokens" ->
       """WITH t AS (SELECT filter(split(text, ' '), x -> x <> '') AS tk
         |           FROM documents),
