@@ -158,6 +158,32 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: rank band holds for arbitrary multisets, splits, k and q") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // distributions that stress folding: uniform, clustered, and
+    // heavy-tie multisets over a small universe
+    val values: Gen[List[Long]] = for {
+      n <- Gen.choose(50, 1200)
+      mode <- Gen.oneOf(0, 1, 2)
+      vs <- Gen.listOfN(n, mode match {
+        case 0 => Gen.choose(0L, (1L << bits) - 1)           // uniform
+        case 1 => Gen.choose(0L, 63L)                        // dense cluster
+        case 2 => Gen.oneOf(0L, 1L, 7L, (1L << bits) - 1)    // heavy ties
+      })
+    } yield vs
+    val prop = Prop.forAll(values, Gen.choose(1, 9), Gen.oneOf(16, 64, 256),
+      Gen.choose(1, 1000)) { (vs, splits, k, q) =>
+      val buf = digestOf(vs, k, splits)
+      val est = QDigestAgg.quantiles(buf, bits, Seq(q))(0)
+      val n = vs.size.toLong
+      val target = (q.toLong * n + 999L) / 1000L
+      val bound = bits.toLong * (n / k) + 1
+      withinBound(vs, est, target, bound)
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(150), prop).passed)
+  }
+
   test("out-of-universe value fails loudly") {
     val agg = QDigestAgg(
       org.apache.spark.sql.catalyst.expressions.BoundReference(0, LongType, true),
