@@ -1138,11 +1138,12 @@ object SqlEntry {
     // kernel-riding: the registered qdigest_quantiles aggregate; the
     // band arithmetic mirrors the DataFrame twin exactly (rank
     // intervals widened by the deterministic bits·⌊n/k⌋+1 bound). The
-    // text digests RAW rows where the DataFrame twin ingests the
-    // counts table weighted — different merge orders, possibly
-    // different estimates, but the OUTPUT columns (n, exact
-    // percentiles, in-band boolean) are estimate-independent by the
-    // band contract, so row-identity still holds.
+    // text replays exact ranks through a counts-table cum window where
+    // the DataFrame twin uses row_number over raw rows (its repartition
+    // + localCheckpoint has no SQL spelling) — different digest merge
+    // orders, possibly different estimates, but the OUTPUT columns
+    // (n, exact percentiles, in-band boolean) are estimate-independent
+    // by the band contract, so row-identity still holds.
     "c70_quantile_sketch" ->
       """WITH vals AS (SELECT l_returnflag AS flag,
         |                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v

@@ -158,16 +158,24 @@ object ExtOps {
     // can sit far past the target.
     //
     // Cost shape at sf0.1 (C70Ab is the committed A/B record): ONE
-    // lineitem scan builds the (flag, v, c) counts table — bounded by
-    // the VALUE DOMAIN, not by row count — which is localCheckpoint-
-    // materialized for its two consumers (the c49/c55 twice-referenced
-    // discipline): the digest ingests it WEIGHTED (addTo(v, c) — the
-    // identical multiset, and the partial aggregates run parallel on
-    // the post-shuffle side instead of single-file scan tasks), and
-    // the cum window + band join replay the exact ranks for the
-    // oracle. The production path at 100 TB is the digest aggregate
-    // alone over raw rows (QuantileStream.digestCol) — no counts
-    // table, no shuffle of values, only digests move.
+    // lineitem scan, raw (flag, v) rows repartitioned on (flag, v) and
+    // localCheckpoint-materialized for the two consumers (the c49/c55
+    // twice-referenced discipline). The first cut pre-aggregated a
+    // (flag, v, c) counts table here on a value-domain argument — but
+    // MEASURED, prices are nearly unique (594,330 distinct (flag, v)
+    // pairs from 600,000 rows at sf0.1), so the hash aggregation +
+    // weighted ingest bought no compression and cost 2.0 s warm where
+    // the raw shape costs 1.1 s (C70Ab). The digest leg runs partial
+    // aggregates on the 32 post-shuffle partitions (the repartition
+    // exists ONLY because the bench file is a single parquet row group
+    // — on a real multi-file scan the partials ride the scan tasks and
+    // the repartition should be dropped: no value shuffle, only digests
+    // move, which is the production path QuantileStream.digestCol
+    // ships). The replay leg replaces the cum window over counts with
+    // row_number over raw rows — within ties rn is assigned arbitrarily,
+    // but min(v | rn ≥ t) is the value AT rank t either way — and the
+    // rank intervals collapse to plain conditional counts
+    // (count(v ≤ e) needs no window at all).
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
       val bits = 24
@@ -176,33 +184,30 @@ object ExtOps {
       val vals = load(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
-      val counts = vals.groupBy(col("flag"), col("v"))
-        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val dist = vals.repartition(col("flag"), col("v")).localCheckpoint(true)
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
-        GraftBridge.expression(col("v")), bits, k, Seq(500, 900),
-        GraftBridge.expression(col("c")))
+        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
         .toAggregateExpression())
-      val est = counts.groupBy("flag")
-        .agg(sum(col("c")).as("n"), digCol.as("est"))
+      val est = dist.groupBy("flag")
+        .agg(count(lit(1)).as("n"), digCol.as("est"))
         .select(col("flag"), col("n"),
           col("est")(0).as("e50"), col("est")(1).as("e90"))
-      val cum = counts.withColumn("cum",
-          sum(col("c")).over(Window.partitionBy("flag").orderBy("v")))
+      val rn = dist.withColumn("rn",
+          row_number().over(Window.partitionBy("flag").orderBy("v")))
       val t50 = expr("(500 * n + 999) DIV 1000")
       val t90 = expr("(900 * n + 999) DIV 1000")
-      // broadcast the per-flag digest row (|flags| rows) — the cum side
-      // is value-domain sized (distinct prices per flag) and must stay
-      // shuffled at scale
-      cum.join(broadcast(est), "flag")
+      // broadcast the per-flag digest row (|flags| rows) — the row side
+      // must stay shuffled at scale
+      rn.join(broadcast(est), "flag")
         .groupBy(col("flag"), col("n"), col("e50"), col("e90"))
         .agg(
-          min(when(col("cum") >= t50, col("v"))).as("exact_p50"),
-          min(when(col("cum") >= t90, col("v"))).as("exact_p90"),
+          min(when(col("rn") >= t50, col("v"))).as("exact_p50"),
+          min(when(col("rn") >= t90, col("v"))).as("exact_p90"),
           // estimate rank intervals: hi = count(≤ e), lo = count(< e)+1
-          coalesce(max(when(col("v") <= col("e50"), col("cum"))), lit(0L)).as("h50"),
-          (coalesce(max(when(col("v") < col("e50"), col("cum"))), lit(0L)) + lit(1L)).as("l50"),
-          coalesce(max(when(col("v") <= col("e90"), col("cum"))), lit(0L)).as("h90"),
-          (coalesce(max(when(col("v") < col("e90"), col("cum"))), lit(0L)) + lit(1L)).as("l90"))
+          sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("h50"),
+          (sum(when(col("v") < col("e50"), 1L).otherwise(0L)) + lit(1L)).as("l50"),
+          sum(when(col("v") <= col("e90"), 1L).otherwise(0L)).as("h90"),
+          (sum(when(col("v") < col("e90"), 1L).otherwise(0L)) + lit(1L)).as("l90"))
         .select(col("flag"), col("n"), col("exact_p50"), col("exact_p90"),
           (t50 >= col("l50") - bound && t50 <= col("h50") + bound &&
             t90 >= col("l90") - bound && t90 <= col("h90") + bound)

@@ -51,14 +51,34 @@ object C70Ab {
       vals.groupBy("flag").agg(digCol.as("est")).collect()
     }
     time("digest weighted from counts") {
-      // the shipped c70 shape: weighted ingest of the counts table —
-      // partials run parallel on the post-shuffle side, not on the
-      // single-row-group scan task
+      // the r8-first-cut c70 shape, SUPERSEDED by the raw-repartition
+      // shape now shipped: weighted ingest of a (flag, v, c) counts
+      // table. Rationale was value-domain compression + post-shuffle
+      // parallelism, but prices are ~unique (594,330 distinct (flag, v)
+      // of 600,000 rows at sf0.1) so the hash aggregation bought no row
+      // reduction — full-query 2.0 s warm vs 1.1 s for raw repartition
+      // (which gets the same post-shuffle parallelism without the agg).
       val counts = vals.groupBy("flag", "v").agg(count(lit(1)).as("c"))
       val wCol = GraftBridge.column(graft.functions.QDigestAgg(
         GraftBridge.expression(col("v")), 24, 2048, Seq(500, 900),
         GraftBridge.expression(col("c"))).toAggregateExpression())
       counts.groupBy("flag").agg(sum(col("c")).as("n"), wCol.as("est")).collect()
+    }
+    time("digest from raw repartition") {
+      // the shipped shape's digest leg: plain repartition for
+      // parallelism (the bench file is one row group), no aggregation
+      vals.repartition(col("flag"), col("v"))
+        .groupBy("flag").agg(count(lit(1)).as("n"), digCol.as("est")).collect()
+    }
+    time("rn window leg (raw rows)") {
+      // the shipped shape's replay leg: row_number over raw rows —
+      // within ties rn is arbitrary but min(v | rn >= t) is the value
+      // at rank t either way; rank intervals are plain conditional
+      // counts and need no window
+      vals.repartition(col("flag"), col("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("flag").orderBy("v")))
+        .agg(count(lit(1))).collect()
     }
     time("counts groupBy(flag,v)") {
       vals.groupBy("flag", "v").agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()
