@@ -14,8 +14,8 @@ import graft.queries.{ExtOps, Tables}
   * — the same [[graft.plans.GraftExtensions]] builders a cluster would
   * inject via `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
-  * text for 126 of the 138 declared queries: the COMPLETE a-family
-  * (7/7), d-family (31/31), the b-family except the as-of trio, and
+  * text for 128 of the 140 declared queries: the COMPLETE a-family
+  * (7/7), d-family (32/32), the b-family except the as-of trio, and
   * the c-family except the iterative-training queries — porting the
   * DuckDB-only constructs of [[SparkEntry.oracleSql]] to their Spark
   * spellings (`unnest(string_split(...))` → `explode(split(...))`,
@@ -1477,6 +1477,32 @@ object SqlEntry {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |       min(o_custkey) AS min_key, max(o_custkey) AS max_key
         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "d32_ols_trend" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name,
+        |         CAST((year(o.o_orderdate) - 1995) * 12
+        |           + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+        |         sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, x),
+        |sums AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx
+        |  FROM monthly GROUP BY n_name),
+        |nd AS (
+        |  SELECT n_name, n AS n_months,
+        |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM sums)
+        |SELECT n_name, n_months,
+        |       CAST(num AS DOUBLE) / CAST(nullif(den, CAST(0 AS BIGINT)) AS DOUBLE)
+        |         AS slope_cents_per_month,
+        |       CASE WHEN num > 0 THEN 'up' WHEN num < 0 THEN 'down'
+        |            ELSE 'flat' END AS trend
+        |FROM nd ORDER BY n_name""".stripMargin,
     // unix_micros(ts) and `div` are the Spark spellings of DuckDB's
     // epoch_us(ts) and `//`.
     "d23_funnel" ->
@@ -1809,6 +1835,40 @@ object SqlEntry {
          |SELECT e.g AS lang, e.n_exact,
          |       (${graft.operators.HllDistinct.Num}L div s) div 1000000 AS n_est, a.n_empty
          |FROM exact e JOIN agg a ON e.g = a.g ORDER BY lang""".stripMargin,
+    // c45's register pipeline keyed by source, then pairwise union =
+    // element-wise register max and inclusion-exclusion readout.
+    "c71_overlap_hll" ->
+      s"""WITH h AS (SELECT DISTINCT source AS g, md5(CAST(text AS BINARY)) AS h
+         |           FROM documents WHERE source IS NOT NULL),
+         |ranked AS (SELECT g,
+         |             CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % ${graft.operators.HllDistinct.M} AS bucket,
+         |             CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT) AS x FROM h),
+         |regs0 AS (SELECT g, bucket,
+         |            max(CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END) AS mj
+         |          FROM ranked GROUP BY g, bucket),
+         |frame AS (SELECT g, id AS bucket
+         |          FROM (SELECT DISTINCT g FROM h) CROSS JOIN range(${graft.operators.HllDistinct.M})),
+         |regs AS (SELECT f.g, f.bucket, coalesce(r.mj, 0) AS mj
+         |         FROM frame f LEFT JOIN regs0 r ON f.g = r.g AND f.bucket = r.bucket),
+         |per AS (SELECT g, (${graft.operators.HllDistinct.Num}L div
+         |          sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT)))) div 1000000 AS est
+         |        FROM regs GROUP BY g),
+         |eu AS (SELECT a.g AS source_a, b.g AS source_b,
+         |         (${graft.operators.HllDistinct.Num}L div
+         |           sum(shiftleft(CAST(1 AS BIGINT),
+         |             CAST(33 - greatest(a.mj, b.mj) AS INT)))) div 1000000 AS est_union
+         |       FROM regs a JOIN regs b ON a.bucket = b.bucket AND a.g < b.g
+         |       GROUP BY a.g, b.g),
+         |ex AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_exact_shared
+         |       FROM h a JOIN h b ON a.h = b.h AND a.g < b.g GROUP BY a.g, b.g)
+         |SELECT eu.source_a, eu.source_b, pa.est AS est_a, pb.est AS est_b,
+         |       eu.est_union,
+         |       greatest(pa.est + pb.est - eu.est_union, CAST(0 AS BIGINT)) AS est_shared,
+         |       coalesce(ex.n_exact_shared, CAST(0 AS BIGINT)) AS n_exact_shared
+         |FROM eu JOIN per pa ON pa.g = eu.source_a
+         |        JOIN per pb ON pb.g = eu.source_b
+         |        LEFT JOIN ex ON ex.source_a = eu.source_a AND ex.source_b = eu.source_b
+         |ORDER BY eu.source_a, eu.source_b""".stripMargin,
     // The DataFrame twin's KMV sample rides the TopKPerKey bounded-heap
     // operator; the text spells the same top-k as a row_number window —
     // with GraftExtensions injected, RowNumberTopKRewrite plans this

@@ -50,13 +50,15 @@ object HllDistinct {
     */
   val Num: Long = AlphaPpm * M.toLong * M.toLong * (1L << 33)
 
-  /** Per-group distinct estimate next to the exact count.
-    * Output: (g, n_exact, n_est, n_empty) ordered by g. Rows with a
-    * NULL group are excluded up front — the final equi-join on the
-    * group key is not null-safe, so a NULL group would otherwise be
-    * counted on both sides and then silently dropped from the output.
+  /** Frame-complete register table for a keyed HLL: one row per
+    * (group, bucket 0..[[M]]) with `mj` = max rank seen (0 for an empty
+    * register). This is the MERGEABLE sketch surface: union of two key
+    * sets = element-wise `max` of their register rows (max is
+    * associative/duplicate-insensitive), which is what [[estimate]]'s
+    * per-group readout and c71's pairwise inclusion-exclusion both
+    * consume. Rows with a NULL group are excluded up front.
     */
-  def estimate(rows: DataFrame, group: Column, key: Column): DataFrame = {
+  def registers(rows: DataFrame, group: Column, key: Column): DataFrame = {
     val spark = rows.sparkSession
     val h = rows.filter(group.isNotNull)
       .select(group.as("g"), md5(key.cast("binary")).as("h"))
@@ -71,8 +73,29 @@ object HllDistinct {
     // (group × all buckets) frame restores them (tiny: |groups| · M).
     val frame = h.select(col("g")).distinct()
       .crossJoin(spark.range(M).select(col("id").as("bucket")))
-    val regs = frame.join(regs0, Seq("g", "bucket"), "left")
+    frame.join(regs0, Seq("g", "bucket"), "left")
       .withColumn("mj", coalesce(col("mj"), lit(0)))
+  }
+
+  /** The integer harmonic-mean readout of a register-sum column (named
+    * by `sumCol`): `(AlphaPpm·M²·2^33) div s div 10^6` — floor division
+    * on positive longs, bit-identical cross-engine. Takes the column
+    * NAME because Spark's `/` on Columns is always double division;
+    * `div` (integral divide) only has an SQL-text spelling.
+    */
+  def estFromS(sumCol: String): Column =
+    expr(s"(${Num}L div $sumCol) div 1000000")
+
+  /** Per-group distinct estimate next to the exact count.
+    * Output: (g, n_exact, n_est, n_empty) ordered by g. Rows with a
+    * NULL group are excluded up front — the final equi-join on the
+    * group key is not null-safe, so a NULL group would otherwise be
+    * counted on both sides and then silently dropped from the output.
+    */
+  def estimate(rows: DataFrame, group: Column, key: Column): DataFrame = {
+    val h = rows.filter(group.isNotNull)
+      .select(group.as("g"), md5(key.cast("binary")).as("h"))
+    val regs = registers(rows, group, key)
     val agg = regs.groupBy(col("g")).agg(
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"),
       sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_empty"))
@@ -81,7 +104,7 @@ object HllDistinct {
     val exact = h.groupBy(col("g")).agg(countDistinct(col("h")).as("n_exact"))
     exact.join(agg, "g")
       .select(col("g"), col("n_exact"),
-        expr(s"(${Num}L div s) div 1000000").as("n_est"), col("n_empty"))
+        estFromS("s").as("n_est"), col("n_empty"))
       .orderBy(col("g"))
   }
 }

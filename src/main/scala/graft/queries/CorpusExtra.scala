@@ -170,6 +170,61 @@ object CorpusExtra {
         .select(col("da"), col("db"), col("n_shared"), col("fp_a"), col("fp_b"))
         .orderBy(col("n_shared").desc, col("da"), col("db"))
         .limit(50)
+    }),
+
+    // c71 — sketch-space cross-source overlap: c58's question ("how
+    // much do my sources share?") answered WITHOUT a corpus-sized
+    // pairwise hash join. Each source keeps M=32 oracle-replayable HLL
+    // registers (operators.HllDistinct — every bit md5-derived,
+    // integer-only readout); a pair's UNION is the element-wise
+    // register max (HLL's defining mergeability), and the shared-count
+    // estimate is inclusion-exclusion est_a + est_b − est_union,
+    // clamped at 0. Scale shape: the corpus is touched ONCE and the
+    // register aggregate combines map-side like any HLL — only
+    // |sources|·M longs cross the wire; the pairwise leg is registers ⋈
+    // registers, |sources|²·M/2 rows of pure arithmetic, corpus-size-
+    // INDEPENDENT — where c58's exact join moves n_hashes × |sources|²
+    // rows. At 10⁴ sources over 100 TB that is 1.6e9 tiny rows vs
+    // re-shuffling every document hash 10⁸ times. The exact shared
+    // count rides along to GRADE the sketch (the c24/c45 discipline):
+    // with 32 registers σ ≈ 18% per estimate, so small intersections
+    // are noise — the exact column is the audit that says so.
+    "c71_overlap_hll" -> ((s, dir) => {
+      import graft.operators.HllDistinct
+      val docs = load(s, dir, "documents")
+      // tiny (|sources|·M rows) with three consumers — checkpoint once
+      // instead of replaying the corpus scan for each (c55 discipline)
+      val regs = HllDistinct.registers(docs, col("source"), col("text"))
+        .localCheckpoint(true)
+      val perSrc = regs.groupBy(col("g"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"))
+        .select(col("g"), HllDistinct.estFromS("s").as("est"))
+      val union = regs.select(col("g").as("source_a"), col("bucket"), col("mj").as("ma"))
+        .join(regs.select(col("g").as("source_b"), col("bucket"), col("mj").as("mb")),
+          "bucket")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(33 - greatest(ma, mb) AS INT))")).as("s_u"))
+        .select(col("source_a"), col("source_b"),
+          HllDistinct.estFromS("s_u").as("est_union"))
+      val h = docs.select(col("source"),
+        md5(col("text").cast("binary")).as("h")).distinct()
+      val exact = h.select(col("h"), col("source").as("source_a"))
+        .join(h.select(col("h"), col("source").as("source_b")), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_exact_shared"))
+      union
+        .join(perSrc.select(col("g").as("source_a"), col("est").as("est_a")), "source_a")
+        .join(perSrc.select(col("g").as("source_b"), col("est").as("est_b")), "source_b")
+        .join(exact, Seq("source_a", "source_b"), "left_outer")
+        .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+            .as("est_shared"),
+          coalesce(col("n_exact_shared"), lit(0L)).as("n_exact_shared"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -282,6 +337,49 @@ object CorpusExtra {
         |      HAVING count(*) >= 2)
         |SELECT p.da, p.db, p.n_shared, sa.sz AS fp_a, sb.sz AS fp_b
         |FROM p JOIN sz sa ON sa.doc_id = p.da JOIN sz sb ON sb.doc_id = p.db
-        |ORDER BY n_shared DESC, da, db LIMIT 50""".stripMargin
+        |ORDER BY n_shared DESC, da, db LIMIT 50""".stripMargin,
+    "c71_overlap_hll" -> {
+      import graft.operators.HllDistinct.{M, Num}
+      // Positional hex decode (the c42/c45 technique): digit k of the
+      // md5 hex string as an integer 0..15.
+      def digit(k: Int) = s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1)"
+      val x = (3 to 10).map(k => s"${digit(k)} * ${1L << (4 * (10 - k))}")
+        .mkString("\n         + ")
+      s"""WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+         |d AS (SELECT source,
+         |        (${digit(1)} * 16 + ${digit(2)}) % $M AS bucket,
+         |        CAST($x AS BIGINT) AS x
+         |      FROM h),
+         |rk AS (SELECT source, bucket,
+         |         CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END AS rank FROM d),
+         |regs0 AS (SELECT source, bucket, max(rank) AS mj FROM rk GROUP BY source, bucket),
+         |frame AS (SELECT s.source, b.bucket FROM (SELECT DISTINCT source FROM h) s,
+         |          (SELECT unnest(range(0, $M)) AS bucket) b),
+         |regs AS (SELECT f.source, f.bucket, coalesce(r.mj, 0) AS mj
+         |         FROM frame f LEFT JOIN regs0 r
+         |           ON f.source = r.source AND f.bucket = r.bucket),
+         |per AS (SELECT source,
+         |          CAST(($Num::BIGINT // CAST(sum(1::BIGINT << (33 - mj)) AS BIGINT))
+         |            // 1000000 AS BIGINT) AS est
+         |        FROM regs GROUP BY source),
+         |un AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(sum(1::BIGINT << (33 - greatest(a.mj, b.mj))) AS BIGINT) AS s_u
+         |       FROM regs a JOIN regs b
+         |         ON a.bucket = b.bucket AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |eu AS (SELECT source_a, source_b,
+         |         CAST(($Num::BIGINT // s_u) // 1000000 AS BIGINT) AS est_union FROM un),
+         |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS n_exact_shared
+         |       FROM h a JOIN h b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         |SELECT eu.source_a, eu.source_b, pa.est AS est_a, pb.est AS est_b,
+         |       eu.est_union,
+         |       CAST(greatest(pa.est + pb.est - eu.est_union, 0) AS BIGINT) AS est_shared,
+         |       coalesce(ex.n_exact_shared, 0) AS n_exact_shared
+         |FROM eu JOIN per pa ON pa.source = eu.source_a
+         |        JOIN per pb ON pb.source = eu.source_b
+         |        LEFT JOIN ex ON ex.source_a = eu.source_a AND ex.source_b = eu.source_b
+         |ORDER BY eu.source_a, eu.source_b""".stripMargin
+    }
   )
 }

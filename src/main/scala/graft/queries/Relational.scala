@@ -788,6 +788,46 @@ object Relational {
           Seq("event_type"), Seq("value" -> false, "event_id" -> true), 5)
         .select(col("event_type"), col("event_id"), col("value"))
         .orderBy(col("event_type"), col("value").desc, col("event_id"))
+    }),
+
+    // d32 — per-group OLS trend (the d15 discipline applied to
+    // regression): monthly revenue per nation, then the least-squares
+    // slope over the (month-index, revenue-cents) points from the FIVE
+    // exact integer sums n/Σx/Σy/Σxy/Σx² — two shuffles total, both
+    // key-bounded (nation×month, then nation), never a per-point
+    // window or sort. num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² are
+    // computed in BIGINT (exact: at sf0.1 Σxy ≤ ~1e12, num ≤ ~1e14 —
+    // 2^53 headroom ~100×; a 100 TB run widens the two products to
+    // DECIMAL(38,0), the d18 discipline) so the trend SIGN is integer-
+    // exact; the slope itself is one long→double cast per side and one
+    // IEEE division — bit-identical cross-engine (den > 0 whenever a
+    // nation has ≥ 2 distinct months; nullif guards the degenerate
+    // single-month group instead of dividing by zero).
+    "d32_ols_trend" -> ((s, dir) => {
+      val monthly = load(s, dir, "orders")
+        .join(load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("x"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .groupBy(col("n_name"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      val sums = monthly.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n_name"), col("n").as("n_months"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("n_name"), col("n_months"),
+          (col("num").cast("double") /
+            nullif(col("den"), lit(0L)).cast("double")).as("slope_cents_per_month"),
+          when(col("num") > 0, "up").when(col("num") < 0, "down")
+            .otherwise("flat").as("trend"))
+        .orderBy(col("n_name"))
     }))
 
   /** The d29 oracle's per-edge blocks, generated from [[RefEdges]].
@@ -1163,5 +1203,32 @@ object Relational {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM sessioned GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+    "d32_ols_trend" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name,
+        |         CAST((year(o.o_orderdate) - 1995) * 12
+        |           + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+        |         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, x),
+        |sums AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY n_name),
+        |nd AS (
+        |  SELECT n_name, n AS n_months,
+        |         n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM sums)
+        |SELECT n_name, n_months,
+        |       CAST(num AS DOUBLE) / CAST(nullif(den, 0) AS DOUBLE)
+        |         AS slope_cents_per_month,
+        |       CASE WHEN num > 0 THEN 'up' WHEN num < 0 THEN 'down'
+        |            ELSE 'flat' END AS trend
+        |FROM nd ORDER BY n_name""".stripMargin)
 }

@@ -47,6 +47,34 @@ class HllDistinctSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getLong(1) == 2L)
   }
 
+  test("register union (element-wise max) estimates the set union — c71's merge") {
+    // The mergeability claim behind c71's inclusion-exclusion: taking
+    // the element-wise max of two groups' register rows must equal the
+    // registers of the CONCATENATED key set (the defining HLL property),
+    // so the pairwise union estimate is the single-set estimator applied
+    // to merged registers — same accuracy band, no new error source.
+    val twoSrc = docs.withColumn("grp",
+      when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val regs = HllDistinct.registers(twoSrc, col("grp"), col("text"))
+    val merged = regs.groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+      .withColumn("g", lit("ab"))
+    val direct = HllDistinct.registers(
+      twoSrc.withColumn("grp", lit("ab")), col("grp"), col("text"))
+    val m = merged.select("bucket", "mj").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val d = direct.select("bucket", "mj").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == d, "max-merged registers must equal registers of the union set")
+    // and the readout of the merged registers lands in the band vs the
+    // exact distinct count of the union
+    val s = merged.agg(sum(
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"))
+      .select(HllDistinct.estFromS("s").as("est")).collect().head.getLong(0)
+    val exact = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(math.abs(s - exact) <= math.max(3L, (exact * 0.46).toLong),
+      s"union estimate $s vs exact $exact out of band")
+  }
+
   test("numerator constant stays in long range with max-rank headroom") {
     // 33 = 32 hash bits + 1 is the largest rank; Num * 1 register of
     // rank 33 scales the harmonic term to exactly Num >> 0 — the
