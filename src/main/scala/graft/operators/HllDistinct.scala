@@ -58,23 +58,74 @@ object HllDistinct {
     * per-group readout and c71's pairwise inclusion-exclusion both
     * consume. Rows with a NULL group are excluded up front.
     */
-  def registers(rows: DataFrame, group: Column, key: Column): DataFrame = {
-    val spark = rows.sparkSession
+  def registers(rows: DataFrame, group: Column, key: Column): DataFrame =
+    frameComplete(registerCore(rows, group, key))
+
+  /** The register table WITHOUT frame completion: hash → bucket/rank →
+    * `max` per (group, bucket). This is the exact shape Structured
+    * Streaming maintains incrementally ([[graft.streaming.OverlapStream]]):
+    * a groupBy-max whose state is bounded by |groups|·[[M]] rows no
+    * matter how many documents stream through. Batch callers want
+    * [[frameComplete]] on top (the readout needs empty registers).
+    */
+  def registerCore(rows: DataFrame, group: Column, key: Column): DataFrame = {
     val h = rows.filter(group.isNotNull)
       .select(group.as("g"), md5(key.cast("binary")).as("h"))
-    val ranked = h.select(col("g"),
+    h.select(col("g"),
         expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $M").as("bucket"),
         expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("x"))
       .withColumn("rank",
         expr("CASE WHEN x = 0 THEN 33 ELSE 33 - length(bin(x)) END"))
-    val regs0 = ranked.groupBy(col("g"), col("bucket"))
+      .groupBy(col("g"), col("bucket"))
       .agg(max(col("rank")).as("mj"))
-    // Empty registers still contribute 2^33 to the harmonic sum — the
-    // (group × all buckets) frame restores them (tiny: |groups| · M).
-    val frame = h.select(col("g")).distinct()
-      .crossJoin(spark.range(M).select(col("id").as("bucket")))
-    frame.join(regs0, Seq("g", "bucket"), "left")
-      .withColumn("mj", coalesce(col("mj"), lit(0)))
+  }
+
+  /** Restore empty registers: the (group × all buckets) frame joined
+    * over a sparse (g, bucket, mj) table, absent cells as mj = 0.
+    * Empty registers still contribute 2^33 to the harmonic sum, so the
+    * readout is wrong without this (tiny: |groups| · M rows).
+    */
+  def frameComplete(regs0: DataFrame): DataFrame = {
+    val spark = regs0.sparkSession
+    // the frame columns are re-aliased (fresh attribute ids) because the
+    // frame derives from regs0 itself — joining them back raw is a
+    // self-join whose reference dedup fails on View-backed plans (the
+    // streaming memory sink OverlapStream reads)
+    val frame = regs0.select(col("g").as("fg")).distinct()
+      .crossJoin(spark.range(M).select(col("id").as("fb")))
+    frame.join(regs0,
+        col("fg") === col("g") && col("fb") === col("bucket"), "left")
+      .select(col("fg").as("g"), col("fb").as("bucket"),
+        coalesce(col("mj"), lit(0)).as("mj"))
+  }
+
+  /** Pairwise union/intersection readout over a frame-complete register
+    * table — c71's sketch algebra, factored so the batch query and the
+    * streaming monitor share ONE spelling. For every group pair a < b:
+    * per-group estimates, the union estimate from element-wise register
+    * max, and the inclusion-exclusion shared estimate clamped at 0.
+    * Output: (source_a, source_b, est_a, est_b, est_union, est_shared)
+    * ordered by the pair.
+    */
+  def pairwiseOverlap(regs: DataFrame): DataFrame = {
+    val perSrc = regs.groupBy(col("g"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"))
+      .select(col("g"), estFromS("s").as("est"))
+    regs.select(col("g").as("source_a"), col("bucket"), col("mj").as("ma"))
+      .join(regs.select(col("g").as("source_b"), col("bucket"), col("mj").as("mb")),
+        "bucket")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(33 - greatest(ma, mb) AS INT))")).as("s_u"))
+      .select(col("source_a"), col("source_b"), estFromS("s_u").as("est_union"))
+      .join(perSrc.select(col("g").as("source_a"), col("est").as("est_a")), "source_a")
+      .join(perSrc.select(col("g").as("source_b"), col("est").as("est_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_shared"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** The integer harmonic-mean readout of a register-sum column (named

@@ -193,21 +193,11 @@ object CorpusExtra {
       import graft.operators.HllDistinct
       val docs = load(s, dir, "documents")
       // tiny (|sources|·M rows) with three consumers — checkpoint once
-      // instead of replaying the corpus scan for each (c55 discipline)
+      // instead of replaying the corpus scan for each (c55 discipline).
+      // The register algebra + readout live in HllDistinct.pairwiseOverlap,
+      // the ONE spelling shared with streaming.OverlapStream's live monitor.
       val regs = HllDistinct.registers(docs, col("source"), col("text"))
         .localCheckpoint(true)
-      val perSrc = regs.groupBy(col("g"))
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mj AS INT))")).as("s"))
-        .select(col("g"), HllDistinct.estFromS("s").as("est"))
-      val union = regs.select(col("g").as("source_a"), col("bucket"), col("mj").as("ma"))
-        .join(regs.select(col("g").as("source_b"), col("bucket"), col("mj").as("mb")),
-          "bucket")
-        .filter(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(sum(expr(
-          "shiftleft(CAST(1 AS BIGINT), CAST(33 - greatest(ma, mb) AS INT))")).as("s_u"))
-        .select(col("source_a"), col("source_b"),
-          HllDistinct.estFromS("s_u").as("est_union"))
       val h = docs.select(col("source"),
         md5(col("text").cast("binary")).as("h")).distinct()
       val exact = h.select(col("h"), col("source").as("source_a"))
@@ -215,14 +205,10 @@ object CorpusExtra {
         .filter(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_exact_shared"))
-      union
-        .join(perSrc.select(col("g").as("source_a"), col("est").as("est_a")), "source_a")
-        .join(perSrc.select(col("g").as("source_b"), col("est").as("est_b")), "source_b")
+      HllDistinct.pairwiseOverlap(regs)
         .join(exact, Seq("source_a", "source_b"), "left_outer")
         .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
-          col("est_union"),
-          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
-            .as("est_shared"),
+          col("est_union"), col("est_shared"),
           coalesce(col("n_exact_shared"), lit(0L)).as("n_exact_shared"))
         .orderBy(col("source_a"), col("source_b"))
     })

@@ -40,6 +40,10 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     // the same 600k rows cost 2.7 s in the bench purely because the
     // sf0.1 parquet is one row group = one scan task (C70Ab note).
     "c70_quantile_sketch" -> 10.0,
+    // cal 1.2 — register path is one corpus scan + a corpus-size-
+    // independent |sources|²·M pairwise leg; only the exact-shared
+    // audit join grows with shared hashes
+    "c71_overlap_hll" -> 10.0,
     "d22_table_profile" -> 12.0, // cal 3.7 — stack-unpivot single scan
     "d29_ref_integrity" -> 10.0) // cal 1.9 — FK anti joins
 

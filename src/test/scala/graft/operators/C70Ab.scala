@@ -89,6 +89,33 @@ object C70Ab {
           org.apache.spark.sql.expressions.Window.partitionBy("flag").orderBy("v")))
         .agg(count(lit(1))).collect()
     }
+    time("two-level rank leg") {
+      // candidate replay shape, measured and REJECTED at this scale:
+      // range-partition by (flag, v) slices each flag's value order into
+      // contiguous runs, local row_number per (pid, flag), partition-
+      // count offsets broadcast back (the c20/c26 two-level prefix sum)
+      // — 32-way parallel sort instead of a |flags|-task window sort.
+      // At 600k rows it measures 0.86 s vs 0.51 s for the plain window:
+      // the range exchange + the pid-hash window exchange cost more
+      // than the 3-task sort saves. The crossover favors two-level only
+      // when per-flag row counts dwarf a single task (the c26 regime);
+      // c70's production path at that scale is the digest alone anyway.
+      val parted = vals.repartitionByRange(32, col("flag"), col("v"))
+        .withColumn("pid", spark_partition_id())
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid"), col("flag")).orderBy(col("v"))
+      val local = parted.withColumn("lrn", row_number().over(wLoc).cast("long"))
+      val bkt = local.groupBy(col("pid"), col("flag"))
+        .agg(count(lit(1)).as("p_rows"))
+      val offs = bkt.as("a")
+        .join(broadcast(bkt.as("b")),
+          col("b.flag") === col("a.flag") && col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"), col("a.flag").as("flag"))
+        .agg(coalesce(sum(col("b.p_rows")), lit(0L)).as("rn_off"))
+      local.join(broadcast(offs), Seq("pid", "flag"))
+        .withColumn("rn", col("lrn") + col("rn_off"))
+        .agg(count(lit(1))).collect()
+    }
     time("full c70") {
       graft.queries.ExtOps.queries("c70_quantile_sketch")(spark, sfDir).collect()
     }
