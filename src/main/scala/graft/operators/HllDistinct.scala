@@ -69,7 +69,11 @@ object HllDistinct {
     * [[frameComplete]] on top (the readout needs empty registers).
     */
   def registerCore(rows: DataFrame, group: Column, key: Column): DataFrame = {
-    val h = rows.filter(group.isNotNull)
+    // null keys are excluded with the null groups: a null key hashes to
+    // a null bucket/rank, which would persist as a junk (g, null, null)
+    // register row in the streamed/stored state (frame completion would
+    // silently drop it at readout, but the state should never carry it)
+    val h = rows.filter(group.isNotNull && key.isNotNull)
       .select(group.as("g"), md5(key.cast("binary")).as("h"))
     h.select(col("g"),
         expr(s"CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % $M").as("bucket"),

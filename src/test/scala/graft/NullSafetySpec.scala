@@ -62,6 +62,21 @@ class NullSafetySpec extends AnyFunSuite with SparkSpec {
       "every verdict must carry a reason")
   }
 
+  test("HLL registers: null text and null source rows leave no state behind") {
+    // null keys would otherwise persist as a junk (g, null, null)
+    // register row in OverlapStream's streamed state / SketchStore's
+    // parquet (frame completion only hides it at readout)
+    val regs = graft.operators.HllDistinct
+      .registerCore(hostile, col("source"), col("text")).collect()
+    assert(regs.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)),
+      "no register row may carry a null group, bucket or rank")
+    // docs 0 and 2 survive (non-null text AND non-null source — the
+    // empty string is a real key, the b1 rule); 1 drops on null text,
+    // 3/4 on null source. All surviving state belongs to source=web.
+    assert(regs.nonEmpty && regs.forall(_.getString(0) == "web"))
+    assert(regs.length <= 2, "two surviving docs touch at most two buckets")
+  }
+
   test("exact dedup hash groups nulls together without crashing") {
     val g = hostile
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
