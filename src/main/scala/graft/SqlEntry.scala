@@ -1817,7 +1817,7 @@ object SqlEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "c45_hll_distinct" ->
       s"""WITH h AS (SELECT lang AS g, md5(CAST(text AS BINARY)) AS h FROM documents
-         |           WHERE lang IS NOT NULL),
+         |           WHERE lang IS NOT NULL AND text IS NOT NULL),
          |ranked AS (SELECT g,
          |             CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % ${graft.operators.HllDistinct.M} AS bucket,
          |             CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT) AS x FROM h),
@@ -1839,7 +1839,8 @@ object SqlEntry {
     // element-wise register max and inclusion-exclusion readout.
     "c71_overlap_hll" ->
       s"""WITH h AS (SELECT DISTINCT source AS g, md5(CAST(text AS BINARY)) AS h
-         |           FROM documents WHERE source IS NOT NULL),
+         |           FROM documents
+         |           WHERE source IS NOT NULL AND text IS NOT NULL),
          |ranked AS (SELECT g,
          |             CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % ${graft.operators.HllDistinct.M} AS bucket,
          |             CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT) AS x FROM h),

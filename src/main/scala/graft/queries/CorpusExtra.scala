@@ -331,7 +331,8 @@ object CorpusExtra {
       def digit(k: Int) = s"(instr('0123456789abcdef', substr(h, $k, 1)) - 1)"
       val x = (3 to 10).map(k => s"${digit(k)} * ${1L << (4 * (10 - k))}")
         .mkString("\n         + ")
-      s"""WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+      s"""WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+         |           WHERE source IS NOT NULL AND text IS NOT NULL),
          |d AS (SELECT source,
          |        (${digit(1)} * 16 + ${digit(2)}) % $M AS bucket,
          |        CAST($x AS BIGINT) AS x

@@ -1662,7 +1662,8 @@ object ExtOps {
       // x = md5 hex digits 3..10 as the 32-bit rank source.
       val x = (3 to 10).map(k => s"${digit(k)} * ${1L << (4 * (10 - k))}")
         .mkString("\n         + ")
-      s"""WITH h AS (SELECT lang, md5(text) AS h FROM documents),
+      s"""WITH h AS (SELECT lang, md5(text) AS h FROM documents
+         |           WHERE lang IS NOT NULL AND text IS NOT NULL),
          |d AS (SELECT lang,
          |        (${digit(1)} * 16 + ${digit(2)}) % ${graft.operators.HllDistinct.M} AS bucket,
          |        CAST($x AS BIGINT) AS x

@@ -9,48 +9,70 @@ import graft.operators.HllDistinct
   * sketch-once/merge-forever layout behind c71's overlap audit.
   *
   * At 100 TB nobody recomputes per-source registers from the corpus on
-  * every audit: the registers ARE the audit state. This store persists
-  * the sparse (g, bucket, mj) table ([[HllDistinct.registerCore]]'s
-  * exact shape, |sources|·M rows) as plain parquet, and [[append]]
-  * folds a NEW document batch in by unioning its batch-local registers
-  * with the stored table under element-wise `max` — the same merge the
-  * streaming twin ([[graft.streaming.OverlapStream]]) applies
-  * micro-batch by micro-batch and HllDistinctSpec proves equal to
-  * sketching the concatenated corpus directly. `max` is idempotent and
-  * commutative, so replayed batches, reordered backfills and
-  * overlapping re-ingests can never corrupt a register — the store
-  * needs no dedup log, no ordering metadata, no tombstones.
+  * every audit: the registers ARE the audit state. The layout is
+  * APPEND-ONLY: each ingested batch writes its own `batch-<id>/`
+  * parquet dir of sparse (g, bucket, mj) rows
+  * ([[HllDistinct.registerCore]]'s exact shape, ≤ |sources|·M rows per
+  * batch) and NEVER touches existing data — there is no
+  * delete-then-rewrite window in which a crash can lose the only copy
+  * of the state. [[registers]] merges all batch dirs under
+  * element-wise `max` at read time; because `max` is idempotent and
+  * commutative, replayed batches, reordered backfills, overlapping
+  * re-ingests, and even a [[compact]] that crashes after writing its
+  * merged dir but before removing the inputs all leave the MERGED view
+  * unchanged — the store needs no dedup log, no ordering metadata, no
+  * tombstones, and its only failure mode is harmless duplicate rows.
   *
   * Readout at any time: [[overlap]] = frame-complete + the ONE
-  * pairwise-overlap spelling shared with the c71 batch query. Only the
-  * ingest ever touches documents; every audit after that reads
-  * |sources|·M longs.
+  * pairwise-overlap spelling shared with the c71 batch query and the
+  * streaming twin ([[graft.streaming.OverlapStream]]). Only ingest
+  * ever touches documents; every audit after that reads a few
+  * batches × |sources|·M longs.
   */
 object SketchStore {
 
-  /** Initialize (or overwrite) the store from a document frame. */
-  def write(docs: DataFrame, path: String): Unit =
-    HllDistinct.registerCore(docs, col("source"), col("text"))
-      .write.mode("overwrite").parquet(path)
+  private def newBatchDir(path: String): String =
+    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
 
-  /** Fold a new batch into the stored registers: batch-local registers
-    * unioned with the stored table under element-wise max. A parquet
-    * overwrite cannot read its own input mid-write, so the (tiny)
-    * merged table materializes through `localCheckpoint` before the
-    * rewrite.
+  /** Ingest a document batch: sketch it and append a NEW batch dir.
+    * Existing batch dirs are never read, rewritten or deleted.
     */
-  def append(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    val stored = spark.read.parquet(path)
-    val batch = HllDistinct.registerCore(docs, col("source"), col("text"))
-    val merged = stored.union(batch)
-      .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
-  }
+  def append(docs: DataFrame, path: String): Unit =
+    HllDistinct.registerCore(docs, col("source"), col("text"))
+      .write.mode("errorifexists").parquet(newBatchDir(path))
 
-  /** The stored sparse register table. */
+  /** Initialize a store from a first batch (same as [[append]] on an
+    * empty path; kept for intent at call sites).
+    */
+  def write(docs: DataFrame, path: String): Unit = append(docs, path)
+
+  /** The merged register view across all batch dirs: element-wise max
+    * per (g, bucket). Sparse — frame completion happens at readout.
+    */
   def registers(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+
+  /** Fold all batch dirs into one. Crash-safe by construction: the
+    * merged dir is fully committed BEFORE any input dir is removed, and
+    * if removal is interrupted the leftover inputs are re-merged by the
+    * next read under the same `max` — duplicate state is a no-op, not
+    * corruption.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val before = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).toSeq
+    registers(spark, path).localCheckpoint(true)
+      .write.mode("errorifexists").parquet(newBatchDir(path))
+    before.foreach { d =>
+      val stream = java.nio.file.Files.walk(d.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally stream.close()
+    }
+  }
 
   /** Pairwise overlap readout over the stored registers — c71's
     * estimate columns, corpus untouched.

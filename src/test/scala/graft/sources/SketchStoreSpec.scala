@@ -16,30 +16,55 @@ class SketchStoreSpec extends AnyFunSuite with SparkSpec {
   private def cells(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
 
+  private def batchDirs(path: String): Seq[String] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getName).toSeq
+
   test("write + append in halves equals sketching the whole corpus") {
     val path = Files.createTempDirectory("sketch-store").toString + "/regs"
-    val first = docs.filter(col("doc_id") % 2 === 0)
-    val second = docs.filter(col("doc_id") % 2 =!= 0)
-    SketchStore.write(first, path)
-    SketchStore.append(spark, second, path)
+    SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
+    SketchStore.append(docs.filter(col("doc_id") % 2 =!= 0), path)
     val oneShot = HllDistinct.registerCore(docs, col("source"), col("text"))
     assert(cells(SketchStore.registers(spark, path)) == cells(oneShot),
       "incrementally appended registers must equal the one-shot sketch")
   }
 
-  test("append is idempotent under batch replay") {
+  test("append never touches existing batch dirs; replay is a merged no-op") {
     val path = Files.createTempDirectory("sketch-replay").toString + "/regs"
     SketchStore.write(docs, path)
+    val firstBatch = batchDirs(path)
     val before = cells(SketchStore.registers(spark, path))
-    SketchStore.append(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    SketchStore.append(docs.filter(col("doc_id") % 3 === 0), path)
+    assert(batchDirs(path).toSet.intersect(firstBatch.toSet) == firstBatch.toSet,
+      "append must only ADD batch dirs — the existing state is never rewritten")
     assert(cells(SketchStore.registers(spark, path)) == before,
       "re-ingesting already-sketched documents must not move any register")
+  }
+
+  test("compact folds batches without changing the view; interrupted " +
+      "compaction (merged dir present, inputs not yet removed) is harmless") {
+    val path = Files.createTempDirectory("sketch-compact").toString + "/regs"
+    SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
+    SketchStore.append(docs.filter(col("doc_id") % 2 =!= 0), path)
+    val before = cells(SketchStore.registers(spark, path))
+    // simulate the crash window: a fully-committed merged dir coexists
+    // with all its inputs — the max-merge makes the duplicate state a
+    // no-op at read time
+    SketchStore.registers(spark, path).localCheckpoint(true)
+      .write.parquet(path + "/batch-crashsim")
+    assert(cells(SketchStore.registers(spark, path)) == before,
+      "duplicate merged state must not move the view")
+    SketchStore.compact(spark, path)
+    assert(batchDirs(path).size == 1, "compaction folds to one batch dir")
+    assert(cells(SketchStore.registers(spark, path)) == before,
+      "compaction must not change the merged view")
   }
 
   test("overlap readout from the store reproduces c71's estimates") {
     val path = Files.createTempDirectory("sketch-overlap").toString + "/regs"
     SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
-    SketchStore.append(spark, docs.filter(col("doc_id") % 2 =!= 0), path)
+    SketchStore.append(docs.filter(col("doc_id") % 2 =!= 0), path)
     val fromStore = SketchStore.overlap(spark, path)
       .collect().map(_.toSeq).toSeq
     val declared = graft.SparkEntry
