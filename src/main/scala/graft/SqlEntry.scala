@@ -14,7 +14,7 @@ import graft.queries.{ExtOps, Tables}
   * — the same [[graft.plans.GraftExtensions]] builders a cluster would
   * inject via `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
-  * text for 128 of the 140 declared queries: the COMPLETE a-family
+  * text for 129 of the 141 declared queries: the COMPLETE a-family
   * (7/7), d-family (32/32), the b-family except the as-of trio, and
   * the c-family except the iterative-training queries — porting the
   * DuckDB-only constructs of [[SparkEntry.oracleSql]] to their Spark
@@ -1870,6 +1870,38 @@ object SqlEntry {
          |        JOIN per pb ON pb.g = eu.source_b
          |        LEFT JOIN ex ON ex.source_a = eu.source_a AND ex.source_b = eu.source_b
          |ORDER BY eu.source_a, eu.source_b""".stripMargin,
+    // the whole Bloom filter in SQL: conv/shiftleft/bit_or are the
+    // Spark spellings of the oracle's digit-decode///<</bit_or
+    "c72_membership_gate" ->
+      """WITH dk AS (SELECT doc_id, lang,
+        |        md5(CAST(array_join(slice(split(text, ' '), 1, 4), ' ') AS BINARY)) AS k
+        |      FROM documents),
+        |pos AS (SELECT doc_id, md5(CAST(concat(CAST(j AS STRING), '|', k) AS BINARY)) AS h
+        |        FROM dk CROSS JOIN (SELECT explode(sequence(0, 4)) AS j)),
+        |pwm AS (SELECT doc_id,
+        |          CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % 1048576 AS p
+        |        FROM pos),
+        |wm AS (SELECT doc_id, shiftright(p, 5) AS w,
+        |              shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT)) AS m FROM pwm),
+        |bits AS (SELECT w, bit_or(m) AS bits FROM wm
+        |         WHERE doc_id % 97 <> 0 GROUP BY w),
+        |probe AS (SELECT wm.doc_id,
+        |            min(CASE WHEN b.bits IS NOT NULL AND (b.bits & wm.m) = wm.m
+        |                     THEN 1 ELSE 0 END) AS hit
+        |          FROM wm LEFT JOIN bits b ON wm.w = b.w
+        |          WHERE wm.doc_id % 97 = 0 GROUP BY wm.doc_id),
+        |tk AS (SELECT DISTINCT k FROM dk WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT d.doc_id, d.lang, p.hit,
+        |              CASE WHEN tk.k IS NOT NULL THEN 1 ELSE 0 END AS ex
+        |       FROM dk d JOIN probe p ON d.doc_id = p.doc_id
+        |       LEFT JOIN tk ON d.k = tk.k
+        |       WHERE d.doc_id % 97 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(sum(hit) AS BIGINT) AS n_flagged,
+        |       CAST(sum(ex) AS BIGINT) AS n_hits_exact,
+        |       CAST(sum(CASE WHEN ex = 1 AND hit = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_false_neg
+        |FROM ev GROUP BY lang ORDER BY lang""".stripMargin,
     // The DataFrame twin's KMV sample rides the TopKPerKey bounded-heap
     // operator; the text spells the same top-k as a row_number window —
     // with GraftExtensions injected, RowNumberTopKRewrite plans this

@@ -211,6 +211,41 @@ object CorpusExtra {
           col("est_union"), col("est_shared"),
           coalesce(col("n_exact_shared"), lit(0L)).as("n_exact_shared"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // c72 — Bloom membership gate: for every eval doc (the c27 split,
+    // doc_id % 97 = 0), does its b1b 4-token-prefix template appear in
+    // the TRAINING split? The cheap production gate the c27 n-gram
+    // audit backs: the filter is sources.BloomStore's (w, bits) words
+    // TABLE (md5-derived positions, one bit_or aggregate — partials
+    // combine map-side, the shuffle carries ≤ min(n·K, M/64) words at
+    // any corpus size, and probing is an equi-join, never a driver-side
+    // bitset). The exact prefix join rides along as the audit:
+    // n_false_neg is structurally 0 (Bloom's contract), pinned by the
+    // oracle, which replays the ENTIRE filter bit-for-bit (positions
+    // are md5 hex arithmetic, the c45 discipline). False positives are
+    // possible by design and show as n_flagged > n_hits_exact.
+    "c72_membership_gate" -> ((s, dir) => {
+      import graft.sources.BloomStore
+      val key = md5(array_join(slice(split(col("text"), " "), 1, 4), " ")
+        .cast("binary"))
+      val docs = load(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val eval_ = docs.filter(col("doc_id") % 97 === 0)
+      val bits = BloomStore.bitsOf(train, key)
+      val probed = BloomStore.probe(eval_, col("doc_id"), key, bits)
+      val trainKeys = train.select(key.as("k")).distinct()
+        .withColumn("in_train", lit(1L))
+      eval_.select(col("doc_id"), col("lang"), key.as("k"))
+        .join(probed, col("doc_id") === col("id"))
+        .join(trainKeys, Seq("k"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("in_train").isNotNull, 1L).otherwise(0L)).as("n_hits_exact"),
+          sum(when(col("in_train").isNotNull && !col("bloom_hit"), 1L)
+            .otherwise(0L)).as("n_false_neg"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -367,6 +402,40 @@ object CorpusExtra {
          |        JOIN per pb ON pb.source = eu.source_b
          |        LEFT JOIN ex ON ex.source_a = eu.source_a AND ex.source_b = eu.source_b
          |ORDER BY eu.source_a, eu.source_b""".stripMargin
+    },
+    "c72_membership_gate" -> {
+      // Positional hex decode of the first 15 md5 digits (60 bits,
+      // positive) — the c45/c71 technique, here for bit positions.
+      def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val p60 = (1 to 15).map(i => s"${digit(i)} * ${1L << (4 * (15 - i))}")
+        .mkString("\n         + ")
+      s"""WITH dk AS (SELECT doc_id, lang,
+         |        md5(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')) AS k
+         |      FROM documents),
+         |pos AS (SELECT doc_id, md5(CAST(j AS VARCHAR) || '|' || k) AS h
+         |        FROM dk CROSS JOIN (SELECT unnest(range(0, 5)) AS j)),
+         |pwm AS (SELECT doc_id, CAST($p60 AS BIGINT) % 1048576 AS p FROM pos),
+         |wm AS (SELECT doc_id, p // 32 AS w,
+         |              (1::BIGINT << CAST(p % 32 AS INT)) AS m FROM pwm),
+         |bits AS (SELECT w, bit_or(m) AS bits FROM wm
+         |         WHERE doc_id % 97 <> 0 GROUP BY w),
+         |probe AS (SELECT wm.doc_id,
+         |            min(CASE WHEN b.bits IS NOT NULL AND (b.bits & wm.m) = wm.m
+         |                     THEN 1 ELSE 0 END) AS hit
+         |          FROM wm LEFT JOIN bits b ON wm.w = b.w
+         |          WHERE wm.doc_id % 97 = 0 GROUP BY wm.doc_id),
+         |tk AS (SELECT DISTINCT k FROM dk WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT d.doc_id, d.lang, p.hit,
+         |              CASE WHEN tk.k IS NOT NULL THEN 1 ELSE 0 END AS ex
+         |       FROM dk d JOIN probe p ON d.doc_id = p.doc_id
+         |       LEFT JOIN tk ON d.k = tk.k
+         |       WHERE d.doc_id % 97 = 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_eval,
+         |       CAST(sum(hit) AS BIGINT) AS n_flagged,
+         |       CAST(sum(ex) AS BIGINT) AS n_hits_exact,
+         |       CAST(sum(CASE WHEN ex = 1 AND hit = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_false_neg
+         |FROM ev GROUP BY lang ORDER BY lang""".stripMargin
     }
   )
 }

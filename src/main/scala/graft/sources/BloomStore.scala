@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed, persisted Bloom membership filter — the production
+  * "have we already trained on this?" gate behind the c27/c72
+  * contamination audits.
+  *
+  * The filter is a TABLE, not a driver-side bitset: (w, bits) rows
+  * where w indexes 32-bit words of an [[MBits]]-bit filter and `bits`
+  * carries the OR of the set bit masks in that word. Everything about
+  * it is Spark-first and oracle-replayable:
+  *
+  *   - the [[K]] bit positions of a key are md5-derived 60-bit integers
+  *     mod [[MBits]] (the c42/c45 discipline — any engine that can hash
+  *     can recompute them, so DuckDB replays the WHOLE filter);
+  *   - building is one `bit_or` aggregate — OR is idempotent,
+  *     commutative and duplicate-insensitive, so partials combine
+  *     map-side and the shuffle carries at most min(n·K, MBits/32)
+  *     words regardless of corpus size;
+  *   - probing is an equi-join of the probe batch's (w, mask) pairs
+  *     against the words table — at |filter| ≪ |batch| the words side
+  *     broadcasts; there is no driver materialization at any size
+  *     (Spark's own `bloom_filter_agg` builds ONE opaque binary blob
+  *     that must fit in memory; this layout shards the same bits
+  *     across the cluster);
+  *   - persistence reuses [[SketchStore]]'s append-only algebra: each
+  *     ingested batch writes its own dir, reads merge under `bit_or`,
+  *     so replayed batches and interrupted compactions are no-ops and
+  *     no rewrite window can lose the state.
+  *
+  * False positives are the Bloom contract (rate (nK/MBits)^K — at the
+  * defaults, < 1e-5 up to ~10⁵ keys); false negatives are structurally
+  * impossible, pinned by BloomStoreSpec and the c72 oracle. At 100 TB
+  * [[MBits]] becomes a store parameter scaled to the corpus (the words
+  * table grows as MBits/32 rows — still a table, never a driver blob);
+  * it is a constant here so the two engines agree by construction.
+  */
+object BloomStore {
+
+  /** Filter size in bits (2^20) and hashes per key. */
+  val MBits: Long = 1L << 20
+  val K = 5
+
+  /** The j-th bit position of a key: md5("<j>|<key>") first 15 hex
+    * digits (60 bits, positive) mod [[MBits]].
+    */
+  private def position(j: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$j|"), key).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % MBits
+
+  /** The K bit positions of a key as an array column. */
+  private def positionsOf(key: Column): Column =
+    array((0 until K).map(j => position(j, key)): _*)
+
+  /** w = p div 32 and the single-bit mask, spelled as shifts/masks —
+    * exact integer semantics (Column./ is double division). Words are
+    * 32 bits in a 64-bit lane so every mask stays POSITIVE: a shift
+    * into the sign bit is an overflow error in DuckDB and a silent
+    * two's-complement wrap in Spark — a parity trap the narrower word
+    * removes outright.
+    */
+  private val wCol = expr("shiftright(p, 5)")
+  private val mCol = expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))")
+
+  /** The filter words table of a key column: (w, bits), one `bit_or`
+    * aggregate. Null keys contribute nothing.
+    */
+  def bitsOf(rows: DataFrame, key: Column): DataFrame =
+    rows.filter(key.isNotNull)
+      .select(explode(positionsOf(key)).as("p"))
+      .select(wCol.as("w"), mCol.as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+
+  /** Probe a batch against a words table: returns (id, bloom_hit) — one
+    * row per input row with a non-null key; `bloom_hit` is true iff all
+    * K bits are set (an absent word row is a miss).
+    */
+  def probe(rows: DataFrame, id: Column, key: Column, bits: DataFrame): DataFrame =
+    rows.filter(key.isNotNull)
+      .select(id.as("id"), explode(positionsOf(key)).as("p"))
+      .select(col("id"), wCol.as("w"), mCol.as("m"))
+      .join(bits, Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(min(when(col("bits").isNotNull &&
+        (col("bits").bitwiseAND(col("m")) === col("m")), 1L).otherwise(0L)).as("h"))
+      .select(col("id"), (col("h") === 1L).as("bloom_hit"))
+
+  private def newBatchDir(path: String): String =
+    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** Ingest a batch: sketch its keys and append a NEW batch dir —
+    * existing dirs are never read, rewritten or deleted.
+    */
+  def append(rows: DataFrame, key: Column, path: String): Unit =
+    bitsOf(rows, key).write.mode("errorifexists").parquet(newBatchDir(path))
+
+  /** The merged filter across all batch dirs (bit_or per word). */
+  def words(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+
+  /** Fold all batch dirs into one; crash-safe like
+    * [[SketchStore.compact]] — the merged dir commits before inputs
+    * are removed, and leftovers re-merge to the identical view.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val before = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).toSeq
+    words(spark, path).localCheckpoint(true)
+      .write.mode("errorifexists").parquet(newBatchDir(path))
+    before.foreach { d =>
+      val stream = java.nio.file.Files.walk(d.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally stream.close()
+    }
+  }
+}
