@@ -44,6 +44,9 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     // independent |sources|²·M pairwise leg; only the exact-shared
     // audit join grows with shared hashes
     "c71_overlap_hll" -> 10.0,
+    // cal 1.1 — filter build is one bit_or aggregate (≤ min(nK, M/32)
+    // words shuffle), probes are an equi-join on word index
+    "c72_membership_gate" -> 10.0,
     "d22_table_profile" -> 12.0, // cal 3.7 — stack-unpivot single scan
     "d29_ref_integrity" -> 10.0) // cal 1.9 — FK anti joins
 
