@@ -1875,7 +1875,7 @@ object SqlEntry {
     "c72_membership_gate" ->
       """WITH dk AS (SELECT doc_id, lang,
         |        md5(CAST(array_join(slice(split(text, ' '), 1, 4), ' ') AS BINARY)) AS k
-        |      FROM documents),
+        |      FROM documents WHERE text IS NOT NULL),
         |pos AS (SELECT doc_id, md5(CAST(concat(CAST(j AS STRING), '|', k) AS BINARY)) AS h
         |        FROM dk CROSS JOIN (SELECT explode(sequence(0, 4)) AS j)),
         |pwm AS (SELECT doc_id,

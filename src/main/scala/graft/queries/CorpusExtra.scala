@@ -218,7 +218,7 @@ object CorpusExtra {
     // the TRAINING split? The cheap production gate the c27 n-gram
     // audit backs: the filter is sources.BloomStore's (w, bits) words
     // TABLE (md5-derived positions, one bit_or aggregate — partials
-    // combine map-side, the shuffle carries ≤ min(n·K, M/64) words at
+    // combine map-side, the shuffle carries ≤ min(n·K, M/32) words at
     // any corpus size, and probing is an equi-join, never a driver-side
     // bitset). The exact prefix join rides along as the audit:
     // n_false_neg is structurally 0 (Bloom's contract), pinned by the
@@ -411,7 +411,7 @@ object CorpusExtra {
         .mkString("\n         + ")
       s"""WITH dk AS (SELECT doc_id, lang,
          |        md5(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')) AS k
-         |      FROM documents),
+         |      FROM documents WHERE text IS NOT NULL),
          |pos AS (SELECT doc_id, md5(CAST(j AS VARCHAR) || '|' || k) AS h
          |        FROM dk CROSS JOIN (SELECT unnest(range(0, 5)) AS j)),
          |pwm AS (SELECT doc_id, CAST($p60 AS BIGINT) % 1048576 AS p FROM pos),

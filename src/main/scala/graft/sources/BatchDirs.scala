@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** The append-only batch-dir persistence shared by [[SketchStore]] and
+  * [[BloomStore]]: each ingested batch writes its own `batch-<id>/`
+  * parquet dir and existing data is never rewritten or deleted, so no
+  * crash window can lose the only copy of the state. Reads merge all
+  * dirs under the store's (idempotent, commutative) merge aggregate;
+  * compaction commits the merged dir BEFORE removing inputs, so an
+  * interruption leaves duplicate state the next read merges away —
+  * a no-op, not corruption. Factored here so a fix to the ordering or
+  * the delete walk cannot drift between the stores.
+  */
+private[sources] object BatchDirs {
+
+  def newBatchDir(path: String): String =
+    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** Existing batch dirs (empty for a missing path — listFiles is null
+    * there, which must not NPE a first-append or an early compact).
+    */
+  def list(path: String): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+
+  /** Append one batch as a new dir. */
+  def append(batch: DataFrame, path: String): Unit =
+    batch.write.mode("errorifexists").parquet(newBatchDir(path))
+
+  /** Fold the current dirs into one: `merged` (the store's merged view)
+    * is fully committed as a new dir before any input dir is removed.
+    * The view is tiny by construction, so it materializes through
+    * localCheckpoint (a parquet write cannot read its own input
+    * mid-overwrite; here it also pins the pre-compaction view).
+    */
+  def compact(merged: DataFrame, path: String): Unit = {
+    val before = list(path)
+    append(merged.localCheckpoint(true), path)
+    before.foreach { d =>
+      val stream = java.nio.file.Files.walk(d.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally stream.close()
+    }
+  }
+}

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *     no rewrite window can lose the state.
   *
   * False positives are the Bloom contract (rate (nK/MBits)^K — at the
-  * defaults, < 1e-5 up to ~10⁵ keys); false negatives are structurally
+  * defaults, < 1e-5 up to ~2·10⁴ keys, ~2.5% by 10⁵ — size MBits to the
+  * corpus); false negatives are structurally
   * impossible, pinned by BloomStoreSpec and the c72 oracle. At 100 TB
   * [[MBits]] becomes a store parameter scaled to the corpus (the words
   * table grows as MBits/32 rows — still a table, never a driver blob);
@@ -87,36 +88,18 @@ object BloomStore {
         (col("bits").bitwiseAND(col("m")) === col("m")), 1L).otherwise(0L)).as("h"))
       .select(col("id"), (col("h") === 1L).as("bloom_hit"))
 
-  private def newBatchDir(path: String): String =
-    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
-
   /** Ingest a batch: sketch its keys and append a NEW batch dir —
-    * existing dirs are never read, rewritten or deleted.
+    * existing dirs are never read, rewritten or deleted ([[BatchDirs]]).
     */
   def append(rows: DataFrame, key: Column, path: String): Unit =
-    bitsOf(rows, key).write.mode("errorifexists").parquet(newBatchDir(path))
+    BatchDirs.append(bitsOf(rows, key), path)
 
   /** The merged filter across all batch dirs (bit_or per word). */
   def words(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
       .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
 
-  /** Fold all batch dirs into one; crash-safe like
-    * [[SketchStore.compact]] — the merged dir commits before inputs
-    * are removed, and leftovers re-merge to the identical view.
-    */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val before = new java.io.File(path).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).toSeq
-    words(spark, path).localCheckpoint(true)
-      .write.mode("errorifexists").parquet(newBatchDir(path))
-    before.foreach { d =>
-      val stream = java.nio.file.Files.walk(d.toPath)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally stream.close()
-    }
-  }
+  /** Fold all batch dirs into one — crash-safe per [[BatchDirs.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    BatchDirs.compact(words(spark, path), path)
 }

@@ -31,15 +31,13 @@ import graft.operators.HllDistinct
   */
 object SketchStore {
 
-  private def newBatchDir(path: String): String =
-    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
-
   /** Ingest a document batch: sketch it and append a NEW batch dir.
-    * Existing batch dirs are never read, rewritten or deleted.
+    * Existing batch dirs are never read, rewritten or deleted
+    * ([[BatchDirs]]).
     */
   def append(docs: DataFrame, path: String): Unit =
-    HllDistinct.registerCore(docs, col("source"), col("text"))
-      .write.mode("errorifexists").parquet(newBatchDir(path))
+    BatchDirs.append(
+      HllDistinct.registerCore(docs, col("source"), col("text")), path)
 
   /** Initialize a store from a first batch (same as [[append]] on an
     * empty path; kept for intent at call sites).
@@ -59,20 +57,8 @@ object SketchStore {
     * next read under the same `max` — duplicate state is a no-op, not
     * corruption.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val before = new java.io.File(path).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).toSeq
-    registers(spark, path).localCheckpoint(true)
-      .write.mode("errorifexists").parquet(newBatchDir(path))
-    before.foreach { d =>
-      val stream = java.nio.file.Files.walk(d.toPath)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally stream.close()
-    }
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    BatchDirs.compact(registers(spark, path), path)
 
   /** Pairwise overlap readout over the stored registers — c71's
     * estimate columns, corpus untouched.
