@@ -88,6 +88,34 @@ object BloomStore {
         (col("bits").bitwiseAND(col("m")) === col("m")), 1L).otherwise(0L)).as("h"))
       .select(col("id"), (col("h") === 1L).as("bloom_hit"))
 
+  /** Stream-safe probe: [[K]] stream-static LEFT joins instead of
+    * [[probe]]'s explode + groupBy (a streaming aggregate would force
+    * update mode and stateful execution; K stateless joins keep the
+    * gate in append mode with zero state). Returns the input rows plus
+    * a `bloom_hit` column; a NULL key never matches (bloom_hit false —
+    * "not in the corpus"), where [[probe]] drops such rows. The K joins
+    * all broadcast the same small words table, so the per-batch cost is
+    * K hash probes per row — the shape
+    * [[graft.streaming.MembershipStream]] ships.
+    */
+  def probeJoined(rows: DataFrame, key: Column, bits: DataFrame): DataFrame = {
+    val withP = rows.withColumn("__ps", positionsOf(key))
+    val joined = (0 until K).foldLeft(withP) { (df, j) =>
+      val b = bits.select(col("w").as(s"__w$j"), col("bits").as(s"__b$j"))
+      df.withColumn(s"__wj$j", expr(s"shiftright(__ps[$j], 5)"))
+        .withColumn(s"__mj$j",
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__ps[$j] & 31 AS INT))"))
+        .join(b, col(s"__wj$j") === col(s"__w$j"), "left")
+    }
+    joined
+      .withColumn("bloom_hit", (0 until K).map(j =>
+          col(s"__b$j").isNotNull &&
+            (col(s"__b$j").bitwiseAND(col(s"__mj$j")) === col(s"__mj$j")))
+        .reduce(_ && _))
+      .drop("__ps" +: (0 until K)
+        .flatMap(j => Seq(s"__w$j", s"__b$j", s"__wj$j", s"__mj$j")): _*)
+  }
+
   /** Ingest a batch: sketch its keys and append a NEW batch dir —
     * existing dirs are never read, rewritten or deleted ([[BatchDirs]]).
     */
