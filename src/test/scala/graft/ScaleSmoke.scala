@@ -59,9 +59,9 @@ object ScaleSmoke {
     "b12_waiting_suppliers", "b13_part_top_supplier", "c1_minhash_lsh",
     "c9_token_count", "c15_dedup_groups", "c17_quality_filter",
     "c27_contamination", "c51_ts_similar_users", "c55_containment",
-    "c70_quantile_sketch",
+    "c70_quantile_sketch", "c71_overlap_hll", "c72_membership_gate",
     "d2_rollup_pricing", "d8_percentiles", "d22_table_profile",
-    "d29_ref_integrity")
+    "d29_ref_integrity", "d32_ols_trend")
 
   def build(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)
