@@ -52,4 +52,29 @@ class NullTextSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(text == twin)
   }
+
+  // The r8 review found this exact divergence class twice: a null-key
+  // filter applied to a DataFrame path but not its SQL twin (or vice
+  // versa) passes every oracle run — the testdata has no NULLs — and
+  // detonates on the first hostile corpus. Pin the round's new queries
+  // against it mechanically: DataFrame twin ≡ SQL text on a corpus
+  // WITH NULL text, and the output shape stays sane.
+  for (q <- Seq("c45_hll_distinct", "c71_overlap_hll", "c72_membership_gate")) {
+    test(s"$q SQL text matches the twin on NULL text row-for-row") {
+      val twin = SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq).toSeq
+      val text = SqlEntry.sql(spark, dir, q).collect().map(_.toSeq).toSeq
+      assert(text == twin, s"$q diverges on a NULL-text corpus")
+    }
+  }
+
+  test("c71 on NULL text: null keys leave registers, not fabricated estimates") {
+    val rows = SparkEntry.queries("c71_overlap_hll")(spark, dir).collect()
+    // both sources still have non-null docs, so exactly the one pair
+    // appears; a source whose keys were ALL null would drop instead of
+    // getting an empty-register estimate
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    assert(r.getLong(6) == 0L, "srcA and srcB share no non-null doc")
+  }
 }
