@@ -10,11 +10,11 @@ import graft.queries.{ExtOps, Tables}
   * loaders as the DataFrame path, so events.ts normalization and the
   * decimal-exact money casts behave identically) and registers graft's
   * native SQL functions (`simhash64`, `minhash_bands`, `token_ngrams`,
-  * `long_array_dot`, `count_min_sketch_exactable`, `qdigest_quantiles`
+  * `long_array_dot`, `count_min_sketch_exactable`, `qdigest_quantiles`, `qdigest_quantiles_weighted`
   * — the same [[graft.plans.GraftExtensions]] builders a cluster would
   * inject via `spark.sql.extensions`), after which ANY curated query is reachable
   * as plain `spark.sql(...)` text. [[sparkSql]] carries Spark-dialect
-  * text for 129 of the 141 declared queries: the COMPLETE a-family
+  * text for 130 of the 142 declared queries: the COMPLETE a-family
   * (7/7), d-family (32/32), the b-family except the as-of trio, and
   * the c-family except the iterative-training queries — porting the
   * DuckDB-only constructs of [[SparkEntry.oracleSql]] to their Spark
@@ -1169,6 +1169,34 @@ object SqlEntry {
         |        (900 * n + 999) DIV 1000 >= l90 - (24 * (n DIV 2048) + 1) AND
         |        (900 * n + 999) DIV 1000 <= h90 + (24 * (n DIV 2048) + 1)) AS sketch_within_band
         |FROM g ORDER BY flag""".stripMargin,
+    // the c70 band arithmetic with the registered WEIGHTED digest
+    // spelling; output columns estimate-independent by the band
+    // contract, so row-identity holds across merge orders
+    "c73_weighted_quantiles" ->
+      """WITH d AS (SELECT lang,
+        |      CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |    FROM documents),
+        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d GROUP BY lang, v),
+        |est AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw,
+        |               qdigest_quantiles_weighted(v, w, 16, 1024, 500, 900) AS e
+        |        FROM hist GROUP BY lang),
+        |e2 AS (SELECT lang, tw, e[0] AS e50, e[1] AS e90 FROM est),
+        |cum AS (SELECT lang, v, sum(w) OVER (PARTITION BY lang ORDER BY v) AS cum FROM hist),
+        |g AS (SELECT c.lang, tw, e50, e90,
+        |             min(CASE WHEN cum >= (500 * tw + 999) DIV 1000 THEN v END) AS wp50_tokens,
+        |             min(CASE WHEN cum >= (900 * tw + 999) DIV 1000 THEN v END) AS wp90_tokens,
+        |             coalesce(max(CASE WHEN v <= e50 THEN cum END), CAST(0 AS BIGINT)) AS h50,
+        |             coalesce(max(CASE WHEN v <  e50 THEN cum END), CAST(0 AS BIGINT)) + 1 AS l50,
+        |             coalesce(max(CASE WHEN v <= e90 THEN cum END), CAST(0 AS BIGINT)) AS h90,
+        |             coalesce(max(CASE WHEN v <  e90 THEN cum END), CAST(0 AS BIGINT)) + 1 AS l90
+        |      FROM cum c JOIN e2 ON c.lang = e2.lang
+        |      GROUP BY c.lang, tw, e50, e90)
+        |SELECT lang, tw AS total_tokens, wp50_tokens, wp90_tokens,
+        |       ((500 * tw + 999) DIV 1000 >= l50 - (16 * (tw DIV 1024) + 1) AND
+        |        (500 * tw + 999) DIV 1000 <= h50 + (16 * (tw DIV 1024) + 1) AND
+        |        (900 * tw + 999) DIV 1000 >= l90 - (16 * (tw DIV 1024) + 1) AND
+        |        (900 * tw + 999) DIV 1000 <= h90 + (16 * (tw DIV 1024) + 1)) AS sketch_within_band
+        |FROM g ORDER BY lang""".stripMargin,
     "c30_source_quota" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenNgrams)
     ext.injectFunction(GraftExtensions.countMinSketch)
     ext.injectFunction(GraftExtensions.qdigestQuantiles)
+    ext.injectFunction(GraftExtensions.qdigestQuantilesWeighted)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
   }
@@ -99,6 +100,24 @@ object GraftExtensions {
         "qdigest_quantiles(v, bits, k, q1[, q2, ...]) takes at least four arguments")
       QDigestAgg(args.head, intLit(args(1), "bits"), intLit(args(2), "k"),
         args.drop(3).zipWithIndex.map { case (e, i) => intLit(e, s"q${i + 1}") })
+        .toAggregateExpression()
+    })
+
+  /** (name, info, builder) for
+    * `qdigest_quantiles_weighted(v, w, bits, k, q1[, q2, ...])` — the
+    * weighted-ingest form (value v carries multiplicity w; identical
+    * to ingesting v repeated w times, QDigestAggSpec's multiset
+    * contract). Same literal rules as the unweighted spelling.
+    */
+  val qdigestQuantilesWeighted: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("qdigest_quantiles_weighted"),
+    new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest_quantiles_weighted"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 5,
+        "qdigest_quantiles_weighted(v, w, bits, k, q1[, q2, ...]) takes at least five arguments")
+      QDigestAgg(args.head, intLit(args(2), "bits"), intLit(args(3), "k"),
+        args.drop(4).zipWithIndex.map { case (e, i) => intLit(e, s"q${i + 1}") },
+        args(1))
         .toAggregateExpression()
     })
 

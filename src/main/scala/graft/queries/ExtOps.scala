@@ -214,6 +214,60 @@ object ExtOps {
             .as("sketch_within_band"))
         .orderBy(col("flag"))
     }),
+    // c73 — token-weighted length quantiles: "the median TOKEN sits in
+    // a document of length X" — the corpus-composition statistic behind
+    // sequence-length bucketing and packing decisions (an unweighted
+    // doc median is dominated by short docs; training cost follows the
+    // TOKEN mass). Value = doc length in tokens, weight = that same
+    // token count. This is the query the value-domain counts shape IS
+    // right for (the shape c70 measured wrong for ~unique prices): doc
+    // LENGTHS live in a tiny domain, so the histogram collapses the
+    // corpus before anything else runs — the weighted q-digest ingests
+    // (v, w) histogram rows (QDigestAggSpec's multiset contract: w
+    // repeats of v), the rank replay is a cum window over the tiny
+    // histogram, and the only corpus-sized work is the one groupBy.
+    // Output follows the c70/c24 contract: exact weighted p50/p90 plus
+    // the engine-computed rank-interval in-band boolean (bound
+    // bits·⌊W/k⌋+1 with W = total weight) the oracle pins TRUE.
+    "c73_weighted_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      val bits = 16
+      val k = 1024
+      val docs = load(s, dir, "documents").select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("v"))
+      // value-domain histogram: |langs|·|distinct lengths| rows — tiny,
+      // checkpointed once for its two consumers (the c55 discipline)
+      val hist = docs.groupBy(col("lang"), col("v"))
+        .agg((col("v") * count(lit(1))).as("w"))
+        .localCheckpoint(true)
+      val digCol = GraftBridge.column(graft.functions.QDigestAgg(
+        GraftBridge.expression(col("v")), bits, k, Seq(500, 900),
+        GraftBridge.expression(col("w"))).toAggregateExpression())
+      val est = hist.groupBy("lang")
+        .agg(sum(col("w")).as("tw"), digCol.as("est"))
+        .select(col("lang"), col("tw"),
+          col("est")(0).as("e50"), col("est")(1).as("e90"))
+      val cum = hist.withColumn("cum",
+        sum(col("w")).over(Window.partitionBy("lang").orderBy("v")))
+      val t50 = expr("(500 * tw + 999) DIV 1000")
+      val t90 = expr("(900 * tw + 999) DIV 1000")
+      val bound = lit(bits.toLong) * expr(s"tw DIV $k") + lit(1L)
+      cum.join(broadcast(est), "lang")
+        .groupBy(col("lang"), col("tw"), col("e50"), col("e90"))
+        .agg(
+          min(when(col("cum") >= t50, col("v"))).as("wp50_tokens"),
+          min(when(col("cum") >= t90, col("v"))).as("wp90_tokens"),
+          coalesce(max(when(col("v") <= col("e50"), col("cum"))), lit(0L)).as("h50"),
+          (coalesce(max(when(col("v") < col("e50"), col("cum"))), lit(0L)) + lit(1L)).as("l50"),
+          coalesce(max(when(col("v") <= col("e90"), col("cum"))), lit(0L)).as("h90"),
+          (coalesce(max(when(col("v") < col("e90"), col("cum"))), lit(0L)) + lit(1L)).as("l90"))
+        .select(col("lang"), col("tw").as("total_tokens"),
+          col("wp50_tokens"), col("wp90_tokens"),
+          (t50 >= col("l50") - bound && t50 <= col("h50") + bound &&
+            t90 >= col("l90") - bound && t90 <= col("h90") + bound)
+            .as("sketch_within_band"))
+        .orderBy(col("lang"))
+    }),
     // c45 — oracle-replayable HLL distinct counting: c24's sketch idea
     // with every bit md5-derived and every step 64-bit integer, so the
     // DuckDB oracle replays the ESTIMATOR itself (registers, harmonic
@@ -1319,6 +1373,20 @@ object ExtOps {
         |FROM cum c JOIN nn ON c.flag = nn.flag
         |GROUP BY nn.flag, nn.n
         |ORDER BY flag""".stripMargin,
+    "c73_weighted_quantiles" ->
+      """WITH d AS (SELECT lang,
+        |      CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS v
+        |    FROM documents),
+        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d GROUP BY lang, v),
+        |cum AS (SELECT lang, v, sum(w) OVER (PARTITION BY lang ORDER BY v) AS cum FROM hist),
+        |tw AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw FROM hist GROUP BY lang)
+        |SELECT tw.lang AS lang, tw.tw AS total_tokens,
+        |       min(CASE WHEN c.cum >= (500 * tw.tw + 999) // 1000 THEN c.v END) AS wp50_tokens,
+        |       min(CASE WHEN c.cum >= (900 * tw.tw + 999) // 1000 THEN c.v END) AS wp90_tokens,
+        |       true AS sketch_within_band
+        |FROM cum c JOIN tw ON c.lang = tw.lang
+        |GROUP BY tw.lang, tw.tw
+        |ORDER BY lang""".stripMargin,
     "c1_minhash_lsh" ->
       s"""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |             FROM documents WHERE doc_id % 5 = 0),

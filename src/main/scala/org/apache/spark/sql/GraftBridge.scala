@@ -34,7 +34,8 @@ object GraftBridge {
       graft.plans.GraftExtensions.minhashBands,
       graft.plans.GraftExtensions.tokenNgrams,
       graft.plans.GraftExtensions.countMinSketch,
-      graft.plans.GraftExtensions.qdigestQuantiles).foreach { case (id, _, builder) =>
+      graft.plans.GraftExtensions.qdigestQuantiles,
+      graft.plans.GraftExtensions.qdigestQuantilesWeighted).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
