@@ -227,8 +227,9 @@ object CorpusExtra {
     // possible by design and show as n_flagged > n_hits_exact.
     "c72_membership_gate" -> ((s, dir) => {
       import graft.sources.BloomStore
-      val key = md5(array_join(slice(split(col("text"), " "), 1, 4), " ")
-        .cast("binary"))
+      // the ONE template-key spelling shared with the streaming gate
+      // (the c59/VocabStream batch-stream discipline)
+      val key = graft.streaming.MembershipStream.templateKey
       val docs = load(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       val eval_ = docs.filter(col("doc_id") % 97 === 0)

@@ -55,15 +55,18 @@ object BloomStore {
   private def positionsOf(key: Column): Column =
     array((0 until K).map(j => position(j, key)): _*)
 
-  /** w = p div 32 and the single-bit mask, spelled as shifts/masks —
-    * exact integer semantics (Column./ is double division). Words are
-    * 32 bits in a 64-bit lane so every mask stays POSITIVE: a shift
-    * into the sign bit is an overflow error in DuckDB and a silent
-    * two's-complement wrap in Spark — a parity trap the narrower word
-    * removes outright.
+  /** w = p div 32 and the single-bit mask of a position expression,
+    * spelled as shifts/masks — exact integer semantics (Column./ is
+    * double division). Words are 32 bits in a 64-bit lane so every
+    * mask stays POSITIVE: a shift into the sign bit is an overflow
+    * error in DuckDB and a silent two's-complement wrap in Spark — a
+    * parity trap the narrower word removes outright. The ONE home of
+    * that rule: [[bitsOf]]/[[probe]] apply it to the exploded `p`
+    * column, [[probeJoined]] to each array slot.
     */
-  private val wCol = expr("shiftright(p, 5)")
-  private val mCol = expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))")
+  private def wOf(p: String) = expr(s"shiftright($p, 5)")
+  private def mOf(p: String) =
+    expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p & 31 AS INT))")
 
   /** The filter words table of a key column: (w, bits), one `bit_or`
     * aggregate. Null keys contribute nothing.
@@ -71,7 +74,7 @@ object BloomStore {
   def bitsOf(rows: DataFrame, key: Column): DataFrame =
     rows.filter(key.isNotNull)
       .select(explode(positionsOf(key)).as("p"))
-      .select(wCol.as("w"), mCol.as("m"))
+      .select(wOf("p").as("w"), mOf("p").as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
 
   /** Probe a batch against a words table: returns (id, bloom_hit) — one
@@ -81,7 +84,7 @@ object BloomStore {
   def probe(rows: DataFrame, id: Column, key: Column, bits: DataFrame): DataFrame =
     rows.filter(key.isNotNull)
       .select(id.as("id"), explode(positionsOf(key)).as("p"))
-      .select(col("id"), wCol.as("w"), mCol.as("m"))
+      .select(col("id"), wOf("p").as("w"), mOf("p").as("m"))
       .join(bits, Seq("w"), "left")
       .groupBy(col("id"))
       .agg(min(when(col("bits").isNotNull &&
@@ -102,9 +105,8 @@ object BloomStore {
     val withP = rows.withColumn("__ps", positionsOf(key))
     val joined = (0 until K).foldLeft(withP) { (df, j) =>
       val b = bits.select(col("w").as(s"__w$j"), col("bits").as(s"__b$j"))
-      df.withColumn(s"__wj$j", expr(s"shiftright(__ps[$j], 5)"))
-        .withColumn(s"__mj$j",
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__ps[$j] & 31 AS INT))"))
+      df.withColumn(s"__wj$j", wOf(s"__ps[$j]"))
+        .withColumn(s"__mj$j", mOf(s"__ps[$j]"))
         .join(b, col(s"__wj$j") === col(s"__w$j"), "left")
     }
     joined
