@@ -1139,11 +1139,12 @@ object SqlEntry {
     // band arithmetic mirrors the DataFrame twin exactly (rank
     // intervals widened by the deterministic bits·⌊n/k⌋+1 bound). The
     // text replays exact ranks through a counts-table cum window where
-    // the DataFrame twin uses row_number over raw rows (its repartition
-    // + localCheckpoint has no SQL spelling) — different digest merge
-    // orders, possibly different estimates, but the OUTPUT columns
-    // (n, exact percentiles, in-band boolean) are estimate-independent
-    // by the band contract, so row-identity still holds.
+    // the DataFrame twin rides its value-bucket histogram + slice
+    // probe (its localCheckpoint plumbing has no SQL spelling) —
+    // different digest merge orders, possibly different estimates, but
+    // the OUTPUT columns (n, exact percentiles, in-band boolean) are
+    // estimate-independent by the band contract, so row-identity still
+    // holds.
     "c70_quantile_sketch" ->
       """WITH vals AS (SELECT l_returnflag AS flag,
         |                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -1175,8 +1176,9 @@ object SqlEntry {
     "c73_weighted_quantiles" ->
       """WITH d AS (SELECT lang,
         |      CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS v
-        |    FROM documents),
-        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d GROUP BY lang, v),
+        |    FROM documents WHERE lang IS NOT NULL),
+        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d
+        |         GROUP BY lang, v HAVING v * count(*) > 0),
         |est AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw,
         |               qdigest_quantiles_weighted(v, w, 16, 1024, 500, 900) AS e
         |        FROM hist GROUP BY lang),

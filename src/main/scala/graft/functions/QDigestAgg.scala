@@ -285,6 +285,12 @@ final class LongLongCountMap(initialCapacity: Int = 4096) extends Serializable {
   }
 
   def addTo(key: Long, delta: Long): Unit = {
+    // key 0 would silently alias the empty-slot sentinel (vs bumped on
+    // an "empty" slot, n not incremented — a corrupt map, not an
+    // error). Node ids are ≥ 1 by construction, but deserialize() feeds
+    // addTo straight from shuffle bytes, so fail loudly instead of
+    // degrading silently; one perfectly-predicted branch on the hot path.
+    require(key != 0L, "key 0 is the empty-slot sentinel (node ids are >= 1)")
     var i = slot(key)
     while (true) {
       val kk = ks(i)

@@ -188,7 +188,12 @@ object CorpusExtra {
     // re-shuffling every document hash 10⁸ times. The exact shared
     // count rides along to GRADE the sketch (the c24/c45 discipline):
     // with 32 registers σ ≈ 18% per estimate, so small intersections
-    // are noise — the exact column is the audit that says so.
+    // are noise — the exact column is the audit that says so. To be
+    // explicit about the production-vs-audit split: the SHIPPED
+    // readout at scale is SketchStore.overlap alone (registers only,
+    // corpus never re-touched); the `n_exact_shared` column below —
+    // the one distinct-hash self-join that re-reads the corpus — is
+    // the bench-scale grader and is DROPPED at 100 TB.
     "c71_overlap_hll" -> ((s, dir) => {
       import graft.operators.HllDistinct
       val docs = load(s, dir, "documents")
@@ -224,7 +229,14 @@ object CorpusExtra {
     // n_false_neg is structurally 0 (Bloom's contract), pinned by the
     // oracle, which replays the ENTIRE filter bit-for-bit (positions
     // are md5 hex arithmetic, the c45 discipline). False positives are
-    // possible by design and show as n_flagged > n_hits_exact.
+    // possible by design and show as n_flagged > n_hits_exact. To be
+    // explicit about the production-vs-audit split (the c71 sentence,
+    // applied here): the SHIPPED readout at scale is BloomStore.probe
+    // against the persisted words table alone; the exact-membership
+    // legs below — `trainKeys` distinct+join and the n_hits_exact /
+    // n_false_neg columns they feed — are the bench-scale graders and
+    // are DROPPED at 100 TB (the corpus is touched once to build the
+    // filter, once per probe batch, never again).
     "c72_membership_gate" -> ((s, dir) => {
       import graft.sources.BloomStore
       // the ONE template-key spelling shared with the streaming gate

@@ -158,24 +158,47 @@ object ExtOps {
     // can sit far past the target.
     //
     // Cost shape at sf0.1 (C70Ab is the committed A/B record): ONE
-    // lineitem scan, raw (flag, v) rows repartitioned on (flag, v) and
-    // localCheckpoint-materialized for the two consumers (the c49/c55
-    // twice-referenced discipline). The first cut pre-aggregated a
-    // (flag, v, c) counts table here on a value-domain argument — but
+    // lineitem scan, raw (flag, v) rows range-repartitioned on the
+    // exact sort key (flag, v) and localCheckpoint-materialized for all
+    // consumers (the c49/c55 discipline). The first cut pre-aggregated
+    // a (flag, v, c) counts table on a value-domain argument — but
     // MEASURED, prices are nearly unique (594,330 distinct (flag, v)
     // pairs from 600,000 rows at sf0.1), so the hash aggregation +
-    // weighted ingest bought no compression and cost 2.0 s warm where
-    // the raw shape costs 1.1 s (C70Ab). The digest leg runs partial
-    // aggregates on the 32 post-shuffle partitions (the repartition
-    // exists ONLY because the bench file is a single parquet row group
-    // — on a real multi-file scan the partials ride the scan tasks and
-    // the repartition should be dropped: no value shuffle, only digests
-    // move, which is the production path QuantileStream.digestCol
-    // ships). The replay leg replaces the cum window over counts with
-    // row_number over raw rows — within ties rn is assigned arbitrarily,
-    // but min(v | rn ≥ t) is the value AT rank t either way — and the
-    // rank intervals collapse to plain conditional counts
-    // (count(v ≤ e) needs no window at all).
+    // weighted ingest bought no compression (C70Ab). The ONE exchange
+    // is repartitionByRange (it doubles as the bench-file
+    // parallelizer — the file is a single parquet row group; on a real
+    // multi-file scan the digest partials ride the scan tasks and the
+    // production path ships just QuantileStream.digestCol: no value
+    // shuffle, only digests move). The digest leg aggregates over the
+    // checkpoint's partitions directly.
+    //
+    // The replay leg needs the exact value AT rank t per flag — but
+    // flag has THREE values, so Window.partitionBy(flag) would funnel
+    // a third of the fact table through one task each (the r8
+    // verdict's scale-killer). Two scale-safe rewrites were MEASURED
+    // (C70Ab/C70Parts at 10× data): the full c26 two-level rank still
+    // sorts every row (8.0 s vs 2.5 s for the 3-task window), and any
+    // repartitionByRange formulation eats the range exchange's premium
+    // (11.1 s vs 4.6 s for the same hash shuffle at 10× — the sampling
+    // pass plus per-row ordered routing). So the replay buckets by
+    // VALUE instead: b = v >> 12 is deterministic (no sampling, no
+    // partition-id consistency to defend), and the (flag, b) histogram
+    // is DOMAIN-bounded (~2.5k buckets per flag for the price domain)
+    // — scale-independent rows, so its per-flag cumulative window is
+    // the c20 allowlisted class (tiny aggregated input), never the
+    // corpus. The prefix counts locate the ONE bucket containing each
+    // target rank; only those ≤ 2·|flags| bucket slices (ΣN/2560
+    // rows, parallel, and the 12-bit shift is a dial — shrink it as N
+    // grows to keep slices task-sized) get a local row_number to read
+    // the (t − cum_prev)-th smallest value. The t-th order statistic
+    // is tie-invariant, so this equals the serial min(v | rn ≥ t) —
+    // the unchanged oracle proves it. The band check's rank intervals
+    // also ride the histogram: count(v ≤ e) = full buckets below
+    // e's bucket + a conditional count inside it, computed in the SAME
+    // slice pass — no full-table conditional scan either. Net: the
+    // full table is never sorted and never re-shuffled past the one
+    // parallelizing checkpoint; it is scanned three times (digest,
+    // histogram, slice probe), each a cached columnar pass.
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
       val bits = 24
@@ -188,29 +211,81 @@ object ExtOps {
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
         GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
         .toAggregateExpression())
-      val est = dist.groupBy("flag")
-        .agg(count(lit(1)).as("n"), digCol.as("est"))
-        .select(col("flag"), col("n"),
+      // single digest pass, tiny (|flags| rows) — pinned for its reuse
+      val est = dist.groupBy("flag").agg(digCol.as("est"))
+        .select(col("flag"),
           col("est")(0).as("e50"), col("est")(1).as("e90"))
-      val rn = dist.withColumn("rn",
-          row_number().over(Window.partitionBy("flag").orderBy("v")))
+        .localCheckpoint(true)
+      // value-bucket histogram: domain-bounded (~|domain|/4096 rows per
+      // flag), pinned for its three tiny consumers
+      val bcnt = dist.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cum = bcnt.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("flag").orderBy("b")))
+        .withColumn("cum_prev", col("cum") - col("c"))
+      val nTab = bcnt.groupBy(col("flag")).agg(sum(col("c")).as("n"))
       val t50 = expr("(500 * n + 999) DIV 1000")
       val t90 = expr("(900 * n + 999) DIV 1000")
-      // broadcast the per-flag digest row (|flags| rows) — the row side
-      // must stay shuffled at scale
-      rn.join(broadcast(est), "flag")
-        .groupBy(col("flag"), col("n"), col("e50"), col("e90"))
-        .agg(
-          min(when(col("rn") >= t50, col("v"))).as("exact_p50"),
-          min(when(col("rn") >= t90, col("v"))).as("exact_p90"),
-          // estimate rank intervals: hi = count(≤ e), lo = count(< e)+1
-          sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("h50"),
-          (sum(when(col("v") < col("e50"), 1L).otherwise(0L)) + lit(1L)).as("l50"),
-          sum(when(col("v") <= col("e90"), 1L).otherwise(0L)).as("h90"),
-          (sum(when(col("v") < col("e90"), 1L).otherwise(0L)) + lit(1L)).as("l90"))
+      // rank targets → the one bucket whose prefix interval holds rank t
+      val selR = nTab
+        .select(col("flag"), explode(array(
+          struct(lit(50L).as("q"), t50.as("t")),
+          struct(lit(90L).as("q"), t90.as("t")))).as("s"))
+        .select(col("flag"), col("s.q").as("q"), col("s.t").as("t"))
+        .join(cum, "flag")
+        .filter(col("cum_prev") < col("t") && col("t") <= col("cum"))
+        .select(col("flag"), col("b"), col("q"), lit("r").as("kind"),
+          (col("t") - col("cum_prev")).as("lt"), lit(null).cast("long").as("e"))
+      // value targets (the digest estimates) → their own buckets, for
+      // the in-band rank intervals
+      val tgtV = est
+        .select(col("flag"), explode(array(
+          struct(lit(50L).as("q"), col("e50").as("e")),
+          struct(lit(90L).as("q"), col("e90").as("e")))).as("s"))
+        .select(col("flag"), col("s.q").as("q"), col("s.e").as("e"),
+          expr("shiftright(s.e, 12)").as("be"))
+      val selV = tgtV.select(col("flag"), col("be").as("b"), col("q"),
+        lit("v").as("kind"), lit(null).cast("long").as("lt"), col("e"))
+      // full buckets strictly below a value-target's bucket hold only
+      // v < e (b < be ⇒ v < be·4096 ≤ e); the boundary bucket's ≤/<
+      // counts come from the slice pass below
+      val base = tgtV.select(col("flag"), col("q"))
+        .join(tgtV.join(bcnt, "flag").filter(col("b") < col("be"))
+            .groupBy(col("flag"), col("q")).agg(sum(col("c")).as("base")),
+          Seq("flag", "q"), "left")
+        .groupBy(col("flag")).agg(
+          coalesce(min(when(col("q") === 50L, col("base"))), lit(0L)).as("base50"),
+          coalesce(min(when(col("q") === 90L, col("base"))), lit(0L)).as("base90"))
+      // ONE slice pass serves both legs: ≤ 4·|flags| bucket slices,
+      // broadcast back; the window input is slice rows only
+      val sel = selR.unionByName(selV)
+      val slice = dist.withColumn("b", expr("shiftright(v, 12)"))
+        .join(broadcast(sel), Seq("flag", "b"))
+      val res = slice
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("flag"), col("q"), col("kind"))
+            .orderBy(col("v"))).cast("long"))
+        .groupBy(col("flag")).agg(
+          min(when(col("kind") === "r" && col("q") === 50L &&
+            col("lrn") === col("lt"), col("v"))).as("exact_p50"),
+          min(when(col("kind") === "r" && col("q") === 90L &&
+            col("lrn") === col("lt"), col("v"))).as("exact_p90"),
+          sum(when(col("kind") === "v" && col("q") === 50L &&
+            col("v") <= col("e"), 1L).otherwise(0L)).as("sLe50"),
+          sum(when(col("kind") === "v" && col("q") === 50L &&
+            col("v") < col("e"), 1L).otherwise(0L)).as("sLt50"),
+          sum(when(col("kind") === "v" && col("q") === 90L &&
+            col("v") <= col("e"), 1L).otherwise(0L)).as("sLe90"),
+          sum(when(col("kind") === "v" && col("q") === 90L &&
+            col("v") < col("e"), 1L).otherwise(0L)).as("sLt90"))
+      // h = count(≤ e), l = count(< e)+1, assembled from base + slice
+      nTab.join(res, "flag").join(base, "flag")
         .select(col("flag"), col("n"), col("exact_p50"), col("exact_p90"),
-          (t50 >= col("l50") - bound && t50 <= col("h50") + bound &&
-            t90 >= col("l90") - bound && t90 <= col("h90") + bound)
+          (t50 >= col("base50") + col("sLt50") + lit(1L) - bound &&
+            t50 <= col("base50") + col("sLe50") + bound &&
+            t90 >= col("base90") + col("sLt90") + lit(1L) - bound &&
+            t90 <= col("base90") + col("sLe90") + bound)
             .as("sketch_within_band"))
         .orderBy(col("flag"))
     }),
@@ -233,12 +308,25 @@ object ExtOps {
       import org.apache.spark.sql.GraftBridge
       val bits = 16
       val k = 1024
-      val docs = load(s, dir, "documents").select(col("lang"),
-        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("v"))
+      // NULL lang is excluded explicitly (the c45/c71/c72 discipline —
+      // Spark and DuckDB disagree on NULL ordering, so an unguarded
+      // GROUP BY lang ... ORDER BY lang diverges on a hostile corpus);
+      // zero-weight rows (a lang whose docs are all empty: v=0 ⇒ w=0)
+      // are dropped BEFORE the digest — a tw=0 group has no token mass
+      // to take quantiles over, and feeding it through would NULL the
+      // digest eval and the band boolean against the oracle's literal
+      // TRUE. Both guards are mirrored in the SQL text and the oracle;
+      // NullTextSpec pins the three-spelling parity on a corpus that
+      // actually has NULL langs and empty-only langs.
+      val docs = load(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang"),
+          expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("v"))
       // value-domain histogram: |langs|·|distinct lengths| rows — tiny,
       // checkpointed once for its two consumers (the c55 discipline)
       val hist = docs.groupBy(col("lang"), col("v"))
         .agg((col("v") * count(lit(1))).as("w"))
+        .filter(col("w") > 0)
         .localCheckpoint(true)
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
         GraftBridge.expression(col("v")), bits, k, Seq(500, 900),
@@ -1376,8 +1464,9 @@ object ExtOps {
     "c73_weighted_quantiles" ->
       """WITH d AS (SELECT lang,
         |      CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS v
-        |    FROM documents),
-        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d GROUP BY lang, v),
+        |    FROM documents WHERE lang IS NOT NULL),
+        |hist AS (SELECT lang, v, CAST(v * count(*) AS BIGINT) AS w FROM d
+        |         GROUP BY lang, v HAVING v * count(*) > 0),
         |cum AS (SELECT lang, v, sum(w) OVER (PARTITION BY lang ORDER BY v) AS cum FROM hist),
         |tw AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw FROM hist GROUP BY lang)
         |SELECT tw.lang AS lang, tw.tw AS total_tokens,

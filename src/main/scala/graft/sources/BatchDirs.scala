@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The append-only batch-dir persistence shared by [[SketchStore]] and
   * [[BloomStore]]: each ingested batch writes its own `batch-<id>/`
@@ -28,14 +28,27 @@ private[sources] object BatchDirs {
   def append(batch: DataFrame, path: String): Unit =
     batch.write.mode("errorifexists").parquet(newBatchDir(path))
 
-  /** Fold the current dirs into one: `merged` (the store's merged view)
-    * is fully committed as a new dir before any input dir is removed.
-    * The view is tiny by construction, so it materializes through
-    * localCheckpoint (a parquet write cannot read its own input
-    * mid-overwrite; here it also pins the pre-compaction view).
+  /** Fold the current dirs into one: the batch dirs are enumerated
+    * ONCE, the merged view is built from EXACTLY that list (explicit
+    * paths, not a directory re-listing), fully committed as a new dir,
+    * and only then are exactly those input dirs removed. The one
+    * enumeration is what makes compaction safe under a CONCURRENT
+    * append, not just under crashes: a batch dir committed while the
+    * merge runs is neither read nor deleted — it simply survives into
+    * the next read's merge (the r8 spelling re-listed before deleting,
+    * so a dir landing between the caller's merge snapshot and the
+    * delete walk was dropped unmerged — silent state loss). The view
+    * is tiny by construction, so it materializes through
+    * localCheckpoint before the write (a parquet write cannot read its
+    * own input mid-overwrite; here it also pins the snapshot before
+    * any delete).
     */
-  def compact(merged: DataFrame, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      merge: DataFrame => DataFrame): Unit = {
     val before = list(path)
+    if (before.isEmpty) return
+    val merged = merge(
+      spark.read.parquet(before.map(_.getAbsolutePath): _*))
     append(merged.localCheckpoint(true), path)
     before.foreach { d =>
       val stream = java.nio.file.Files.walk(d.toPath)

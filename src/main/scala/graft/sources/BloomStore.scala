@@ -30,30 +30,38 @@ import org.apache.spark.sql.functions._
   *     so replayed batches and interrupted compactions are no-ops and
   *     no rewrite window can lose the state.
   *
-  * False positives are the Bloom contract (rate (nK/MBits)^K — at the
-  * defaults, < 1e-5 up to ~2·10⁴ keys, ~2.5% by 10⁵ — size MBits to the
-  * corpus); false negatives are structurally
-  * impossible, pinned by BloomStoreSpec and the c72 oracle. At 100 TB
-  * [[MBits]] becomes a store parameter scaled to the corpus (the words
-  * table grows as MBits/32 rows — still a table, never a driver blob);
-  * it is a constant here so the two engines agree by construction.
+  * False positives are the Bloom contract (rate (nK/mBits)^K — at the
+  * [[MBits]] default, < 1e-5 up to ~2·10⁴ keys, ~2.5% by 10⁵); false
+  * negatives are structurally impossible, pinned by BloomStoreSpec and
+  * the c72 oracle. The filter size IS a store parameter: every builder
+  * and probe takes `mBits` (size it to the corpus — the words table
+  * grows as mBits/32 rows, still a table, never a driver blob), and
+  * the persisted store pins its own size in a `_mbits` sidecar at
+  * first append, so a later append or probe can neither shrink nor
+  * stretch the position arithmetic out from under the stored bits
+  * (mixed sizes would manufacture false negatives — the one thing the
+  * contract forbids). [[MBits]] stays the default so the c72 oracle
+  * replays the same constant.
   */
 object BloomStore {
 
-  /** Filter size in bits (2^20) and hashes per key. */
+  /** Default filter size in bits (2^20) and hashes per key. */
   val MBits: Long = 1L << 20
   val K = 5
 
   /** The j-th bit position of a key: md5("<j>|<key>") first 15 hex
-    * digits (60 bits, positive) mod [[MBits]].
+    * digits (60 bits, positive) mod `mBits`.
     */
-  private def position(j: Int, key: Column): Column =
+  private def position(j: Int, key: Column, mBits: Long): Column =
     conv(substring(md5(concat(lit(s"$j|"), key).cast("binary")), 1, 15), 16, 10)
-      .cast("long") % MBits
+      .cast("long") % mBits
 
   /** The K bit positions of a key as an array column. */
-  private def positionsOf(key: Column): Column =
-    array((0 until K).map(j => position(j, key)): _*)
+  private def positionsOf(key: Column, mBits: Long): Column = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of the 32-bit word width: $mBits")
+    array((0 until K).map(j => position(j, key, mBits)): _*)
+  }
 
   /** w = p div 32 and the single-bit mask of a position expression,
     * spelled as shifts/masks — exact integer semantics (Column./ is
@@ -71,19 +79,22 @@ object BloomStore {
   /** The filter words table of a key column: (w, bits), one `bit_or`
     * aggregate. Null keys contribute nothing.
     */
-  def bitsOf(rows: DataFrame, key: Column): DataFrame =
+  def bitsOf(rows: DataFrame, key: Column, mBits: Long = MBits): DataFrame =
     rows.filter(key.isNotNull)
-      .select(explode(positionsOf(key)).as("p"))
+      .select(explode(positionsOf(key, mBits)).as("p"))
       .select(wOf("p").as("w"), mOf("p").as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
 
   /** Probe a batch against a words table: returns (id, bloom_hit) — one
     * row per input row with a non-null key; `bloom_hit` is true iff all
-    * K bits are set (an absent word row is a miss).
+    * K bits are set (an absent word row is a miss). `mBits` must be the
+    * size the words table was BUILT with ([[mBitsOf]] for a persisted
+    * store).
     */
-  def probe(rows: DataFrame, id: Column, key: Column, bits: DataFrame): DataFrame =
+  def probe(rows: DataFrame, id: Column, key: Column, bits: DataFrame,
+      mBits: Long = MBits): DataFrame =
     rows.filter(key.isNotNull)
-      .select(id.as("id"), explode(positionsOf(key)).as("p"))
+      .select(id.as("id"), explode(positionsOf(key, mBits)).as("p"))
       .select(col("id"), wOf("p").as("w"), mOf("p").as("m"))
       .join(bits, Seq("w"), "left")
       .groupBy(col("id"))
@@ -101,8 +112,9 @@ object BloomStore {
     * K hash probes per row — the shape
     * [[graft.streaming.MembershipStream]] ships.
     */
-  def probeJoined(rows: DataFrame, key: Column, bits: DataFrame): DataFrame = {
-    val withP = rows.withColumn("__ps", positionsOf(key))
+  def probeJoined(rows: DataFrame, key: Column, bits: DataFrame,
+      mBits: Long = MBits): DataFrame = {
+    val withP = rows.withColumn("__ps", positionsOf(key, mBits))
     val joined = (0 until K).foldLeft(withP) { (df, j) =>
       val b = bits.select(col("w").as(s"__w$j"), col("bits").as(s"__b$j"))
       df.withColumn(s"__wj$j", wOf(s"__ps[$j]"))
@@ -120,16 +132,59 @@ object BloomStore {
 
   /** Ingest a batch: sketch its keys and append a NEW batch dir —
     * existing dirs are never read, rewritten or deleted ([[BatchDirs]]).
+    * The first append pins the store's filter size in the `_mbits`
+    * sidecar; a later append with a DIFFERENT size is rejected — words
+    * built under two moduli OR together into a filter that can miss
+    * ingested keys, which Bloom's contract forbids.
     */
-  def append(rows: DataFrame, key: Column, path: String): Unit =
-    BatchDirs.append(bitsOf(rows, key), path)
+  def append(rows: DataFrame, key: Column, path: String,
+      mBits: Long = MBits): Unit = {
+    pinMBits(path, mBits)
+    BatchDirs.append(bitsOf(rows, key, mBits), path)
+  }
 
-  /** The merged filter across all batch dirs (bit_or per word). */
+  /** The filter size a persisted store was built with (`_mbits`
+    * sidecar; [[MBits]] for a pre-sidecar store).
+    */
+  def mBitsOf(path: String): Long = {
+    val f = java.nio.file.Paths.get(path, "_mbits")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else MBits
+  }
+
+  private def pinMBits(path: String, mBits: Long): Unit = {
+    val f = java.nio.file.Paths.get(path, "_mbits")
+    if (java.nio.file.Files.exists(f)) {
+      val stored = java.nio.file.Files.readString(f).trim.toLong
+      require(stored == mBits,
+        s"store at $path was built with mBits=$stored; appending with " +
+          s"mBits=$mBits would corrupt the position arithmetic")
+    } else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, mBits.toString)
+    }
+  }
+
+  /** The word merge (bit_or per word index) — the ONE spelling shared
+    * by reads and compaction, so a folded filter can never drift from
+    * what a read would have computed. OR is duplicate-insensitive, so
+    * interrupted compactions and replayed batches stay no-ops.
+    */
+  private def mergeWords(raw: DataFrame): DataFrame =
+    raw.groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+
+  /** The merged filter across all batch dirs. */
   def words(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(path)
-      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+    mergeWords(spark.read.option("recursiveFileLookup", "true").parquet(path))
 
-  /** Fold all batch dirs into one — crash-safe per [[BatchDirs.compact]]. */
+  /** Fold all batch dirs into one — safe under crashes AND concurrent
+    * appends per [[BatchDirs.compact]] (enumerate once, merge exactly
+    * that list, delete exactly that list): a batch dir committed while
+    * the merge runs is neither read nor deleted, so "false negatives
+    * are structurally impossible" survives a streaming ingest appending
+    * mid-compaction.
+    */
   def compact(spark: SparkSession, path: String): Unit =
-    BatchDirs.compact(words(spark, path), path)
+    BatchDirs.compact(spark, path, mergeWords)
 }

@@ -44,21 +44,30 @@ object SketchStore {
     */
   def write(docs: DataFrame, path: String): Unit = append(docs, path)
 
-  /** The merged register view across all batch dirs: element-wise max
-    * per (g, bucket). Sparse — frame completion happens at readout.
+  /** The register merge: element-wise max per (g, bucket). The ONE
+    * spelling shared by reads and compaction, so the folded state can
+    * never drift from what a read would have computed.
+    */
+  private def mergeRegisters(raw: DataFrame): DataFrame =
+    raw.groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+
+  /** The merged register view across all batch dirs. Sparse — frame
+    * completion happens at readout.
     */
   def registers(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(path)
-      .groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+    mergeRegisters(
+      spark.read.option("recursiveFileLookup", "true").parquet(path))
 
-  /** Fold all batch dirs into one. Crash-safe by construction: the
-    * merged dir is fully committed BEFORE any input dir is removed, and
-    * if removal is interrupted the leftover inputs are re-merged by the
-    * next read under the same `max` — duplicate state is a no-op, not
-    * corruption.
+  /** Fold all batch dirs into one. Safe by construction under crashes
+    * AND concurrent appends: [[BatchDirs.compact]] enumerates the dirs
+    * once, merges exactly that list, commits the merged dir, then
+    * removes exactly that list — an interrupted removal leaves
+    * duplicates the next read merges away under the same `max`, and a
+    * batch appended mid-compaction survives untouched into the next
+    * merge.
     */
   def compact(spark: SparkSession, path: String): Unit =
-    BatchDirs.compact(registers(spark, path), path)
+    BatchDirs.compact(spark, path, mergeRegisters)
 
   /** Pairwise overlap readout over the stored registers — c71's
     * estimate columns, corpus untouched.

@@ -67,6 +67,48 @@ class NullTextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // c73's hostile corpus (found in the r8 review): a NULL lang (Spark
+  // sorts NULLS FIRST, DuckDB NULLS LAST — an unguarded GROUP BY lang
+  // diverges cross-engine) and a lang whose docs are ALL empty (every
+  // v=0 ⇒ w=0 ⇒ tw=0 — an unguarded digest eval returns NULL and the
+  // band boolean goes NULL against the oracle's literal TRUE). The
+  // fixed c73 filters both in all three spellings.
+  private lazy val dirLang: String = {
+    val d = Files.createTempDirectory("nulllang").toFile
+    for (t <- SqlEntry.tableNames if t != "documents") {
+      Files.createSymbolicLink(
+        new java.io.File(d, s"$t.parquet").toPath,
+        Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    }
+    Seq(
+      (1L, "alpha beta gamma", "en", "srcA", 16L),
+      (2L, "delta epsilon", "en", "srcA", 13L),
+      (3L, "uno dos tres cuatro", "es", "srcA", 19L),
+      (4L, "orphan words here", null.asInstanceOf[String], "srcA", 17L),
+      (5L, "", "zz", "srcB", 0L),        // lang with ONLY empty docs
+      (6L, "   ", "zz", "srcB", 3L))     // whitespace-only ⇒ v = 0 too
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(d, "documents.parquet").toString)
+    d.getAbsolutePath
+  }
+
+  test("c73 on NULL/empty langs: three spellings agree; no NULL rows escape") {
+    val twin = SparkEntry.queries("c73_weighted_quantiles")(spark, dirLang)
+      .collect()
+    val text = SqlEntry.sql(spark, dirLang, "c73_weighted_quantiles")
+      .collect()
+    assert(twin.map(_.toSeq).toSeq == text.map(_.toSeq).toSeq,
+      "c73 DataFrame twin and SQL text diverge on a NULL-lang corpus")
+    val langs = twin.map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "es"),
+      s"NULL lang and the zero-weight lang must be excluded, got $langs")
+    assert(twin.forall(r => !r.isNullAt(r.fieldIndex("sketch_within_band")) &&
+      r.getBoolean(r.fieldIndex("sketch_within_band"))),
+      "the band boolean must be a literal TRUE, never NULL — the oracle " +
+        "pins it as TRUE")
+  }
+
   test("c71 on NULL text: null keys leave registers, not fabricated estimates") {
     val rows = SparkEntry.queries("c71_overlap_hll")(spark, dir).collect()
     // both sources still have non-null docs, so exactly the one pair

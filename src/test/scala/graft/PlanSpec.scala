@@ -408,6 +408,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "per-lang token sums must hash-aggregate map-side")
   }
 
+  /** The r8 blind spot: the suite-wide sweep banned UNPARTITIONED
+    * WindowExec, but a window partitioned by a tiny-cardinality key
+    * (c70's 3-value l_returnflag) over fact-sized input serializes just
+    * as badly — |keys| tasks each sorting rows/|keys| of the fact table.
+    * Detect it EMPIRICALLY on the optimized logical plan: for every
+    * Window, count the child's rows and the partition key's distinct
+    * values at this SF; ≥ 2000 rows with ≥ 256 rows per key means the
+    * window's parallelism is key-bounded, not cluster-bounded. Bounded
+    * inputs (per-bucket histograms, samples) pass the row floor or the
+    * named allowlist below; a window keyed by spark_partition_id is
+    * cluster-bounded by construction but still must be allowlisted by
+    * name (c26) so the permission stays exact.
+    */
+  private def tinyKeyWindowOffenders(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.GraftBridge
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.nonEmpty =>
+        val child = GraftBridge.ofRows(spark, w.child)
+        val rows = child.count()
+        if (rows < 2000) None
+        else {
+          val keys = child
+            .select(w.partitionSpec.map(GraftBridge.column): _*)
+            .distinct().count()
+          if (rows / math.max(keys, 1L) >= 256)
+            Some(s"window over $rows rows with $keys partition-key values " +
+              s"(spec: ${w.partitionSpec.mkString(", ")})")
+          else None
+        }
+    }.flatten
+  }
+
+  test("the tiny-key window detector flags a planted 3-key window over lineitem") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val planted = queries.Tables.load(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+    assert(tinyKeyWindowOffenders(planted).nonEmpty,
+      "a row_number partitioned by 3-value l_returnflag over the fact " +
+        "table must be flagged — the detector has gone blind")
+  }
+
   test("suite-wide plan hygiene: no cartesian, no unhinted nested loop, no global window") {
     // The whole declared inventory, not hand-picked queries: any product
     // join or single-partition window that sneaks into ANY query fails
@@ -437,11 +482,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
                                  // small-N branch (banded equi-join above
                                  // the cap — asserted separately above)
     )
+    // windows whose partition key is tiny but whose INPUT is bounded by
+    // construction (never corpus-sized), plus the pid-keyed two-level
+    // ranks — each entry justified, staleness-checked like the others.
+    // (The empirical detector fires only when BOTH the row floor and the
+    // rows-per-key ratio trip at this SF, so most bounded windows never
+    // need an entry.)
+    val tinyKeyWindowAllowed = Set(
+      "c26_vocab_coverage", // spark_partition_id-keyed local ranks: keys =
+                            // range-partition count = cluster width, and
+                            // ~vocab/32 rows per key at 32 partitions trips
+                            // the ratio at sf0.001 — parallelism-bounded by
+                            // construction, asserted separately above
+      "c70_quantile_sketch" // per-flag cumsum over the VALUE-BUCKET
+                            // histogram (child aggregates on (flag,
+                            // v>>12)): input is ≤ |flags|·|price domain|
+                            // /4096 rows — bounded by the value domain,
+                            // not the corpus, so it never grows past a
+                            // few thousand rows at ANY data size (the
+                            // c20 per-bucket-aggregate class; raw rows
+                            // only ever see the slice-probe window,
+                            // whose input is ≤ 4·|flags| buckets)
+    )
     val offenders = scala.collection.mutable.ListBuffer[String]()
     val usedAllowances = scala.collection.mutable.Set[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, dir).queryExecution.executedPlan
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
       val s = plan.toString
+      val tkw = tinyKeyWindowOffenders(df)
+      if (tkw.nonEmpty) {
+        if (tinyKeyWindowAllowed(name)) usedAllowances += name
+        else offenders ++= tkw.map(o => s"$name: $o")
+      }
       if (s.contains("CartesianProduct")) {
         if (productAllowed(name)) usedAllowances += name
         else offenders += s"$name: CartesianProduct"
@@ -460,7 +533,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
     // the allowlist must stay EXACT: an entry no longer exercised is a
     // stale permission a future regression could hide behind.
-    val stale = (productAllowed ++ scalarBroadcastAllowed) -- usedAllowances
+    val stale = (productAllowed ++ scalarBroadcastAllowed ++
+      tinyKeyWindowAllowed) -- usedAllowances
     assert(stale.isEmpty, s"stale allowlist entries (tighten them away): $stale")
   }
 

@@ -54,6 +54,16 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     bufs.reduceLeft { (a, b) => agg.merge(a, b) }
   }
 
+  test("LongLongCountMap rejects the sentinel key 0 instead of corrupting") {
+    // deserialize() feeds addTo straight from shuffle bytes; a corrupt
+    // partial buffer must fail loudly, not silently bump an "empty"
+    // slot's value without counting it (found in the r8 review).
+    val m = new LongLongCountMap(16)
+    m.addTo(7L, 2L)
+    intercept[IllegalArgumentException] { m.addTo(0L, 1L) }
+    assert(m.size == 1 && m.get(7L) == 2L, "the map is untouched after the reject")
+  }
+
   test("hi(): heap-id interval arithmetic") {
     // bits=4 universe [0,16): root 1 covers hi=15; leaf 16+v covers v.
     assert(QDigestAgg.hi(1L, 4) == 15L)

@@ -116,6 +116,46 @@ object C70Ab {
         .withColumn("rn", col("lrn") + col("rn_off"))
         .agg(count(lit(1))).collect()
     }
+    time("slice-select rank leg") {
+      // r9 candidate, measured and REJECTED: the two-level OFFSET TABLE
+      // locates the one RANGE partition containing each target rank and
+      // only those slices sort — scale-safe in shape, but it inherits
+      // repartitionByRange's premium (sampling pass + per-row ordered
+      // routing: 11.1 s vs 4.6 s for the same hash shuffle at 10×,
+      // C70Parts), measuring 1.15 s here and 11.0 s at 10×. The shipped
+      // replay keeps the slice-select idea but swaps range partitions
+      // for deterministic VALUE buckets (v >> 12) — no sampling, no
+      // partition-id consistency to defend (see the c70 scaladoc).
+      val n3 = vals.groupBy("flag").agg(count(lit(1)).as("n"))
+      val tg = n3.select(col("flag"),
+        expr("(500 * n + 999) DIV 1000").as("t50"),
+        expr("(900 * n + 999) DIV 1000").as("t90"))
+      val parted = vals.repartitionByRange(32, col("flag"), col("v"))
+        .withColumn("pid", spark_partition_id())
+      val bkt = parted.groupBy(col("pid"), col("flag"))
+        .agg(count(lit(1)).as("p_rows"))
+      val offs = bkt.as("a")
+        .join(broadcast(bkt.as("b")),
+          col("b.flag") === col("a.flag") && col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"), col("a.flag").as("flag"),
+          col("a.p_rows").as("p_rows"))
+        .agg(coalesce(sum(col("b.p_rows")), lit(0L)).as("rn_off"))
+      val sel = offs.join(tg, "flag")
+        .select(col("pid"), col("flag"), col("rn_off"), col("p_rows"),
+          explode(array(struct(lit(50L).as("q"), col("t50").as("t")),
+            struct(lit(90L).as("q"), col("t90").as("t")))).as("s"))
+        .filter(col("s.t") > col("rn_off") &&
+          col("s.t") <= col("rn_off") + col("p_rows"))
+        .select(col("pid"), col("flag"), col("s.q").as("q"),
+          (col("s.t") - col("rn_off")).as("lt"))
+      parted.join(broadcast(sel), Seq("pid", "flag"))
+        .withColumn("lrn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("pid"), col("flag"), col("q"))
+            .orderBy(col("v"))).cast("long"))
+        .filter(col("lrn") === col("lt"))
+        .agg(count(lit(1))).collect()
+    }
     time("full c70") {
       graft.queries.ExtOps.queries("c70_quantile_sketch")(spark, sfDir).collect()
     }

@@ -61,6 +61,29 @@ class SketchStoreSpec extends AnyFunSuite with SparkSpec {
       "compaction must not change the merged view")
   }
 
+  test("a batch appended DURING compaction survives into the next merge") {
+    // The r8 TOCTOU (found in review): the merged view's file index was
+    // snapshotted when the caller built it, but the delete set was
+    // re-listed inside compact — a batch committed between those points
+    // was deleted unmerged. The fixed BatchDirs.compact enumerates ONCE
+    // and both merges and deletes exactly that list; this test lands a
+    // concurrent append inside the merge callback (i.e. after the
+    // enumeration, before the delete walk — the worst possible moment)
+    // and asserts no register is lost.
+    val path = Files.createTempDirectory("sketch-race").toString + "/regs"
+    SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
+    BatchDirs.compact(spark, path, { raw =>
+      // a streaming ingest lands mid-compaction
+      SketchStore.append(docs.filter(col("doc_id") % 2 =!= 0), path)
+      raw.groupBy(col("g"), col("bucket")).agg(max(col("mj")).as("mj"))
+    })
+    val oneShot = HllDistinct.registerCore(docs, col("source"), col("text"))
+    assert(cells(SketchStore.registers(spark, path)) == cells(oneShot),
+      "the concurrently appended batch must survive compaction")
+    assert(batchDirs(path).size == 2,
+      "exactly the folded dir + the concurrent batch dir remain")
+  }
+
   test("overlap readout from the store reproduces c71's estimates") {
     val path = Files.createTempDirectory("sketch-overlap").toString + "/regs"
     SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
