@@ -1984,12 +1984,15 @@ object SqlEntry {
         |    0, lo & 4095, 1, (lo >> 12) & 4095, 2, (lo >> 24) & 4095, 3, (lo >> 36) & 4095,
         |    4, hi & 4095, 5, (hi >> 12) & 4095, 6, (hi >> 24) & 4095, 7, (hi >> 36) & 4095
         |  ) AS (band_id, bv) FROM sig),
+        |bkept AS (SELECT banded.* FROM banded
+        |          JOIN (SELECT band_id, bv FROM banded GROUP BY band_id, bv
+        |                HAVING count(*) <= 256) ok USING (band_id, bv)),
         |cand AS (SELECT a.user_id AS da, b.user_id AS db
         |         FROM sig a JOIN sig b ON a.user_id < b.user_id
         |         WHERE (SELECT n FROM nu) <= 1024
         |         UNION
         |         SELECT a.user_id AS da, b.user_id AS db
-        |         FROM banded a JOIN banded b
+        |         FROM bkept a JOIN bkept b
         |           ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id
         |         WHERE (SELECT n FROM nu) > 1024),
         |contrib AS (

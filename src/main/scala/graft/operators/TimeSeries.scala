@@ -96,11 +96,32 @@ object TimeSeries {
     */
   val BruteForceUserCap = 1024L
 
+  /** Per-(band_id, bv) population cap — the c3/c27 df-cap discipline
+    * applied to LSH buckets. Without it the pair space is Σ m² over
+    * bucket populations m ≈ 8n/32768: quadratic in n once buckets
+    * average past one user (measured: the c51 10× smoke ratio crept to
+    * 9–11× as the ×10 replicas pushed average population to ~3.7), and
+    * the FLAT-PROFILE bucket (bv = 0 — no above-average quarter in the
+    * band's 12 quarters) concentrates inactive users the way stop-words
+    * concentrate postings. A bucket past the cap contributes NO
+    * candidates (skip-overfull, standard LSH practice), which bounds
+    * total candidates at 32,768·cap²/2 REGARDLESS of n; recall remains
+    * full (pigeonhole, Hamming ≤ 7) for every pair sharing at least one
+    * non-overfull band. The cap is 69× the expected population at the
+    * bench SF and a pure function of counts both engines compute, so
+    * the DuckDB oracle replays the drop decision exactly. At 100 TB the
+    * production lever is growing the band key space with n (the
+    * nlist-grows-with-corpus rule); the cap is the skew guard.
+    */
+  val BandBucketCap = 256L
+
   /** Top-`k` most similar user pairs by exact hourly L1 profile
     * distance, searched among banded-signature candidates (full recall
     * up to 96-bit signature Hamming 7 — pigeonhole over the 8 × 12-bit
-    * bands); populations ≤ `bruteCap` take the exact all-pairs branch
-    * instead (see [[BruteForceUserCap]]). Output: (da, db, l1_cents).
+    * bands — for pairs sharing a non-overfull band, see
+    * [[BandBucketCap]]); populations ≤ `bruteCap` take the exact
+    * all-pairs branch instead (see [[BruteForceUserCap]]). Output:
+    * (da, db, l1_cents).
     */
   def topKSimilarPairs(events: DataFrame, k: Int,
       bruteCap: Long = BruteForceUserCap): DataFrame = {
@@ -119,11 +140,20 @@ object TimeSeries {
       // nested-loop product is ≤ cap²/2 pairs on one broadcast
       sig.select(col("user_id").as("da"))
         .join(sig.select(col("user_id").as("db")), col("da") < col("db"))
-    } else banded.select(col("band_id"), col("bv"), col("user_id").as("da"))
-      .join(banded.select(col("band_id"), col("bv"), col("user_id").as("db")),
+    } else {
+      // df-cap the buckets BEFORE the self-join (see BandBucketCap)
+      val kept = banded.join(
+        banded.groupBy(col("band_id"), col("bv"))
+          .agg(count(lit(1)).as("bp"))
+          .filter(col("bp") <= BandBucketCap)
+          .select(col("band_id"), col("bv")),
         Seq("band_id", "bv"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      kept.select(col("band_id"), col("bv"), col("user_id").as("da"))
+        .join(kept.select(col("band_id"), col("bv"), col("user_id").as("db")),
+          Seq("band_id", "bv"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+    }
     // L1 over possibly-sparse 24-dim vectors: contributions +va and -vb
     // summed per (pair, hour) then |·| summed per pair — hours present
     // on one side only contribute their magnitude, no dense pivot.

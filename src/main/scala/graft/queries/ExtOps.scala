@@ -2302,13 +2302,17 @@ object ExtOps {
         |              WHEN 4 THEN hi & 4095 WHEN 5 THEN (hi >> 12) & 4095
         |              WHEN 6 THEN (hi >> 24) & 4095 ELSE (hi >> 36) & 4095 END AS bv
         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band_id) b),
+        |bkept AS (
+        |  SELECT banded.* FROM banded
+        |  JOIN (SELECT band_id, bv FROM banded GROUP BY band_id, bv
+        |        HAVING count(*) <= 256) ok USING (band_id, bv)),
         |cand AS (
         |  SELECT a.user_id AS da, b.user_id AS db
         |  FROM sig a JOIN sig b ON a.user_id < b.user_id
         |  WHERE (SELECT n FROM nu) <= 1024
         |  UNION
         |  SELECT DISTINCT a.user_id AS da, b.user_id AS db
-        |  FROM banded a JOIN banded b
+        |  FROM bkept a JOIN bkept b
         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id
         |  WHERE (SELECT n FROM nu) > 1024),
         |contrib AS (

@@ -123,6 +123,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the user-pair space must come from the band-bucket join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidates must join on (band_id, band_value) equi-keys")
+    assert(p.contains(s"<= ${operators.TimeSeries.BandBucketCap}"),
+      "overfull band buckets must be dropped (the flat-profile zero " +
+        "bucket makes the pair space quadratic without the cap)")
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must ride a bounded heap, not a global sort")
     // The declared query at sf0.001 sits under BruteForceUserCap and
