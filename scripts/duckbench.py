@@ -32,7 +32,13 @@ def main(out_dir, sf_dir, out_file):
     con = duckdb.connect()
     con.sql("SET threads TO 32")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written replicas
+        # (e.g. the ScaleSmoke 10x set) are part-file DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     load0 = loadavg()
     wall0 = time.time()

@@ -6,7 +6,7 @@ Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
 (Verify must have been run first:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out")
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 import pandas as pd
@@ -34,7 +34,10 @@ def cells_equal(a, b) -> bool:
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written replica dirs vs single files
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):

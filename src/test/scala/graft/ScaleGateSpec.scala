@@ -39,10 +39,10 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
                                     // BandBucketCap (was 9.9–11.6
                                     // uncapped — Σm² creep, PERF.md §r9)
     "c55_containment" -> 18.0, // cal 2.6 — df-capped postings self-join
-    // cal 1.0(!): the 10× replica is MULTI-FILE, so the digest partials
-    // and counts parallelize across splits and wall time stays flat —
-    // the same 600k rows cost 2.7 s in the bench purely because the
-    // sf0.1 parquet is one row group = one scan task (C70Ab note).
+    // cal ~1 at this size: digest partials, the value-bucket histogram
+    // and the slice probe all parallelize across the replica's file
+    // splits; the r9 rewrite removed the per-flag full sort entirely
+    // (PERF.md §r9 — sf0.1-scale smoke ratio 2.3, bench 2.22 → 1.49 s).
     "c70_quantile_sketch" -> 10.0,
     // cal 1.2 — register path is one corpus scan + a corpus-size-
     // independent |sources|²·M pairwise leg; only the exact-shared
