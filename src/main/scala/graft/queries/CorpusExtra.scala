@@ -236,7 +236,12 @@ object CorpusExtra {
     // legs below — `trainKeys` distinct+join and the n_hits_exact /
     // n_false_neg columns they feed — are the bench-scale graders and
     // are DROPPED at 100 TB (the corpus is touched once to build the
-    // filter, once per probe batch, never again).
+    // filter, once per probe batch, never again). Sizing at scale:
+    // don't hand-pick mBits — `BloomStore.sizeFor(expectedKeys,
+    // targetFp)` inverts the FP arithmetic (e.g. sizeFor(10e9, 0.01)
+    // ≈ 96 Gbit = a 3-billion-row words table, still a table); the
+    // query keeps the MBits default only so the DuckDB oracle replays
+    // the same constant.
     "c72_membership_gate" -> ((s, dir) => {
       import graft.sources.BloomStore
       // the ONE template-key spelling shared with the streaming gate

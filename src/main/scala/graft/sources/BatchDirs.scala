@@ -14,19 +14,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[sources] object BatchDirs {
 
-  def newBatchDir(path: String): String =
-    s"$path/batch-${java.util.UUID.randomUUID().toString.take(12)}"
-
-  /** Existing batch dirs (empty for a missing path — listFiles is null
-    * there, which must not NPE a first-append or an early compact).
+  /** Existing COMMITTED batch dirs (empty for a missing path — listFiles
+    * is null there, which must not NPE a first-append or an early
+    * compact). Only `batch-*` names qualify: an append in flight lives
+    * under `.inprogress-*` until its parquet commit finishes and is
+    * atomically renamed (see [[append]]), so a concurrent list/compact
+    * can never observe — and therefore never merge-as-empty-and-delete
+    * — a half-written batch.
     */
   def list(path: String): Seq[java.io.File] =
     Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
 
-  /** Append one batch as a new dir. */
-  def append(batch: DataFrame, path: String): Unit =
-    batch.write.mode("errorifexists").parquet(newBatchDir(path))
+  /** Append one batch as a new dir — atomically PUBLISHED: the parquet
+    * writer creates its dir immediately (holding only `_temporary`
+    * task files until job commit), so writing straight to `batch-<id>`
+    * opens a window where a concurrent [[compact]] enumerates the dir,
+    * merges it as empty/partial, and then deletes it — silently losing
+    * a batch whose writer goes on to report success. Instead the write
+    * lands under a `.inprogress-<id>` name (the leading dot keeps it
+    * out of [[list]] AND out of Spark's file index, which skips hidden
+    * dirs) and a filesystem-atomic rename to `batch-<id>` publishes it
+    * only after the parquet job commit. A crash before the rename
+    * leaves an orphaned hidden dir — invisible to reads and compaction,
+    * garbage but never corruption.
+    */
+  def append(batch: DataFrame, path: String): Unit = {
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = java.nio.file.Paths.get(path, s".inprogress-$id")
+    batch.write.mode("errorifexists").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, s"batch-$id"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Fold the current dirs into one: the batch dirs are enumerated
     * ONCE, the merged view is built from EXACTLY that list (explicit

@@ -49,6 +49,24 @@ object BloomStore {
   val MBits: Long = 1L << 20
   val K = 5
 
+  /** Filter size for `expectedKeys` keys at `targetFp` false-positive
+    * rate under the store's fixed [[K]] hashes — callers should not
+    * have to invert the Bloom arithmetic by hand. Solves
+    * (1 − e^(−K·n/m))^K = p for m: m = −K·n / ln(1 − p^(1/K)), rounded
+    * UP to a whole 32-bit word (the layout's unit; [[positionsOf]]
+    * requires the multiple). At p = 2^−K this reduces to the classic
+    * n·K/ln 2 (each key's bits leave half the filter clear). The words
+    * table then holds ≤ m/32 rows — still a table, never a driver
+    * blob, so sizing to a 10¹¹-key corpus is a storage decision, not a
+    * memory one.
+    */
+  def sizeFor(expectedKeys: Long, targetFp: Double = math.pow(2.0, -K)): Long = {
+    require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
+    require(targetFp > 0 && targetFp < 1, s"targetFp must be in (0,1): $targetFp")
+    val m = -K * expectedKeys.toDouble / math.log1p(-math.pow(targetFp, 1.0 / K))
+    math.max(1L, math.ceil(m / 32.0).toLong) * 32L
+  }
+
   /** The j-th bit position of a key: md5("<j>|<key>") first 15 hex
     * digits (60 bits, positive) mod `mBits`.
     */
@@ -132,10 +150,15 @@ object BloomStore {
 
   /** Ingest a batch: sketch its keys and append a NEW batch dir —
     * existing dirs are never read, rewritten or deleted ([[BatchDirs]]).
-    * The first append pins the store's filter size in the `_mbits`
-    * sidecar; a later append with a DIFFERENT size is rejected — words
-    * built under two moduli OR together into a filter that can miss
-    * ingested keys, which Bloom's contract forbids.
+    * The first SUCCESSFUL append pins the store's filter size in the
+    * `_mbits` sidecar; a later append with a DIFFERENT size is rejected
+    * — words built under two moduli OR together into a filter that can
+    * miss ingested keys, which Bloom's contract forbids. (The pin
+    * protocol assumes a single writer BOOTSTRAPS the store: two
+    * concurrent first-ever appends racing with different sizes need an
+    * external lock, the same assumption every schema-on-first-write
+    * store makes. Once one batch is committed the size is immutable and
+    * concurrent appends are safe.)
     */
   def append(rows: DataFrame, key: Column, path: String,
       mBits: Long = MBits): Unit = {
@@ -144,26 +167,58 @@ object BloomStore {
   }
 
   /** The filter size a persisted store was built with (`_mbits`
-    * sidecar; [[MBits]] for a pre-sidecar store).
+    * sidecar; [[MBits]] for a pre-sidecar store). A sidecar that does
+    * not parse to a positive multiple of 32 fails LOUDLY: a truncated
+    * write (e.g. `10485` from `1048576`) is still a syntactically
+    * valid long that would silently rewire the position arithmetic and
+    * manufacture exactly the false negatives the sidecar exists to
+    * prevent. [[pinMBits]] writes it atomically so this is a
+    * can't-happen guard, not an expected path.
     */
   def mBitsOf(path: String): Long = {
     val f = java.nio.file.Paths.get(path, "_mbits")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLong
-    else MBits
+    if (!java.nio.file.Files.exists(f)) MBits
+    else {
+      val raw = java.nio.file.Files.readString(f).trim
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt _mbits sidecar at $path: '$raw' is not a long")
+      }
+      if (v <= 0 || v % 32 != 0) throw new IllegalStateException(
+        s"corrupt _mbits sidecar at $path: $v is not a positive multiple " +
+          "of the 32-bit word width")
+      v
+    }
   }
 
+  /** Pin (or verify) the store's filter size. The sidecar is written to
+    * a hidden temp file and published with a filesystem-ATOMIC move —
+    * a crash mid-write can leave a stale temp, never a truncated
+    * `_mbits` (see [[mBitsOf]] for why truncation is the dangerous
+    * case). The size is only BINDING while committed batches exist: a
+    * store whose first batch write failed (sidecar pinned, zero
+    * batches) accepts a retry at a different size instead of being
+    * bricked — no bits exist for the new modulus to contradict. A
+    * pre-sidecar store that already holds batches can only have been
+    * built at the [[MBits]] default, so a non-default append against
+    * one is rejected rather than silently re-labelled.
+    */
   private def pinMBits(path: String, mBits: Long): Unit = {
     val f = java.nio.file.Paths.get(path, "_mbits")
-    if (java.nio.file.Files.exists(f)) {
-      val stored = java.nio.file.Files.readString(f).trim.toLong
+    val hasBatches = BatchDirs.list(path).nonEmpty
+    if (hasBatches) {
+      val stored = mBitsOf(path) // MBits for a pre-sidecar store
       require(stored == mBits,
         s"store at $path was built with mBits=$stored; appending with " +
           s"mBits=$mBits would corrupt the position arithmetic")
-    } else {
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.writeString(f, mBits.toString)
+      if (java.nio.file.Files.exists(f)) return
     }
+    java.nio.file.Files.createDirectories(f.getParent)
+    val tmp = java.nio.file.Files.createTempFile(f.getParent, "._mbits", ".tmp")
+    java.nio.file.Files.writeString(tmp, mBits.toString)
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The word merge (bit_or per word index) — the ONE spelling shared

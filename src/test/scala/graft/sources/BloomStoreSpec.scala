@@ -84,6 +84,67 @@ class BloomStoreSpec extends AnyFunSuite with SparkSpec {
       "compaction must not touch the size sidecar")
   }
 
+  test("sizeFor: word-rounded, matches n·K/ln2 at the 2^-K default, and " +
+      "the computed size meets its FP target") {
+    val n = 1000L
+    val m = BloomStore.sizeFor(n, 0.03125) // 2^-K → the classic n·K/ln 2
+    assert(m % 32 == 0, "sizeFor must return whole 32-bit words")
+    assert(math.abs(m - n * BloomStore.K / math.log(2.0)) <= 32.0,
+      s"sizeFor($n, 2^-K)=$m must be n·K/ln2 word-rounded")
+    assert(BloomStore.sizeFor(n, 0.001) > m,
+      "a tighter FP target must cost more bits")
+    val keys = spark.range(n).select(col("id"),
+      md5(concat(lit("k|"), col("id").cast("string")).cast("binary")).as("k"))
+    val bits = BloomStore.bitsOf(keys, col("k"), m)
+    assert(hits(BloomStore.probe(keys, col("id"), col("k"), bits, m))
+      .values.forall(identity), "no false negatives at the computed size")
+    val fresh = spark.range(20000).select(col("id"),
+      md5(concat(lit("fresh|"), col("id").cast("string")).cast("binary")).as("k"))
+    val fp = hits(BloomStore.probe(fresh, col("id"), col("k"), bits, m))
+      .values.count(identity)
+    // target 3.125% of 20k ≈ 625 expected; [1, 2×] brackets the envelope
+    // (0 would mean the filter is oversized — i.e. sizeFor ignored its
+    // target — and ≥2× that the arithmetic undershot it)
+    assert(fp > 0 && fp < 1250,
+      s"$fp false positives in 20k probes vs ~625 expected at the target")
+  }
+
+  test("sidecar robustness: corrupt _mbits fails loudly; a pinned-but-" +
+      "EMPTY store accepts a retry at a different size") {
+    val path = Files.createTempDirectory("bloom-sidecar").toString + "/f"
+    val side = java.nio.file.Paths.get(path, "_mbits")
+    Files.createDirectories(side.getParent)
+    // a truncated write ('10485' of '1048576') parses as a valid long —
+    // exactly the silent-corruption case that must fail loudly
+    Files.writeString(side, "10485")
+    intercept[IllegalStateException] { BloomStore.mBitsOf(path) }
+    Files.writeString(side, "1048x76")
+    intercept[IllegalStateException] { BloomStore.mBitsOf(path) }
+    // the failed-first-append state: sidecar pinned, zero batches — a
+    // retry with a different size must succeed, not brick the store
+    Files.writeString(side, (1L << 16).toString)
+    BloomStore.append(docs, key, path, 1L << 18)
+    assert(BloomStore.mBitsOf(path) == (1L << 18),
+      "an empty store re-pins to the retry's size")
+    // one committed batch later the size is immutable again
+    intercept[IllegalArgumentException] {
+      BloomStore.append(docs, key, path, 1L << 16)
+    }
+  }
+
+  test("a pre-sidecar store that already holds batches only accepts the " +
+      "MBits default it must have been built with") {
+    val path = Files.createTempDirectory("bloom-presidecar").toString + "/f"
+    BloomStore.append(docs.filter(col("doc_id") % 2 === 0), key, path)
+    Files.delete(java.nio.file.Paths.get(path, "_mbits"))
+    intercept[IllegalArgumentException] {
+      BloomStore.append(docs, key, path, 1L << 16)
+    }
+    BloomStore.append(docs.filter(col("doc_id") % 2 =!= 0), key, path)
+    assert(BloomStore.mBitsOf(path) == BloomStore.MBits,
+      "a default-size append re-pins the pre-sidecar store at MBits")
+  }
+
   test("append in halves equals one-shot; replay and compaction are no-ops") {
     val path = Files.createTempDirectory("bloom-store").toString + "/f"
     BloomStore.append(docs.filter(col("doc_id") % 2 === 0), key, path)

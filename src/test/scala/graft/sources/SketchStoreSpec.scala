@@ -84,6 +84,33 @@ class SketchStoreSpec extends AnyFunSuite with SparkSpec {
       "exactly the folded dir + the concurrent batch dir remain")
   }
 
+  test("an append is invisible until its parquet commit: a half-written " +
+      "batch is neither merged-as-empty nor deleted by compact") {
+    // The r9-advice window: the parquet writer CREATES its target dir
+    // immediately (holding only _temporary task files until job
+    // commit), so writing straight to batch-* let a concurrent compact
+    // enumerate the dir, merge it as empty, and delete it — losing a
+    // batch whose writer went on to report success. The fixed append
+    // writes under a hidden .inprogress-* name and publishes with an
+    // atomic rename AFTER the commit; this test plants a dir in exactly
+    // that mid-flight state and asserts compact neither reads nor
+    // removes it.
+    val path = Files.createTempDirectory("sketch-inflight").toString + "/regs"
+    SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
+    val inflight = new java.io.File(path, ".inprogress-crashsim")
+    assert(inflight.mkdirs())
+    Files.writeString(new java.io.File(inflight, "_temporary").toPath, "")
+    val before = cells(SketchStore.registers(spark, path))
+    SketchStore.compact(spark, path)
+    assert(cells(SketchStore.registers(spark, path)) == before,
+      "an uncommitted batch must not contribute to the merged view")
+    assert(inflight.exists,
+      "compact must never delete an append that has not published")
+    assert(batchDirs(path).forall(d =>
+        new java.io.File(s"$path/$d/_SUCCESS").exists),
+      "a visible batch-* dir implies a completed parquet job commit")
+  }
+
   test("overlap readout from the store reproduces c71's estimates") {
     val path = Files.createTempDirectory("sketch-overlap").toString + "/regs"
     SketchStore.write(docs.filter(col("doc_id") % 2 === 0), path)
