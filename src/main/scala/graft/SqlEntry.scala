@@ -1987,6 +1987,14 @@ object SqlEntry {
         |bkept AS (SELECT banded.* FROM banded
         |          JOIN (SELECT band_id, bv FROM banded GROUP BY band_id, bv
         |                HAVING count(*) <= 256) ok USING (band_id, bv)),
+        |pkey AS (SELECT user_id,
+        |           array_join(array_sort(collect_list(concat(
+        |             lpad(CAST(hour AS STRING), 2, '0'), ':', CAST(v AS STRING)))),
+        |             ',') AS pk
+        |         FROM prof GROUP BY user_id),
+        |ranked AS (SELECT user_id, pk,
+        |             row_number() OVER (PARTITION BY pk ORDER BY user_id) AS rn
+        |           FROM pkey),
         |cand AS (SELECT a.user_id AS da, b.user_id AS db
         |         FROM sig a JOIN sig b ON a.user_id < b.user_id
         |         WHERE (SELECT n FROM nu) <= 1024
@@ -1994,6 +2002,10 @@ object SqlEntry {
         |         SELECT a.user_id AS da, b.user_id AS db
         |         FROM bkept a JOIN bkept b
         |           ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id
+        |         WHERE (SELECT n FROM nu) > 1024
+        |         UNION
+        |         SELECT a.user_id AS da, b.user_id AS db
+        |         FROM ranked a JOIN ranked b ON a.pk = b.pk AND b.rn = a.rn + 1
         |         WHERE (SELECT n FROM nu) > 1024),
         |contrib AS (
         |  SELECT c.da, c.db, p.hour, p.v AS x

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed time-series similarity search — the banded-blocking
@@ -112,16 +113,32 @@ object TimeSeries {
     * the DuckDB oracle replays the drop decision exactly. At 100 TB the
     * production lever is growing the band key space with n (the
     * nlist-grows-with-corpus rule); the cap is the skew guard.
+    *
+    * The cap alone had a recall hole the r9 review called out: users
+    * with IDENTICAL profiles land in the same bucket of every band
+    * (identical profile ⇒ identical signature), so once that population
+    * passes the cap their pairs — L1 distance 0, the genuinely most
+    * similar — vanished from the top-k entirely. The EQUAL-PROFILE
+    * RESCUE in [[topKSimilarPairs]] closes it without reopening the
+    * quadratic door: distance-0 pairs need no pairwise search (grouping
+    * finds them), so users are grouped by their exact hourly profile
+    * and consecutive members of each group (ranked by user_id) become
+    * candidates — m−1 pairs for an m-user group, LINEAR in the skew
+    * population the cap targets. Every user with an identical twin now
+    * participates in a distance-0 candidate pair at any scale; what
+    * overfull buckets still drop is only their NON-identical pairs,
+    * the documented recall condition.
     */
   val BandBucketCap = 256L
 
   /** Top-`k` most similar user pairs by exact hourly L1 profile
     * distance, searched among banded-signature candidates (full recall
     * up to 96-bit signature Hamming 7 — pigeonhole over the 8 × 12-bit
-    * bands — for pairs sharing a non-overfull band, see
-    * [[BandBucketCap]]); populations ≤ `bruteCap` take the exact
-    * all-pairs branch instead (see [[BruteForceUserCap]]). Output:
-    * (da, db, l1_cents).
+    * bands — for pairs sharing a non-overfull band, PLUS the linear
+    * equal-profile rescue that keeps distance-0 pairs alive inside
+    * overfull buckets, see [[BandBucketCap]]); populations ≤ `bruteCap`
+    * take the exact all-pairs branch instead (see
+    * [[BruteForceUserCap]]). Output: (da, db, l1_cents).
     */
   def topKSimilarPairs(events: DataFrame, k: Int,
       bruteCap: Long = BruteForceUserCap): DataFrame = {
@@ -148,11 +165,30 @@ object TimeSeries {
           .filter(col("bp") <= BandBucketCap)
           .select(col("band_id"), col("bv")),
         Seq("band_id", "bv"))
-      kept.select(col("band_id"), col("bv"), col("user_id").as("da"))
+      val bandCand = kept
+        .select(col("band_id"), col("bv"), col("user_id").as("da"))
         .join(kept.select(col("band_id"), col("bv"), col("user_id").as("db")),
           Seq("band_id", "bv"))
         .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
+        .select(col("da"), col("db"))
+      // equal-profile rescue (see BandBucketCap scaladoc): group users
+      // by their exact hourly profile — spelled as a canonical sorted
+      // "HH:v" string so DuckDB groups identically (2-digit hour keeps
+      // lexicographic = numeric order) — and pair CONSECUTIVE members.
+      // Linear in group size; candidates verify through the same exact
+      // L1 leg, so a would-be hash trick needs no collision argument:
+      // the profile string IS the key.
+      val pkey = prof.groupBy(col("user_id")).agg(
+        array_join(array_sort(collect_list(concat(
+          lpad(col("hour").cast("string"), 2, "0"), lit(":"), col("v")))),
+          ",").as("pk"))
+      val ranked = pkey.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("user_id"))))
+      val eqCand = ranked.select(col("pk"), col("rn"), col("user_id").as("da"))
+        .join(ranked.select(col("pk"), (col("rn") - 1).as("rn"),
+          col("user_id").as("db")), Seq("pk", "rn"))
+        .select(col("da"), col("db"))
+      bandCand.unionByName(eqCand).distinct()
     }
     // L1 over possibly-sparse 24-dim vectors: contributions +va and -vb
     // summed per (pair, hour) then |·| summed per pair — hours present

@@ -2272,9 +2272,11 @@ object ExtOps {
     // signature (two 48-bit halves) → 8 × 12-bit bands → distinct
     // candidate pairs (ALL pairs when the population is ≤ the 1024-user
     // brute-force cap — the count-driven branch TimeSeries takes on the
-    // driver, replayed here as mutually exclusive UNION arms) → sparse
-    // hourly L1 (signed per-hour contributions, |·| summed) →
-    // total-order top 20.
+    // driver, replayed here as mutually exclusive UNION arms; the third
+    // arm is the equal-profile rescue — consecutive members of each
+    // identical-hourly-profile group, the linear distance-0 recall
+    // guarantee inside capped buckets) → sparse hourly L1 (signed
+    // per-hour contributions, |·| summed) → total-order top 20.
     "c51_ts_similar_users" ->
       """WITH qprof AS (
         |  SELECT user_id, (epoch_us(ts) // 900000000) % 96 AS qh,
@@ -2306,6 +2308,17 @@ object ExtOps {
         |  SELECT banded.* FROM banded
         |  JOIN (SELECT band_id, bv FROM banded GROUP BY band_id, bv
         |        HAVING count(*) <= 256) ok USING (band_id, bv)),
+        |pkey AS (
+        |  SELECT user_id,
+        |         string_agg(lpad(CAST(hour AS VARCHAR), 2, '0') || ':' ||
+        |                    CAST(v AS VARCHAR), ','
+        |                    ORDER BY lpad(CAST(hour AS VARCHAR), 2, '0') || ':' ||
+        |                             CAST(v AS VARCHAR)) AS pk
+        |  FROM prof GROUP BY user_id),
+        |ranked AS (
+        |  SELECT user_id, pk,
+        |         row_number() OVER (PARTITION BY pk ORDER BY user_id) AS rn
+        |  FROM pkey),
         |cand AS (
         |  SELECT a.user_id AS da, b.user_id AS db
         |  FROM sig a JOIN sig b ON a.user_id < b.user_id
@@ -2314,6 +2327,10 @@ object ExtOps {
         |  SELECT DISTINCT a.user_id AS da, b.user_id AS db
         |  FROM bkept a JOIN bkept b
         |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.user_id < b.user_id
+        |  WHERE (SELECT n FROM nu) > 1024
+        |  UNION
+        |  SELECT a.user_id AS da, b.user_id AS db
+        |  FROM ranked a JOIN ranked b ON a.pk = b.pk AND b.rn = a.rn + 1
         |  WHERE (SELECT n FROM nu) > 1024),
         |contrib AS (
         |  SELECT c.da, c.db, p.hour, p.v AS x

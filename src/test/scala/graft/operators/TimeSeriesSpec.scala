@@ -125,4 +125,44 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == model(20, (a, b) => shareBand(sigs(a), sigs(b))))
   }
+
+  test("equal-profile rescue: identical-profile users past the bucket cap " +
+      "keep their distance-0 pairs") {
+    // The r9-advice recall hole: users with IDENTICAL profiles share
+    // every band bucket, so once that population passes BandBucketCap
+    // the cap dropped ALL their pairs — the most-similar pairs in the
+    // corpus vanished from the top-k. Build a population of cap+44
+    // byte-identical users (every bucket overfull, bruteCap forced off)
+    // and assert the rescue still surfaces their L1=0 pairs, paired
+    // consecutively by user_id.
+    import spark.implicits._
+    val n = (TimeSeries.BandBucketCap + 44).toInt
+    val ev = (0 until n).map(u =>
+        (u.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.topKSimilarPairs(ev, 20, bruteCap = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == 20, "the capped buckets must not empty the top-k")
+    assert(got.forall(_._3 == 0L), "rescued pairs are exact duplicates")
+    assert(got == (0L until 20L).map(u => (u, u + 1, 0L)),
+      "consecutive-rank pairing by user_id, smallest pairs first")
+  }
+
+  test("the bucket/brute cap literals in the DuckDB oracle and the SQL " +
+      "text match the operator's constants (three-spelling desync guard)") {
+    // The constants live in TimeSeries; the oracle (ExtOps) and the
+    // spark.sql text (SqlEntry) necessarily hard-code the same numbers
+    // inside SQL strings. A future cap change that misses a spelling
+    // would silently diverge the engines — this pins all three.
+    val oracle = graft.SparkEntry.oracleSql("c51_ts_similar_users")
+    val text = graft.SqlEntry.sparkSql("c51_ts_similar_users")
+    val cap = s"count(*) <= ${TimeSeries.BandBucketCap}"
+    for ((s, where) <- Seq(oracle -> "oracle", text -> "sparkSql")) {
+      assert(s.contains(cap),
+        s"$where must apply the BandBucketCap=${TimeSeries.BandBucketCap} filter")
+      assert(s.contains(s"<= ${TimeSeries.BruteForceUserCap}") &&
+        s.contains(s"> ${TimeSeries.BruteForceUserCap}"),
+        s"$where must branch on BruteForceUserCap=${TimeSeries.BruteForceUserCap}")
+    }
+  }
 }
