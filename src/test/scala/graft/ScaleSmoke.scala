@@ -88,7 +88,18 @@ object ScaleSmoke {
         df = df.withColumn("embedding", expr(
           "transform(embedding, (x, i) -> CAST(x + 0.45 * " +
             "(CAST((i * 2654435761 + _r * 40503) % 17 AS DOUBLE) - 8.0) / 8.0 AS FLOAT))"))
-      df.drop("_r").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // one part-file per replica: the single-file source read has ONE
+      // partition, so writing it straight back produced a single
+      // 10×-sized file with ONE parquet row group — and a one-row-group
+      // file is a ONE-TASK scan in Spark (row groups are assigned by
+      // midpoint) and a one-thread scan in DuckDB (it parallelizes
+      // across row groups). That degenerate layout throttled the whole
+      // scan→aggregate pipeline of both engines to one core and is not
+      // what 10× production data looks like: 10× volume arrives as 10×
+      // files. `reps` even round-robin files keeps the comparison fair
+      // and the scan parallel in both engines.
+      df.drop("_r").repartition(reps)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scale] wrote $t")
     }
     fs.create(new org.apache.hadoop.fs.Path(s"$dst/_built")).close()
@@ -181,9 +192,11 @@ object ScaleSmoke {
     report(s"c31_semdedup (8~$cellsN)", s1, s10)
     }
 
-    val sorted = results.sortBy(-_._4)
-    println(f"[scale] worst ratio: ${sorted.head._1} at ${sorted.head._4}%.1f")
-    println(f"[scale] median ratio: ${results.map(_._4).sorted.apply(results.size / 2)}%.1f")
+    if (results.nonEmpty) {
+      val sorted = results.sortBy(-_._4)
+      println(f"[scale] worst ratio: ${sorted.head._1} at ${sorted.head._4}%.1f")
+      println(f"[scale] median ratio: ${results.map(_._4).sorted.apply(results.size / 2)}%.1f")
+    }
     spark.stop()
   }
 }

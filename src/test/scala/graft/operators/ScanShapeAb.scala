@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.{load, dec2}
+import org.apache.spark.sql.expressions.Window
+
+/** A/B decomposition of the scan-shaped 10× gap (r9 verdict item 1):
+  * b13 (11.3 s vs DuckDB 1.8) and d22 (11.3 vs 1.1) at 10× data are
+  * pure scan→shuffle→aggregate plans. Hypothesis under test: the
+  * replica files are ONE parquet row group, so Spark's scan — and the
+  * partial hash aggregate fused above it — runs in ONE task while 31
+  * cores idle. Legs time the pipeline cumulatively to locate the cost,
+  * then try candidate fixes (raw-row repartition before the aggregate;
+  * a multi-file rewrite of the input).
+  *
+  * Run: `sbt "Test/runMain graft.operators.ScanShapeAb <dir> [leg...]"`.
+  */
+object ScanShapeAb {
+
+  private def time(n: Int)(body: => Unit): Double = {
+    body // warm
+    (1 to n).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(n / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_scale10")
+    val legs = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    def want(l: String) = legs.isEmpty || legs(l)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        graft.Tuning.shufflePartitionsFor(graft.Tuning.dirBytes(dir)).toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def report(name: String, sec: Double): Unit =
+      println(f"[scanshape] $name%-28s $sec%7.3f s")
+
+    val li = load(spark, dir, "lineitem")
+
+    // ---- b13 legs ----
+    if (want("scan")) report("scan+decode (sum 1 col)",
+      time(3)(li.agg(sum(col("l_quantity"))).collect()))
+    if (want("scan4")) report("scan+decode (4 cols)",
+      time(3)(li.agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+        max(col("l_partkey")), max(col("l_suppkey"))).collect()))
+    if (want("agg")) report("b13 agg only (count groups)",
+      time(3)(li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"))
+        .agg(count(lit(1))).collect()))
+    if (want("aggrep")) report("b13 agg, raw repartition",
+      time(3)(li.repartition(col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"))
+        .agg(count(lit(1))).collect()))
+    def b13(pre: DataFrame => DataFrame): DataFrame = {
+      graft.plans.TopKInstall.install(spark)
+      val ps = pre(load(spark, dir, "lineitem"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"),
+          count(lit(1)).as("n_items"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("rev_d").desc, col("l_suppkey"))
+      ps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
+          col("rev_d").cast("double").as("revenue"), col("n_items"))
+        .orderBy(col("l_partkey"))
+    }
+    if (want("aggsum")) report("b13 agg only (max rev, dec)",
+      time(3)(li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"))
+        .agg(max(col("rev_d"))).collect()))
+    if (want("aggcents")) report("b13 agg only (max rev, cents)",
+      time(3)(li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("rev_c"))
+        .agg(max(col("rev_c"))).collect()))
+    if (want("b13")) report("b13 full (as declared)",
+      time(3)(b13(identity).collect()))
+    if (want("b13rep")) report("b13 full, raw repartition",
+      time(3)(b13(_.repartition(col("l_partkey"), col("l_suppkey"))).collect()))
+    // single-exchange + integer-cents variant: repartition the RAW rows
+    // by l_partkey (satisfies both the (part,supp) aggregate and the
+    // per-part heap downstream — ONE exchange total), sum exact cents
+    // as longs (primitive codegen adds, no Decimal objects), unscale at
+    // the very end (cents < 2^53 ⇒ bit-identical double).
+    def b13cents(pre: DataFrame => DataFrame): DataFrame = {
+      graft.plans.TopKInstall.install(spark)
+      val ps = pre(load(spark, dir, "lineitem"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("rev_c"),
+          count(lit(1)).as("n_items"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("rev_c").desc, col("l_suppkey"))
+      ps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
+          (col("rev_c").cast("double") / 100.0).as("revenue"), col("n_items"))
+        .orderBy(col("l_partkey"))
+    }
+    if (want("b13cents")) report("b13 cents (declared shape)",
+      time(3)(b13cents(identity).collect()))
+    if (want("b13part")) report("b13 cents, repart(part)",
+      time(3)(b13cents(_.repartition(col("l_partkey"))).collect()))
+
+    // ---- d22 legs ----
+    def d22(pre: DataFrame => DataFrame): DataFrame =
+      pre(load(spark, dir, "lineitem"))
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"))
+        .agg(count(col("v")).as("n"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("col_name"))
+    if (want("d22")) report("d22 full (as declared)",
+      time(3)(d22(identity).collect()))
+    if (want("d22rep")) report("d22 full, raw repartition",
+      time(3)(d22(_.repartition(spark.sparkContext.defaultParallelism)).collect()))
+    // manual two-level distinct: countDistinct's Expand duplicates every
+    // unpivoted row per aggregate group (gid) before the partial agg;
+    // spelling the (col_name, v) histogram explicitly dedups 5N rows in
+    // ONE partial agg and computes count/min/max from the histogram —
+    // no Expand, half the partial-agg input.
+    def d22hist(pre: DataFrame => DataFrame): DataFrame =
+      pre(load(spark, dir, "lineitem"))
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .filter(col("v").isNotNull)
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("col_name"))
+    if (want("d22hist")) report("d22 two-level hist",
+      time(3)(d22hist(identity).collect()))
+    if (want("d22histrep")) report("d22 two-level hist, repart",
+      time(3)(d22hist(_.repartition(spark.sparkContext.defaultParallelism)).collect()))
+
+    spark.stop()
+  }
+}
