@@ -124,10 +124,16 @@ object TimeSeries {
     * finds them), so users are grouped by their exact hourly profile
     * and consecutive members of each group (ranked by user_id) become
     * candidates — m−1 pairs for an m-user group, LINEAR in the skew
-    * population the cap targets. Every user with an identical twin now
-    * participates in a distance-0 candidate pair at any scale; what
-    * overfull buckets still drop is only their NON-identical pairs,
-    * the documented recall condition.
+    * population the cap targets. The guarantee is a SPANNING CHAIN of
+    * distance-0 pairs per identical-profile group: every user with an
+    * identical twin appears in at least one distance-0 candidate pair
+    * at any scale, but non-adjacent identical pairs (e.g. ranks (0,2)
+    * of a 3-user group) are NOT generated, so when distance-0 pairs
+    * overflow k the top-k may return chain pairs ((0,1),(1,2),…) where
+    * exact tie-break order would return ((0,1),(0,2),…). Overfull
+    * buckets additionally still drop their non-identical pairs. All
+    * three spellings (DataFrame, SQL text, oracle) replay the same
+    * chain rule, so cross-engine parity holds.
     */
   val BandBucketCap = 256L
 

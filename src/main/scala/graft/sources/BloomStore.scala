@@ -162,6 +162,12 @@ object BloomStore {
     */
   def append(rows: DataFrame, key: Column, path: String,
       mBits: Long = MBits): Unit = {
+    // Validate BEFORE pinning: pinning first would write an invalid
+    // size to the sidecar and then throw in positionsOf, leaving an
+    // empty store whose mBitsOf()/words() probes fail "corrupt
+    // sidecar" until a valid-size retry re-pins.
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
     pinMBits(path, mBits)
     BatchDirs.append(bitsOf(rows, key, mBits), path)
   }

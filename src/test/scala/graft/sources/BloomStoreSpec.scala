@@ -132,6 +132,27 @@ class BloomStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("append rejects an invalid mBits BEFORE pinning the sidecar — no " +
+      "bricked empty store") {
+    val path = Files.createTempDirectory("bloom-badsize").toString + "/f"
+    // 100 is not a multiple of 32: must throw up front, not after
+    // writing '100' to the sidecar and then failing in positionsOf
+    intercept[IllegalArgumentException] {
+      BloomStore.append(docs, key, path, 100L)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(path, "_mbits")),
+      "a rejected size never reaches the sidecar")
+    intercept[IllegalArgumentException] {
+      BloomStore.append(docs, key, path, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      BloomStore.append(docs, key, path, -32L)
+    }
+    // the store is untouched: a valid-size append still bootstraps it
+    BloomStore.append(docs, key, path, 1L << 16)
+    assert(BloomStore.mBitsOf(path) == (1L << 16))
+  }
+
   test("a pre-sidecar store that already holds batches only accepts the " +
       "MBits default it must have been built with") {
     val path = Files.createTempDirectory("bloom-presidecar").toString + "/f"
