@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.Tuning
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Multimodal, RuntimeFilter, Sampling, Similarity, Skew}
 import org.apache.spark.sql.expressions.Window
@@ -188,8 +189,16 @@ object ExtOps {
     // the c20 allowlisted class (tiny aggregated input), never the
     // corpus. The prefix counts locate the ONE bucket containing each
     // target rank; only those ≤ 2·|flags| bucket slices (ΣN/2560
-    // rows, parallel, and the 12-bit shift is a dial — shrink it as N
-    // grows to keep slices task-sized) get a local row_number to read
+    // rows, parallel, and the shift is a COMPUTED dial — see
+    // Tuning.bucketShift: derived from the exact (n, min, max) of the
+    // value column so expected slices stay ≤ 2^12 rows and the
+    // histogram stays ≤ 2^20 rows at any scale; sf0.1 derives 16,
+    // 10× derives 12 — the r9 literal — and 100× derives 9; the
+    // SPARK_GRAFT_C70_SHIFT env overrides it for A/B runs, and the
+    // output is shift-INVARIANT (order statistics and the band
+    // counts don't depend on bucket boundaries), which is why the
+    // unchanged oracle keeps proving the rewrite) get a local
+    // row_number to read
     // the (t − cum_prev)-th smallest value. The t-th order statistic
     // is tie-invariant, so this equals the serial min(v | rn ≥ t) —
     // the unchanged oracle proves it. The band check's rank intervals
@@ -208,6 +217,15 @@ object ExtOps {
         col("l_returnflag").as("flag"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
       val dist = vals.repartition(col("flag"), col("v")).localCheckpoint(true)
+      // one exact (count, min, max) pass over the checkpoint derives the
+      // bucket shift (Tuning.bucketShift scaladoc); env override is the
+      // A/B dial. Three tiny numbers to the driver — plan
+      // parameterization, not data collection.
+      val st = dist.agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+      val shift = sys.env.get("SPARK_GRAFT_C70_SHIFT").map(_.toInt).getOrElse(
+        if (st.getLong(0) == 0L) 12
+        else Tuning.bucketShift(st.getLong(0), st.getLong(1), st.getLong(2)))
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
         GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
         .toAggregateExpression())
@@ -218,7 +236,7 @@ object ExtOps {
         .localCheckpoint(true)
       // value-bucket histogram: domain-bounded (~|domain|/4096 rows per
       // flag), pinned for its three tiny consumers
-      val bcnt = dist.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+      val bcnt = dist.groupBy(col("flag"), expr(s"shiftright(v, $shift)").as("b"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       val cum = bcnt.withColumn("cum",
@@ -244,7 +262,7 @@ object ExtOps {
           struct(lit(50L).as("q"), col("e50").as("e")),
           struct(lit(90L).as("q"), col("e90").as("e")))).as("s"))
         .select(col("flag"), col("s.q").as("q"), col("s.e").as("e"),
-          expr("shiftright(s.e, 12)").as("be"))
+          expr(s"shiftright(s.e, $shift)").as("be"))
       val selV = tgtV.select(col("flag"), col("be").as("b"), col("q"),
         lit("v").as("kind"), lit(null).cast("long").as("lt"), col("e"))
       // full buckets strictly below a value-target's bucket hold only
@@ -260,7 +278,7 @@ object ExtOps {
       // ONE slice pass serves both legs: ≤ 4·|flags| bucket slices,
       // broadcast back; the window input is slice rows only
       val sel = selR.unionByName(selV)
-      val slice = dist.withColumn("b", expr("shiftright(v, 12)"))
+      val slice = dist.withColumn("b", expr(s"shiftright(v, $shift)"))
         .join(broadcast(sel), Seq("flag", "b"))
       val res = slice
         .withColumn("lrn", row_number().over(
