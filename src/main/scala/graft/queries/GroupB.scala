@@ -294,18 +294,37 @@ object GroupB {
     // sort; PlanSpec asserts it). The heap after an aggregate is the
     // at-scale shape: the window form would sort every part's supplier
     // list; the heap keeps one row per part per partition.
+    //
+    // ONE exchange, integer cents (r9 verdict item 1, measured in
+    // ScanShapeAb at 10× data): repartitioning the RAW rows on
+    // l_partkey satisfies BOTH the (part, supp) aggregate (part ⊆ the
+    // grouping keys, so ClusteredDistribution holds) and the per-part
+    // heap — the declared two-exchange plan paid a second full shuffle
+    // of the aggregate output. Revenue sums exact cents as longs
+    // (primitive codegen adds, no Decimal objects) and unscales once at
+    // the end: group sums ≪ 2^53 cents, so cents/100.0 is the same
+    // correctly-rounded double as CAST(decimal_sum AS DOUBLE) — the
+    // unchanged oracle proves it. Forgoing the pre-exchange partial
+    // aggregate is deliberate: (part, supp) keys are nearly unique per
+    // scan task at every SF of this corpus (594,330 distinct pairs per
+    // 600,000 rows), so map-side combine bought no compression while
+    // the extra exchange cost 1.76× (ScanShapeAb 10×: 2.52 s vs 4.43 s
+    // two-exchange cents, 5.09 s declared decimal; DuckDB 1.80 s).
     "b13_part_top_supplier" -> ((s, dir) => {
       graft.plans.TopKInstall.install(s)
       val ps = load(s, dir, "lineitem")
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(dec2(col("l_extendedprice"))).as("rev_d"),
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"),
           count(lit(1)).as("n_items"))
       val w = Window.partitionBy(col("l_partkey"))
-        .orderBy(col("rev_d").desc, col("l_suppkey"))
+        .orderBy(col("rev_c").desc, col("l_suppkey"))
       ps.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("l_partkey"), col("l_suppkey").as("top_suppkey"),
-          col("rev_d").cast("double").as("revenue"), col("n_items"))
+          (col("rev_c").cast("double") / 100.0).as("revenue"), col("n_items"))
         .orderBy(col("l_partkey"))
     }),
 

@@ -531,10 +531,21 @@ object Relational {
     // distinct Aggregate (5 countDistincts in one agg) was A/B'd
     // (D22Ab, sf0.1 warm): Catalyst plans it as an Expand to the same
     // 5N rows but evaluates 20 aggregate expressions over the wider
-    // expanded row — consistently ~1.5× SLOWER (1.65 s vs 1.12 s) with
-    // identical shuffle mass (both partial-dedup (column, value) pairs
-    // map-side), so the stack spelling stays. Both are scale-safe: the
-    // shuffle carries only distinct pairs either way.
+    // expanded row — consistently ~1.5× SLOWER (1.65 s vs 1.12 s), so
+    // the stack spelling stays. r11 (ScanShapeAb, 10× data) replaced
+    // countDistinct with an EXPLICIT two-level aggregate: a
+    // (col_name, v) histogram first, then count/distinct/min/max read
+    // off the histogram. countDistinct's Expand duplicated every
+    // unpivoted row before the partial aggregate (gid plumbing for the
+    // single-level spelling); the histogram dedups the same pairs in
+    // one partial aggregate with no Expand — 2.20 s vs 2.72 s at 10×
+    // (DuckDB 1.05 s), identical shuffle mass (distinct pairs only,
+    // map-side combined, domain-bounded for every profiled column but
+    // the key itself). NULL-SAFE by construction: the null-v histogram
+    // row is kept and counted out per aggregate (n counts non-null, a
+    // distinct non-null v is one histogram row, min/max skip nulls), so
+    // an all-null column still yields its profile row, exactly like the
+    // single-level spelling and the oracle's UNION.
     "d22_table_profile" -> ((s, dir) => {
       load(s, dir, "lineitem")
         .selectExpr(
@@ -544,9 +555,10 @@ object Relational {
             | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
             | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
             | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
         .groupBy(col("col_name"))
-        .agg(count(col("v")).as("n"),
-          countDistinct(col("v")).as("n_distinct"),
+        .agg(sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
+          count(when(col("v").isNotNull, 1)).as("n_distinct"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
         .orderBy(col("col_name"))
     }),
