@@ -71,7 +71,17 @@ object Tuning {
     */
   def bucketShift(n: Long, vMin: Long, vMax: Long,
       targetSliceRows: Long = 1L << 12, maxHistRows: Long = 1L << 20): Int = {
-    val width = math.max(1L, vMax - vMin + 1L)
+    // vMax - vMin overflows Long when the signed domain spans more than
+    // Long.MaxValue (e.g. vMin = Long.MinValue, vMax > -2); the wrapped
+    // difference is negative, which max(1, _) would clamp to width 1 and
+    // return shift 0 — UNBOUNDING the histogram exactly when the domain
+    // is widest. Saturate instead: a negative difference means the true
+    // width exceeds Long.MaxValue.
+    val diff = vMax - vMin
+    val width =
+      if (vMax < vMin) 1L                               // degenerate input: single bucket
+      else if (diff < 0L || diff == Long.MaxValue) Long.MaxValue // saturate (incl. +1 overflow)
+      else diff + 1L
     val wanted = math.min(maxHistRows,
       math.max(1L, (n + targetSliceRows - 1L) / targetSliceRows))
     var s = 0

@@ -206,7 +206,8 @@ object ExtOps {
     // e's bucket + a conditional count inside it, computed in the SAME
     // slice pass — no full-table conditional scan either. Net: the
     // full table is never sorted and never re-shuffled past the one
-    // parallelizing checkpoint; it is scanned three times (digest,
+    // parallelizing checkpoint; it is scanned four times (the 3-number
+    // count/min/max stats pass that derives the shift, digest,
     // histogram, slice probe), each a cached columnar pass.
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
@@ -223,7 +224,20 @@ object ExtOps {
       // parameterization, not data collection.
       val st = dist.agg(count(lit(1)).as("n"),
         min(col("v")).as("lo"), max(col("v")).as("hi")).head()
-      val shift = sys.env.get("SPARK_GRAFT_C70_SHIFT").map(_.toInt).getOrElse(
+      // The A/B dial is validated here rather than used raw: a garbage
+      // value would throw a bare NumberFormatException mid-plan, and a
+      // negative one hits Java's shift-count masking (effective shift up
+      // to 63 → whole-table slice) — shift-invariance keeps that CORRECT
+      // but it is a silent perf cliff, so fail loudly instead.
+      val shift = sys.env.get("SPARK_GRAFT_C70_SHIFT").map { raw =>
+        val s = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_C70_SHIFT must be an integer in [0, 62], got '$raw'")
+        }
+        require(s >= 0 && s <= 62,
+          s"SPARK_GRAFT_C70_SHIFT must be in [0, 62], got $s")
+        s
+      }.getOrElse(
         if (st.getLong(0) == 0L) 12
         else Tuning.bucketShift(st.getLong(0), st.getLong(1), st.getLong(2)))
       val digCol = GraftBridge.column(graft.functions.QDigestAgg(
@@ -266,8 +280,9 @@ object ExtOps {
       val selV = tgtV.select(col("flag"), col("be").as("b"), col("q"),
         lit("v").as("kind"), lit(null).cast("long").as("lt"), col("e"))
       // full buckets strictly below a value-target's bucket hold only
-      // v < e (b < be ⇒ v < be·4096 ≤ e); the boundary bucket's ≤/<
-      // counts come from the slice pass below
+      // v < e (b < be ⇒ v < be << shift ≤ e — the invariant holds for
+      // any shift); the boundary bucket's ≤/< counts come from the
+      // slice pass below
       val base = tgtV.select(col("flag"), col("q"))
         .join(tgtV.join(bcnt, "flag").filter(col("b") < col("be"))
             .groupBy(col("flag"), col("q")).agg(sum(col("c")).as("base")),

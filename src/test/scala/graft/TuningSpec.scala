@@ -53,6 +53,23 @@ class TuningSpec extends AnyFunSuite {
     assert(s >= 0 && (8L >> s) >= 1)
   }
 
+  test("a full-Long signed domain saturates instead of wrapping to width 1") {
+    // vMax - vMin overflows Long here; the unsaturated subtraction wraps
+    // negative, max(1, _) clamps width to 1 and returns shift 0 — which
+    // would UNBOUND the histogram. Saturated, the widest domain must
+    // take the LARGEST shift the loop allows and keep the bucket count
+    // inside the budget.
+    val s = Tuning.bucketShift(1000000L, Long.MinValue, Long.MaxValue)
+    assert(s > 0, s"saturated width must not derive shift 0 (got $s)")
+    assert((Long.MaxValue >>> s) <= (1L << 20),
+      s"shift $s leaves ${Long.MaxValue >>> s} buckets > 2^20 budget")
+    // the diff == Long.MaxValue edge (diff + 1 would overflow) saturates too
+    val s2 = Tuning.bucketShift(1000000L, 0L, Long.MaxValue)
+    assert(s2 > 0 && (Long.MaxValue >>> s2) <= (1L << 20))
+    // degenerate caller error (vMax < vMin) still degrades to one bucket
+    assert(Tuning.bucketShift(1000L, 10L, 5L) == 0)
+  }
+
   test("shufflePartitionsFor clamps to [8, 2000]") {
     assert(Tuning.shufflePartitionsFor(0L) == 8)
     assert(Tuning.shufflePartitionsFor(Long.MaxValue / 4) == 2000)
