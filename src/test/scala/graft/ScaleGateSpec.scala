@@ -33,11 +33,13 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     "c14_simhash_neardup" -> 12.0, // cal 1.4 — 65,536-bucket band join
     "c17_quality_filter" -> 10.0, // cal 2.0 — per-doc scoring scan
     "c27_contamination" -> 14.0, // cal 2.3 — df-capped 8-gram postings
-    "c51_ts_similar_users" -> 12.0, // cal 3.1 — ≤cap exact branch here;
-                                    // the sf0.1-scale banded branch re-
-                                    // measured 6.7/6.7 in r9 after the
-                                    // BandBucketCap (was 9.9–11.6
-                                    // uncapped — Σm² creep, PERF.md §r9)
+    "c51_ts_similar_users" -> 10.0, // cal 1.9–2.5 (r12 re-calibration,
+                                    // two runs, capped+rescue plan) —
+                                    // the old 12.0 cited "cal 3.1" from
+                                    // the uncapped era and carried 1.8×
+                                    // dead headroom over the ~6.7
+                                    // sf0.1-scale banded ratio (r9,
+                                    // PERF.md §r9); 3×cal floors at 10
     "c55_containment" -> 18.0, // cal 2.6 — df-capped postings self-join
     // cal ~1 at this size: digest partials, the value-bucket histogram
     // and the slice probe all parallelize across the replica's file
