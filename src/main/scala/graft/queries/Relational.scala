@@ -541,25 +541,40 @@ object Relational {
     // one partial aggregate with no Expand — 2.20 s vs 2.72 s at 10×
     // (DuckDB 1.05 s), identical shuffle mass (distinct pairs only,
     // map-side combined, domain-bounded for every profiled column but
-    // the key itself). NULL-SAFE by construction: the null-v histogram
-    // row is kept and counted out per aggregate (n counts non-null, a
-    // distinct non-null v is one histogram row, min/max skip nulls), so
-    // an all-null column still yields its profile row, exactly like the
-    // single-level spelling and the oracle's UNION.
+    // the key itself). r12 (ScanShapeAb d22int vs d22hist, 10×): the
+    // histogram KEY is now the stack's INT ordinal, not the column-name
+    // string — both histogram levels hash/compare/shuffle a flat
+    // (int, double) key instead of a pointer-chased UTF8String, and the
+    // name is mapped back over the 5 final rows only. Measured 1.60 s
+    // vs 2.59 s (quiet) and 1.73 s vs 2.14 s (loaded box); the 5-way
+    // per-column union (no stack at all, concurrent stages) was also
+    // A/B'd and lost (1.83 s — five exchanges' scheduling overhead eats
+    // the narrower key). Residual vs DuckDB is the partial-agg
+    // throughput bounded by scan-task parallelism on the single-row-
+    // group bench files, not a plan defect. NULL-SAFE by construction:
+    // the null-v histogram row is kept and counted out per aggregate
+    // (n counts non-null, a distinct non-null v is one histogram row,
+    // min/max skip nulls), so an all-null column still yields its
+    // profile row, exactly like the single-level spelling and the
+    // oracle's UNION.
     "d22_table_profile" -> ((s, dir) => {
       load(s, dir, "lineitem")
         .selectExpr(
           """stack(5,
-            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
-            | 'l_partkey', CAST(l_partkey AS DOUBLE),
-            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
-            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
-            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
-        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
-        .groupBy(col("col_name"))
+            | 0, CAST(l_orderkey AS DOUBLE),
+            | 1, CAST(l_partkey AS DOUBLE),
+            | 2, CAST(l_suppkey AS DOUBLE),
+            | 3, CAST(l_linenumber AS DOUBLE),
+            | 4, CAST(l_quantity AS DOUBLE)) AS (cid, v)""".stripMargin)
+        .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("cid"))
         .agg(sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
           count(when(col("v").isNotNull, 1)).as("n_distinct"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .select(element_at(array(lit("l_orderkey"), lit("l_partkey"),
+            lit("l_suppkey"), lit("l_linenumber"), lit("l_quantity")),
+            col("cid") + 1).as("col_name"),
+          col("n"), col("n_distinct"), col("vmin"), col("vmax"))
         .orderBy(col("col_name"))
     }),
 

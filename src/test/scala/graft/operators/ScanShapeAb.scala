@@ -155,6 +155,76 @@ object ScanShapeAb {
       time(3)(d22hist(identity).collect()))
     if (want("d22histrep")) report("d22 two-level hist, repart",
       time(3)(d22hist(_.repartition(spark.sparkContext.defaultParallelism)).collect()))
+    // residual decomposition (r12): where do d22hist's ~2.2-2.4 s go?
+    // stack decode alone vs level-1 histogram alone — level 2 is 5 keys
+    // over domain-bounded rows, provably noise.
+    if (want("d22stack")) report("d22 stack+count only",
+      time(3)(load(spark, dir, "lineitem")
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .agg(count(col("v"))).collect()))
+    if (want("d22l1")) report("d22 level-1 hist only",
+      time(3)(load(spark, dir, "lineitem")
+        .selectExpr(
+          """stack(5,
+            | 'l_orderkey', CAST(l_orderkey AS DOUBLE),
+            | 'l_partkey', CAST(l_partkey AS DOUBLE),
+            | 'l_suppkey', CAST(l_suppkey AS DOUBLE),
+            | 'l_linenumber', CAST(l_linenumber AS DOUBLE),
+            | 'l_quantity', CAST(l_quantity AS DOUBLE)) AS (col_name, v)""".stripMargin)
+        .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1))).collect()))
+    // candidate A: int column ids in the histogram key (string group
+    // keys hash/compare/shuffle a pointer-chased UTF8String; a (int,
+    // double) key is a flat 12-byte compare), mapped back at the end.
+    def d22int(): DataFrame =
+      load(spark, dir, "lineitem")
+        .selectExpr(
+          """stack(5,
+            | 0, CAST(l_orderkey AS DOUBLE),
+            | 1, CAST(l_partkey AS DOUBLE),
+            | 2, CAST(l_suppkey AS DOUBLE),
+            | 3, CAST(l_linenumber AS DOUBLE),
+            | 4, CAST(l_quantity AS DOUBLE)) AS (cid, v)""".stripMargin)
+        .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("cid"))
+        .agg(sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
+          count(when(col("v").isNotNull, 1)).as("n_distinct"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .select(element_at(array(lit("l_orderkey"), lit("l_partkey"),
+            lit("l_suppkey"), lit("l_linenumber"), lit("l_quantity")),
+            col("cid") + 1).as("col_name"),
+          col("n"), col("n_distinct"), col("vmin"), col("vmax"))
+        .orderBy(col("col_name"))
+    if (want("d22int")) report("d22 int-keyed hist",
+      time(3)(d22int().collect()))
+    // candidate B: 5-way union of per-column profiles — no stack (no 5N
+    // row materialization), each leg's hash-agg key is ONE double, and
+    // the 5 scan+partial-agg stages are DAG-independent so the scheduler
+    // runs them concurrently (fills the cores a single-row-group scan
+    // leaves idle; at real multi-file scale it's simply 5 narrower
+    // column-pruned scans).
+    def d22u5(): DataFrame = {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity")
+      cols.map { c =>
+        load(spark, dir, "lineitem")
+          .select(col(c).cast("double").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("v").isNotNull, col("c")).otherwise(0L)).as("n"),
+            count(when(col("v").isNotNull, 1)).as("n_distinct"),
+            min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+          .select(lit(c).as("col_name"), col("n"), col("n_distinct"),
+            col("vmin"), col("vmax"))
+      }.reduce(_.unionByName(_)).orderBy(col("col_name"))
+    }
+    if (want("d22u5")) report("d22 5-way union, no stack",
+      time(3)(d22u5().collect()))
 
     spark.stop()
   }
