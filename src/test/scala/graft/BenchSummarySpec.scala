@@ -23,7 +23,7 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line fits the driver's 2000-char tail with margin") {
     val line = Bench.summaryLine(medians, 12345.678, "/root/testdata/sf0.1",
       3, loadWarning = true, "12.34 12.34 12.34", "12.34 12.34 12.34",
-      "12.34 12.34 12.34", 99999.9, exec, "bench_out.json")
+      "12.34 12.34 12.34", 0.123, 99999.9, exec, "bench_out.json")
     info(s"summary line length: ${line.length}")
     // ≤ 1900: the tail must hold the whole line plus a trailing newline
     // even if a stray short log line lands after it.
@@ -32,7 +32,7 @@ class BenchSummarySpec extends AnyFunSuite {
 
   test("summary line is minimally JSON-shaped and keeps headline fields") {
     val line = Bench.summaryLine(medians, 1.5, "/x", 3, loadWarning = false,
-      "0 0 0", "0 0 0", "0 0 0", 2.0, "", "out.json")
+      "0 0 0", "0 0 0", "0 0 0", 0.0, 2.0, "", "out.json")
     assert(line.startsWith("""{"metric":"total","value":1.500,"unit":"sec""""))
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.contains(""""queries_total":150"""))
@@ -44,7 +44,7 @@ class BenchSummarySpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
       val line = Bench.summaryLine(medians.take(3), 12.5, "/x", 3,
-        loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 99.9, "", "out.json")
+        loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 99.9, "", "out.json")
       assert(line.contains(""""value":12.500"""),
         s"decimal point lost to the default locale: $line")
       assert(!line.contains("12,5"), s"comma decimal leaked into JSON: $line")
@@ -54,37 +54,53 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line carries the at-launch loadavg stamp") {
     val line = Bench.summaryLine(medians.take(3), 12.5, "/x", 3,
       loadWarning = false, "3.52 2.1 1.7", "0.9 1.1 1.5", "6.37 4.2 2.8",
-      99.9, "", "out.json")
+      0.042, 99.9, "", "out.json")
     assert(line.contains(""""loadavg_at_launch":"3.52 2.1 1.7""""),
       s"at-launch stamp missing: $line")
   }
 
   test("a contended run self-reports: finalLoadWarning trips on the r11 shape") {
-    // r11: launched at 1-min 3.52 (above the 1.0 limit) after the wait
-    // loop's final check passed on a dip; ended at 6.37. BOTH conditions
-    // must flag independently.
+    // r11's shape: the wait loop's final check passed on a 1-min dip but
+    // the stamped launch load was back above the limit — must flag even
+    // with launchWarning false.
     assert(Bench.finalLoadWarning(launchWarning = false, 1.0,
-      "3.52 2.79 2.20", "6.37 5.01 3.44"), "launch-above-limit must flag")
+      "3.52 2.79 2.20", 0.0), "launch-above-limit must flag")
+    // contention RETURNING mid-run: >10% of the box's cycles went to
+    // other processes during the query phase
     assert(Bench.finalLoadWarning(launchWarning = false, 1.0,
-      "0.60 0.50 0.40", "2.90 1.80 1.00"), "end > 2x start must flag")
+      "0.60 0.50 0.40", 0.31), "external CPU burn must flag")
     // an already-raised launch warning is never un-raised
     assert(Bench.finalLoadWarning(launchWarning = true, 1.0,
-      "0.10 0.10 0.10", "0.10 0.10 0.10"))
-    // idle-box noise does NOT flag: end 0.2 from start 0.05 is >2x start
-    // but under the limit floor
+      "0.10 0.10 0.10", 0.0))
+    // the bench's OWN load never flags: loadavg_end is always multiples
+    // of the start (r8 0.21->6.13 ... r11 0.16->6.37, all self-load) and
+    // is deliberately NOT an input; a clean run with a few percent of
+    // neighbor CPU stays clean
     assert(!Bench.finalLoadWarning(launchWarning = false, 1.0,
-      "0.05 0.05 0.05", "0.20 0.10 0.05"), "idle noise must not flag")
-    // a clean run stays clean
-    assert(!Bench.finalLoadWarning(launchWarning = false, 1.0,
-      "0.80 0.60 0.50", "0.95 0.80 0.60"))
+      "0.80 0.60 0.50", 0.03))
     // unreadable /proc/loadavg parses as 0.0 and never flags spuriously
-    assert(!Bench.finalLoadWarning(launchWarning = false, 1.0, "", ""))
+    assert(!Bench.finalLoadWarning(launchWarning = false, 1.0, "", 0.0))
+  }
+
+  test("externalCpuFrac isolates neighbor CPU from our own") {
+    // 32-core box, 100 s window: 320,000 total jiffies; we burned
+    // 200,000, the box was busy 210,000 -> neighbors took
+    // 10,000/320,000 = 3.125%
+    assert(math.abs(Bench.externalCpuFrac(
+      1000, 10000, 500, 211000, 330000, 200500) - 0.03125) < 1e-9)
+    // unavailable samples (non-Linux, no platform bean) -> 0.0, no flag
+    assert(Bench.externalCpuFrac(-1, -1, 100, 200, 300, 150) == 0.0)
+    assert(Bench.externalCpuFrac(1, 2, -1, 200, 300, -1) == 0.0)
+    // busy can tick below our own proc delta (USER_HZ rounding): clamp 0
+    assert(Bench.externalCpuFrac(100, 200, 100, 150, 400, 160) == 0.0)
+    // empty window -> 0.0
+    assert(Bench.externalCpuFrac(100, 200, 100, 100, 200, 100) == 0.0)
   }
 
   test("failed queries (-1) are excluded from the slowest list") {
     val line = Bench.summaryLine(
       Seq(("q_ok", 0.5), ("q_bad", -1.0)), 0.5, "/x", 1,
-      loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 1.0, "", "out.json")
+      loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 1.0, "", "out.json")
     assert(line.contains(""""q_ok":0.500"""))
     assert(!line.contains("q_bad"))
   }
