@@ -226,6 +226,37 @@ object ScanShapeAb {
     if (want("d22u5")) report("d22 5-way union, no stack",
       time(3)(d22u5().collect()))
 
+    // ---- c70 pass decomposition (r12): where do the ~4.6 s at 10× go?
+    // The declared plan is ONE hash exchange + localCheckpoint, then 4
+    // cached columnar passes (stats, digest, histogram, slice). Legs
+    // time the pipeline cumulatively.
+    if (want("c70parts")) {
+      import org.apache.spark.sql.GraftBridge
+      val vals = load(spark, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      report("c70 exchange+checkpoint",
+        time(3)(vals.repartition(col("flag"), col("v"))
+          .localCheckpoint(true).count()))
+      val dist = vals.repartition(col("flag"), col("v")).localCheckpoint(true)
+      report("c70 stats pass",
+        time(3)(dist.agg(count(lit(1)), min(col("v")), max(col("v"))).head()))
+      def digCol = GraftBridge.column(graft.functions.QDigestAgg(
+        GraftBridge.expression(col("v")), 24, 2048, Seq(500, 900))
+        .toAggregateExpression())
+      report("c70 digest pass",
+        time(3)(dist.groupBy("flag").agg(digCol.as("est")).collect()))
+      report("c70 digest+stats fused",
+        time(3)(dist.groupBy("flag").agg(digCol.as("est"),
+          count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi")).collect()))
+      report("c70 histogram pass",
+        time(3)(dist.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 full (as declared)",
+        time(3)(graft.SparkEntry.queries("c70_quantile_sketch")(spark, dir).collect()))
+    }
+
     spark.stop()
   }
 }
