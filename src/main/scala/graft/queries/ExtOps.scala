@@ -206,9 +206,11 @@ object ExtOps {
     // e's bucket + a conditional count inside it, computed in the SAME
     // slice pass — no full-table conditional scan either. Net: the
     // full table is never sorted and never re-shuffled past the one
-    // parallelizing checkpoint; it is scanned four times (the 3-number
-    // count/min/max stats pass that derives the shift, digest,
-    // histogram, slice probe), each a cached columnar pass.
+    // (conditional — see below) parallelizing checkpoint; it is scanned
+    // four times (the 3-number count/min/max stats pass that derives
+    // the shift, digest, histogram, slice probe), each a cached
+    // columnar pass on the small branch and a column-pruned parquet
+    // re-scan on the multi-file branch.
     "c70_quantile_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.GraftBridge
       val bits = 24
@@ -217,10 +219,33 @@ object ExtOps {
       val vals = load(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
-      val dist = vals.repartition(col("flag"), col("v")).localCheckpoint(true)
-      // one exact (count, min, max) pass over the checkpoint derives the
-      // bucket shift (Tuning.bucketShift scaladoc); env override is the
-      // A/B dial. Three tiny numbers to the driver — plan
+      // The exchange+checkpoint is the SINGLE-FILE parallelizer ONLY.
+      // The r12 decomposition (ScanShapeAb c70parts) showed that on a
+      // multi-file input both halves of it LOSE: the exchange of the 6M
+      // narrow rows costs 1.3–1.65 s, and the downstream passes read the
+      // row-format cache SLOWER than they re-scan the column-pruned
+      // parquet (histogram pass: 0.47 s over the 10-task raw scan vs
+      // 0.78 s over a 32-partition checkpoint vs 1.38 s over the
+      // session-default 91 partitions — Tuning's dir-bytes rule counts
+      // ALL columns and over-partitions this 2-column projection ~8×,
+      // and each extra task pays UnsafeFixedWidthAggregationMap setup).
+      // So: when the scan already fans out (≥ 8 tasks — production
+      // multi-file data always does), the passes run straight over the
+      // parquet scan; only a single-row-group input (the sf bench
+      // files) pays the exchange, at the SESSION partition count —
+      // a core-count repartition was A/B'd for the small branch and
+      // lost (1.32 s vs 0.89 s end-to-end at sf0.1: 600k rows in 32
+      // tasks is scheduling-dominated, the r6 Tuning calibration
+      // exactly). Both paths compute identical results — the oracle
+      // and the pass structure don't change, only where the
+      // parallelism comes from.
+      val dist =
+        if (vals.rdd.getNumPartitions >= 8) vals
+        else vals.repartition(col("flag"), col("v")).localCheckpoint(true)
+      // one exact (count, min, max) pass over `dist` (the checkpoint on
+      // the small branch, the pruned scan on the raw branch) derives
+      // the bucket shift (Tuning.bucketShift scaladoc); env override is
+      // the A/B dial. Three tiny numbers to the driver — plan
       // parameterization, not data collection.
       val st = dist.agg(count(lit(1)).as("n"),
         min(col("v")).as("lo"), max(col("v")).as("hi")).head()

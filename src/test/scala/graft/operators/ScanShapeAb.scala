@@ -255,6 +255,63 @@ object ScanShapeAb {
           .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
       report("c70 full (as declared)",
         time(3)(graft.SparkEntry.queries("c70_quantile_sketch")(spark, dir).collect()))
+      // isolate the histogram pass's cost drivers
+      report("c70 hist, no flag key",
+        time(3)(dist.groupBy(expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 hist, int flag key",
+        time(3)(dist.groupBy(expr("ascii(flag)").as("f"),
+            expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 hist, shift 16",
+        time(3)(dist.groupBy(col("flag"), expr("shiftright(v, 16)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 slice-equiv pass",
+        time(3)(dist.filter(expr("shiftright(v, 12) = 1000")).count()))
+      report("c70 agg sum(v>>12), no group",
+        time(3)(dist.agg(sum(expr("shiftright(v, 12)"))).collect()))
+      report("c70 hist over raw parquet",
+        time(3)(vals.groupBy(expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 hist, coalesce(32) first",
+        time(3)(dist.coalesce(32)
+          .groupBy(expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 digest over raw",
+        time(3)(vals.groupBy("flag").agg(digCol.as("est")).collect()))
+      report("c70 flag-hist over raw",
+        time(3)(vals.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+          .agg(count(lit(1)).as("c")).agg(count(lit(1))).collect()))
+      report("c70 slice-join over raw",
+        time(3)(vals.withColumn("b", expr("shiftright(v, 12)"))
+          .join(broadcast(spark.range(3).select(
+            lit("A").as("flag"), (col("id") + 1000).as("b"))), Seq("flag", "b"))
+          .count()))
+      // the r11 shape end-to-end: session-partition exchange + all four
+      // passes (incl. stats) over the checkpoint
+      report("c70 r11 shape: cp+4 passes",
+        time(3) {
+          val d = vals.repartition(col("flag"), col("v")).localCheckpoint(true)
+          d.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+          d.groupBy("flag").agg(digCol.as("est")).collect()
+          d.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+            .agg(count(lit(1)).as("c")).collect()
+          d.filter(expr("shiftright(v, 12) = 1000")).count()
+          ()
+        })
+      // the r12 shape end-to-end on a SMALL input (checkpoint branch):
+      // raw stats + core-count exchange + 3 passes
+      report("c70 r12 shape: raw st+cp+3",
+        time(3) {
+          vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+          val d = vals.repartition(spark.sparkContext.defaultParallelism,
+            col("flag"), col("v")).localCheckpoint(true)
+          d.groupBy("flag").agg(digCol.as("est")).collect()
+          d.groupBy(col("flag"), expr("shiftright(v, 12)").as("b"))
+            .agg(count(lit(1)).as("c")).collect()
+          d.filter(expr("shiftright(v, 12) = 1000")).count()
+          ()
+        })
     }
 
     spark.stop()
