@@ -95,12 +95,26 @@ object Bench {
     *
     * Threshold 0.10: >10% of the box's cycles going to OTHER processes
     * while we bench is contamination worth flagging.
+    *
+    * The 5-MIN arm of the launch guard is a PREDICTOR, not a
+    * measurement: it says "something ran recently, it might resume".
+    * When the external-CPU measurement is available it answers exactly
+    * that question about the run that actually happened — so a launch
+    * warning raised ONLY by the stale 5-min average (1-min idle) is
+    * cleared by a clean measurement (a back-to-back artifact chain
+    * otherwise self-flags forever on its own ghost: this session's
+    * full-suite run launched at 5-min 3.60 after the scale leg, 1-min
+    * 0.10, measured external 0.000 — clean by every real signal). A
+    * 1-min launch exceedance or a missing measurement (extFrac < 0,
+    * non-Linux) keeps the conservative flag.
     */
-  private[graft] def finalLoadWarning(launchWarning: Boolean,
+  private[graft] def finalLoadWarning(warn1min: Boolean, warn5min: Boolean,
       loadLimit: Double, load0: String, externalCpuFrac: Double): Boolean = {
     def first(s: String): Double =
       try s.split(" ")(0).toDouble catch { case _: Throwable => 0.0 }
-    launchWarning || first(load0) > loadLimit || externalCpuFrac > 0.10
+    val measuredClean = externalCpuFrac >= 0.0 && externalCpuFrac <= 0.10
+    warn1min || first(load0) > loadLimit || externalCpuFrac > 0.10 ||
+      (warn5min && !measuredClean)
   }
 
   /** (busy, total) jiffies from /proc/stat's aggregate cpu line;
@@ -136,14 +150,16 @@ object Bench {
 
   /** Fraction of the box's CPU capacity consumed by processes OTHER
     * than this JVM between two (cpuStat, processCpuJiffies) samples.
-    * 0.0 when any sample was unavailable or the window is empty.
+    * -1.0 when any sample was unavailable or the window is empty — the
+    * caller must treat that as "no measurement", NOT as "measured
+    * clean" (finalLoadWarning keeps its conservative 5-min arm then).
     */
   private[graft] def externalCpuFrac(busy0: Long, total0: Long, proc0: Long,
       busy1: Long, total1: Long, proc1: Long): Double = {
-    if (busy0 < 0 || busy1 < 0 || proc0 < 0 || proc1 < 0) 0.0
+    if (busy0 < 0 || busy1 < 0 || proc0 < 0 || proc1 < 0) -1.0
     else {
       val totalD = total1 - total0
-      if (totalD <= 0) 0.0
+      if (totalD <= 0) -1.0
       else math.max(0.0, (busy1 - busy0 - (proc1 - proc0)).toDouble / totalD)
     }
   }
@@ -293,7 +309,12 @@ object Bench {
         s"$loadLimit/$loadLimit5 — waiting for idle ($loadWaited/$loadWaitBudget s)")
       Thread.sleep(10000); loadWaited += 10
     }
-    val loadWarning = loaded()
+    // split arms: the 1-min exceedance is a hard signal, the 5-min one
+    // is a resumable-ghost predictor the end-of-run external-CPU
+    // measurement may supersede (finalLoadWarning scaladoc)
+    val warn1min = load1min() > loadLimit
+    val warn5min = load5min() > loadLimit5
+    val loadWarning = warn1min || warn5min
     if (loadWarning && sys.env.get("SPARK_GRAFT_LOAD_STRICT").contains("1")) {
       System.err.println(s"[bench] REFUSING: loadavg ${load1min()}/${load5min()} > " +
         s"$loadLimit/$loadLimit5 after ${loadWaited}s wait (SPARK_GRAFT_LOAD_STRICT=1)")
@@ -371,7 +392,8 @@ object Bench {
     val load1 = loadavg()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     // recomputed, not the launch-time snapshot — see [[finalLoadWarning]]
-    val loadWarningOut = finalLoadWarning(loadWarning, loadLimit, load0, extFrac)
+    val loadWarningOut = finalLoadWarning(warn1min, warn5min, loadLimit,
+      load0, extFrac)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$passes,"pass_times":$raw,"loadavg_start":"$load0",""" +
       s""""loadavg_end":"$load1","loadavg_at_launch":"$loadAtLaunch",""" +

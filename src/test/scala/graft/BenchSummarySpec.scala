@@ -62,24 +62,36 @@ class BenchSummarySpec extends AnyFunSuite {
   test("a contended run self-reports: finalLoadWarning trips on the r11 shape") {
     // r11's shape: the wait loop's final check passed on a 1-min dip but
     // the stamped launch load was back above the limit — must flag even
-    // with launchWarning false.
-    assert(Bench.finalLoadWarning(launchWarning = false, 1.0,
+    // with both launch arms false.
+    assert(Bench.finalLoadWarning(warn1min = false, warn5min = false, 1.0,
       "3.52 2.79 2.20", 0.0), "launch-above-limit must flag")
     // contention RETURNING mid-run: >10% of the box's cycles went to
     // other processes during the query phase
-    assert(Bench.finalLoadWarning(launchWarning = false, 1.0,
+    assert(Bench.finalLoadWarning(warn1min = false, warn5min = false, 1.0,
       "0.60 0.50 0.40", 0.31), "external CPU burn must flag")
-    // an already-raised launch warning is never un-raised
-    assert(Bench.finalLoadWarning(launchWarning = true, 1.0,
+    // a raised 1-MIN launch warning is never un-raised (real activity
+    // at launch, not a ghost)
+    assert(Bench.finalLoadWarning(warn1min = true, warn5min = false, 1.0,
       "0.10 0.10 0.10", 0.0))
+    // a 5-MIN-only launch warning is a ghost PREDICTOR: a valid clean
+    // external-CPU measurement supersedes it (this session's full-suite
+    // run: 1-min 0.10, 5-min 3.60 stale from the previous leg, measured
+    // external 0.000 — clean by every real signal)
+    assert(!Bench.finalLoadWarning(warn1min = false, warn5min = true, 1.0,
+      "0.10 3.60 5.78", 0.0), "clean measurement must clear the ghost")
+    // ... but WITHOUT a measurement (-1 = /proc/stat or the platform
+    // bean unavailable) the ghost keeps the conservative flag
+    assert(Bench.finalLoadWarning(warn1min = false, warn5min = true, 1.0,
+      "0.10 3.60 5.78", -1.0), "no measurement: ghost must still flag")
     // the bench's OWN load never flags: loadavg_end is always multiples
     // of the start (r8 0.21->6.13 ... r11 0.16->6.37, all self-load) and
     // is deliberately NOT an input; a clean run with a few percent of
     // neighbor CPU stays clean
-    assert(!Bench.finalLoadWarning(launchWarning = false, 1.0,
+    assert(!Bench.finalLoadWarning(warn1min = false, warn5min = false, 1.0,
       "0.80 0.60 0.50", 0.03))
     // unreadable /proc/loadavg parses as 0.0 and never flags spuriously
-    assert(!Bench.finalLoadWarning(launchWarning = false, 1.0, "", 0.0))
+    assert(!Bench.finalLoadWarning(warn1min = false, warn5min = false, 1.0,
+      "", 0.0))
   }
 
   test("externalCpuFrac isolates neighbor CPU from our own") {
@@ -88,13 +100,15 @@ class BenchSummarySpec extends AnyFunSuite {
     // 10,000/320,000 = 3.125%
     assert(math.abs(Bench.externalCpuFrac(
       1000, 10000, 500, 211000, 330000, 200500) - 0.03125) < 1e-9)
-    // unavailable samples (non-Linux, no platform bean) -> 0.0, no flag
-    assert(Bench.externalCpuFrac(-1, -1, 100, 200, 300, 150) == 0.0)
-    assert(Bench.externalCpuFrac(1, 2, -1, 200, 300, -1) == 0.0)
+    // unavailable samples (non-Linux, no platform bean) -> -1.0, which
+    // callers read as "no measurement" (keeps the conservative flag),
+    // never as "measured clean"
+    assert(Bench.externalCpuFrac(-1, -1, 100, 200, 300, 150) == -1.0)
+    assert(Bench.externalCpuFrac(1, 2, -1, 200, 300, -1) == -1.0)
     // busy can tick below our own proc delta (USER_HZ rounding): clamp 0
     assert(Bench.externalCpuFrac(100, 200, 100, 150, 400, 160) == 0.0)
-    // empty window -> 0.0
-    assert(Bench.externalCpuFrac(100, 200, 100, 100, 200, 100) == 0.0)
+    // empty window -> no measurement
+    assert(Bench.externalCpuFrac(100, 200, 100, 100, 200, 100) == -1.0)
   }
 
   test("failed queries (-1) are excluded from the slowest list") {
