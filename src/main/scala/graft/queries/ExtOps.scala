@@ -229,7 +229,7 @@ object ExtOps {
       // session-default 91 partitions — Tuning's dir-bytes rule counts
       // ALL columns and over-partitions this 2-column projection ~8×,
       // and each extra task pays UnsafeFixedWidthAggregationMap setup).
-      // So: when the scan already fans out (≥ 8 tasks — production
+      // So: when the scan already fans out (≥ 8 ROW GROUPS — production
       // multi-file data always does), the passes run straight over the
       // parquet scan; only a single-row-group input (the sf bench
       // files) pays the exchange, at the SESSION partition count —
@@ -238,9 +238,15 @@ object ExtOps {
       // tasks is scheduling-dominated, the r6 Tuning calibration
       // exactly). Both paths compute identical results — the oracle
       // and the pass structure don't change, only where the
-      // parallelism comes from.
+      // parallelism comes from. The gate counts parquet ROW GROUPS
+      // from the footers (r13, ADVICE): getNumPartitions counts BYTE
+      // splits, and a large single-row-group file reports ≥ 8 splits
+      // of which exactly one holds the row group — skipping the
+      // parallelizer on the input that needs it most. Row groups are
+      // what both engines actually parallelize across; the footer
+      // read is O(files) metadata I/O Spark's planner does anyway.
       val dist =
-        if (vals.rdd.getNumPartitions >= 8) vals
+        if (Tuning.rowGroupCount(s"$dir/lineitem.parquet") >= 8L) vals
         else vals.repartition(col("flag"), col("v")).localCheckpoint(true)
       // one exact (count, min, max) pass over `dist` (the checkpoint on
       // the small branch, the pruned scan on the raw branch) derives

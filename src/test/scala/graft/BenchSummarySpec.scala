@@ -23,7 +23,7 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line fits the driver's 2000-char tail with margin") {
     val line = Bench.summaryLine(medians, 12345.678, "/root/testdata/sf0.1",
       3, loadWarning = true, "12.34 12.34 12.34", "12.34 12.34 12.34",
-      "12.34 12.34 12.34", 0.123, 99999.9, exec, "bench_out.json")
+      "12.34 12.34 12.34", 0.123, 0.123, 99999.9, exec, "bench_out.json")
     info(s"summary line length: ${line.length}")
     // ≤ 1900: the tail must hold the whole line plus a trailing newline
     // even if a stray short log line lands after it.
@@ -32,10 +32,14 @@ class BenchSummarySpec extends AnyFunSuite {
 
   test("summary line is minimally JSON-shaped and keeps headline fields") {
     val line = Bench.summaryLine(medians, 1.5, "/x", 3, loadWarning = false,
-      "0 0 0", "0 0 0", "0 0 0", 0.0, 2.0, "", "out.json")
+      "0 0 0", "0 0 0", "0 0 0", 0.0, 0.0, 2.0, "", "out.json")
     assert(line.startsWith("""{"metric":"total","value":1.500,"unit":"sec""""))
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.contains(""""queries_total":150"""))
+    // the I/O-contention stamp rides the summary (ADVICE r12: D-state
+    // neighbors raise loadavg but burn no busy jiffies, so graders need
+    // iowait alongside external_cpu_frac)
+    assert(line.contains(""""iowait_frac":0.000"""))
     assert(line.endsWith("}"))
   }
 
@@ -44,7 +48,7 @@ class BenchSummarySpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY) // decimal comma
       val line = Bench.summaryLine(medians.take(3), 12.5, "/x", 3,
-        loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 99.9, "", "out.json")
+        loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 0.0, 99.9, "", "out.json")
       assert(line.contains(""""value":12.500"""),
         s"decimal point lost to the default locale: $line")
       assert(!line.contains("12,5"), s"comma decimal leaked into JSON: $line")
@@ -54,7 +58,7 @@ class BenchSummarySpec extends AnyFunSuite {
   test("summary line carries the at-launch loadavg stamp") {
     val line = Bench.summaryLine(medians.take(3), 12.5, "/x", 3,
       loadWarning = false, "3.52 2.1 1.7", "0.9 1.1 1.5", "6.37 4.2 2.8",
-      0.042, 99.9, "", "out.json")
+      0.042, 0.013, 99.9, "", "out.json")
     assert(line.contains(""""loadavg_at_launch":"3.52 2.1 1.7""""),
       s"at-launch stamp missing: $line")
   }
@@ -114,7 +118,7 @@ class BenchSummarySpec extends AnyFunSuite {
   test("failed queries (-1) are excluded from the slowest list") {
     val line = Bench.summaryLine(
       Seq(("q_ok", 0.5), ("q_bad", -1.0)), 0.5, "/x", 1,
-      loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 1.0, "", "out.json")
+      loadWarning = false, "0 0 0", "0 0 0", "0 0 0", 0.0, 0.0, 1.0, "", "out.json")
     assert(line.contains(""""q_ok":0.500"""))
     assert(!line.contains("q_bad"))
   }

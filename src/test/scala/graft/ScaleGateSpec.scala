@@ -33,13 +33,17 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     "c14_simhash_neardup" -> 12.0, // cal 1.4 — 65,536-bucket band join
     "c17_quality_filter" -> 10.0, // cal 2.0 — per-doc scoring scan
     "c27_contamination" -> 14.0, // cal 2.3 — df-capped 8-gram postings
-    "c51_ts_similar_users" -> 10.0, // cal 1.9–2.5 (r12 re-calibration,
-                                    // two runs, capped+rescue plan) —
-                                    // the old 12.0 cited "cal 3.1" from
-                                    // the uncapped era and carried 1.8×
-                                    // dead headroom over the ~6.7
-                                    // sf0.1-scale banded ratio (r9,
-                                    // PERF.md §r9); 3×cal floors at 10
+    "c51_ts_similar_users" -> 7.5,  // cal 1.9–2.5 (r12 re-calibration,
+                                    // two runs, capped+rescue plan);
+                                    // band = 3×cal max per the r11
+                                    // convention (r12's 10.0 still
+                                    // carried 4–5× headroom over cal —
+                                    // r12 verdict item 5). NB the
+                                    // sf0.1-SCALE banded ratio is ~6.5
+                                    // (scale_smoke_r12.log) but THIS
+                                    // gate runs at sf0.01 where cal is
+                                    // 1.9–2.5 — the band guards this
+                                    // measurement, not that one
     "c55_containment" -> 18.0, // cal 2.6 — df-capped postings self-join
     // cal ~1 at this size: digest partials, the value-bucket histogram
     // and the slice probe all parallelize across the replica's file

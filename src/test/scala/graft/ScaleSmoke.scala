@@ -53,14 +53,19 @@ object ScaleSmoke {
 
   val ModulusLcm = 67900L // lcm of every id-modulus filter in the suite
 
-  /** Linear-plan queries run as declared. */
+  /** Linear-plan queries run as declared. c24/d21/d24 joined r13: their
+    * sf0.1 Spark-vs-DuckDB ratios (24×/…) had no data-sized evidence, so
+    * floor-vs-constant was unproven for them (r12 verdict item 4 —
+    * d8 was already here).
+    */
   val LinearQueries: Seq[String] = Seq(
     "b4_pricing_summary", "b5_top_revenue", "b9_local_supplier_volume",
     "b12_waiting_suppliers", "b13_part_top_supplier", "c1_minhash_lsh",
     "c9_token_count", "c15_dedup_groups", "c17_quality_filter",
-    "c27_contamination", "c51_ts_similar_users", "c55_containment",
-    "c70_quantile_sketch", "c71_overlap_hll", "c72_membership_gate",
-    "d2_rollup_pricing", "d8_percentiles", "d22_table_profile",
+    "c24_sketch_distinct", "c27_contamination", "c51_ts_similar_users",
+    "c55_containment", "c70_quantile_sketch", "c71_overlap_hll",
+    "c72_membership_gate", "d2_rollup_pricing", "d8_percentiles",
+    "d21_merge_apply", "d22_table_profile", "d24_retention",
     "d29_ref_integrity", "d32_ols_trend")
 
   def build(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {

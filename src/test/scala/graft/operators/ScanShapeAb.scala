@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.Tables.{load, dec2}
+import graft.queries.Tables.{load, dec2, fac4}
 import org.apache.spark.sql.expressions.Window
 
 /** A/B decomposition of the scan-shaped 10× gap (r9 verdict item 1):
@@ -225,6 +225,242 @@ object ScanShapeAb {
     }
     if (want("d22u5")) report("d22 5-way union, no stack",
       time(3)(d22u5().collect()))
+
+    // ---- b9/b10 decomposition + the Bucketed structural lever (r13,
+    // verdict item 3): the fact-join cohort's 10× residual (b9 1.73 vs
+    // DuckDB 0.108, b10 1.13 vs 0.195) is claimed constant-factor — these
+    // legs bound it the d22 way (scan / dim-join / backbone / agg), and
+    // the bucket legs measure the ONE structural change not yet tried:
+    // lineitem+orders stored bucketed on orderkey (sources.Bucketed), so
+    // every orderkey join reads co-located buckets with NO Exchange.
+    def b9shape(li0: DataFrame, ord0: DataFrame): DataFrame = {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val asianNations = load(spark, dir, "nation")
+        .join(load(spark, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = load(spark, dir, "customer")
+        .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = ord0
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+      val supp = load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+    def b12shape(li0: DataFrame, ord0: DataFrame): DataFrame = {
+      val li = li0.select(col("l_orderkey"), col("l_suppkey"))
+      val late = li0
+        .join(ord0.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      late
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(load(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }
+    if (want("b9parts")) {
+      val liRaw = load(spark, dir, "lineitem")
+      val ordRaw = load(spark, dir, "orders")
+      report("b9 li scan+rev (agg only)",
+        time(3)(liRaw.select(
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          .agg(sum(col("rev"))).collect()))
+      report("b9 ord scan+date filter",
+        time(3)(ordRaw.filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .agg(count(lit(1))).collect()))
+      // first join only: filtered orders ⋈ customer-with-nation (the dim
+      // side AQE broadcasts at this size)
+      report("b9 ord⋈cust (dim join)", time(3) {
+        val asianNations = load(spark, dir, "nation")
+          .join(load(spark, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = load(spark, dir, "customer")
+          .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        ordRaw.filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1))).collect()
+      })
+      // backbone only: filtered orders ⋈ lineitem on orderkey — the one
+      // fact-fact exchange
+      report("b9 backbone ord⋈li", time(3) {
+        val ord = ordRaw.filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"))
+        liRaw.select(col("l_orderkey"),
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(col("rev"))).collect()
+      })
+      report("b9 full (as declared)", time(3)(b9shape(liRaw, ordRaw).collect()))
+      report("b10 li scan+rev (agg only)",
+        time(3)(liRaw.select(col("l_partkey"),
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          .agg(sum(col("rev")), max(col("l_partkey"))).collect()))
+      report("b10 full (as declared)",
+        time(3)(graft.SparkEntry.queries("b10_promo_share")(spark, dir).collect()))
+      report("b12 full (as declared)",
+        time(3)(b12shape(liRaw, ordRaw).collect()))
+    }
+    if (want("bucketab")) {
+      // bucketed replicas of the SAME data: pay the orderkey shuffle once
+      // at write, then measure the orderkey-join queries on the co-located
+      // layout. 32 buckets ≈ one bucket per core at local[32]; bucket
+      // metadata lives in the session catalog, so reads go via table name.
+      import graft.sources.Bucketed
+      if (!spark.catalog.tableExists("li_bkt")) {
+        val t0 = System.nanoTime()
+        Bucketed.writeBucketed(load(spark, dir, "lineitem"), "li_bkt",
+          "l_orderkey", 32)
+        Bucketed.writeBucketed(load(spark, dir, "orders"), "ord_bkt",
+          "o_orderkey", 32)
+        println(f"[scanshape] bucket write (once)   ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      val liB = spark.table("li_bkt")
+      val ordB = spark.table("ord_bkt")
+      report("b9 full, bucketed li+ord",
+        time(3)(b9shape(liB, ordB).collect()))
+      report("b12 full, bucketed li+ord",
+        time(3)(b12shape(liB, ordB).collect()))
+      report("b9 backbone, bucketed", time(3) {
+        val ord = ordB.filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"))
+        liB.select(col("l_orderkey"),
+          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(col("rev"))).collect()
+      })
+    }
+
+    // ---- checkpoint audit (r13, verdict item 2): c70's lesson was that
+    // a localCheckpoint of a NARROW PROJECTION OF A RAW SCAN reads
+    // slower than re-scanning column-pruned parquet (the row cache
+    // stores full rows; the scan reads only the pruned bytes). These
+    // legs ask the same question of the other checkpoint users the
+    // verdict named — each materializes a DERIVED table (post-shuffle
+    // aggregate / distinct), where the recompute is a repeated shuffle,
+    // not a repeated scan, so the checkpoint should win. Measured, not
+    // assumed: each leg runs the site's real consumer fan-out with the
+    // checkpoint ON vs OFF.
+    if (want("ckptab")) {
+      import org.apache.spark.sql.GraftBridge
+      // (1) c27's ng (ExtOps.scala ~615): distinct (doc_id, md5(8-gram))
+      // — an explode + hash + DISTINCT SHUFFLE — consumed 3× (eval
+      // side, train df-cap, train postings).
+      def c27ng(ckpt: Boolean): Long = {
+        val d = load(spark, dir, "documents")
+        val ng0 = d.select(col("doc_id"), col("lang"),
+            explode(GraftBridge.column(graft.functions.TokenNgrams(
+              GraftBridge.expression(col("text")),
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+          .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
+          .distinct()
+        val ng = if (ckpt) ng0.localCheckpoint(true) else ng0
+        val evalN = ng.filter(col("doc_id") % 97 === 0)
+        val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
+        val trainN = trainN0.join(
+          trainN0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= graft.queries.ExtOps.C27_DF_CAP).select(col("g")),
+          "g")
+        trainN.select(col("g"), col("doc_id").as("train_doc"))
+          .join(evalN.select(col("g"), col("doc_id").as("eval_doc")), "g")
+          .distinct().count()
+      }
+      report("c27 ng site, checkpoint ON", time(3)(c27ng(ckpt = true)))
+      report("c27 ng site, checkpoint OFF", time(3)(c27ng(ckpt = false)))
+      // (2) c62's per-round rank checkpoints (CorpusRank.scala ~67-84):
+      // without them round k's plan embeds rounds 1..k-1 — the bigram
+      // aggregate and every prior join replay once per remaining round.
+      def c62(ckpt: Boolean): Long = {
+        val docs = load(spark, dir, "documents")
+        val bi = docs.select(
+            explode(GraftBridge.column(graft.functions.TokenNgrams(
+              GraftBridge.expression(col("text")),
+              n = 2, maxStarts = Int.MaxValue, skipEmpty = true))).as("bigram"))
+          .select(expr("split(bigram, ' ')[0]").as("u"),
+            expr("split(bigram, ' ')[1]").as("v"))
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        val e0 = bi.select(col("u"), col("v"), col("c"))
+          .union(bi.select(col("v").as("u"), col("u").as("v"), col("c")))
+          .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+        val e = if (ckpt) e0.localCheckpoint(true) else e0
+        val wo0 = e.groupBy(col("u"))
+          .agg(sum(col("w")).as("wt"), count(lit(1)).as("degree"))
+        val wo = if (ckpt) wo0.localCheckpoint(true) else wo0
+        var r = wo.select(col("u").as("tok"), lit(1000000L).as("r"))
+        for (_ <- 1 to 4) {
+          val contrib = e.join(wo.select(col("u"), col("wt")), "u")
+            .join(r.select(col("tok").as("u"), col("r")), "u")
+            .select(col("v"),
+              expr("CAST(CAST(r AS DECIMAL(38,0)) * w div wt AS DECIMAL(38,0))").as("m"))
+          val r1 = contrib.groupBy(col("v"))
+            .agg(expr("CAST(850 * sum(m) div 1000 + 150000 AS BIGINT)").as("r"))
+            .select(col("v").as("tok"), col("r"))
+          r = if (ckpt) r1.localCheckpoint(true) else r1
+        }
+        r.join(wo.select(col("u").as("tok"), col("degree")), "tok")
+          .orderBy(col("r").desc, col("tok")).limit(30).count()
+      }
+      report("c62 rounds, checkpoints ON", time(3)(c62(ckpt = true)))
+      report("c62 rounds, checkpoints OFF", time(3)(c62(ckpt = false)))
+      // (3) c31/semDedup's assigned (Similarity.scala ~595): (vec_id,
+      // scaled embedding, norm, cell) consumed 3× (both pair sides +
+      // census). This is the closest shape to the c70 trap — the
+      // checkpointed rows are nearly the raw scan plus one compiled
+      // projection — so it is the one the audit could plausibly flip.
+      def sem(ckpt: Boolean): Long = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val (base, cents) = Similarity.trainedLit(emb, 8, 2)
+        val a0 = Similarity.withCell(base, cents)
+        val assigned = if (ckpt) a0.localCheckpoint(true) else a0
+        val pairs = assigned
+          .select(col("cell"), col("vec_id").as("va"), col("ie").as("ia"), col("nv").as("na"))
+          .join(assigned.select(col("cell"), col("vec_id").as("vb"),
+            col("ie").as("ib"), col("nv").as("nb")), "cell")
+          .filter(col("va") < col("vb"))
+          .select(col("cell"), col("vb"),
+            (Similarity.dot("ia", "ib") / (col("na") * col("nb"))).as("cos"))
+        val drops = pairs.filter(col("cos") > 0.42)
+          .select(col("cell"), col("vb")).distinct()
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+          .join(drops.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
+            Seq("cell"), "left").count()
+      }
+      report("c31 assigned, checkpoint ON", time(3)(sem(ckpt = true)))
+      report("c31 assigned, checkpoint OFF", time(3)(sem(ckpt = false)))
+    }
 
     // ---- c70 pass decomposition (r12): where do the ~4.6 s at 10× go?
     // The declared plan is ONE hash exchange + localCheckpoint, then 4
