@@ -260,12 +260,23 @@ object Bench {
       case "auto" => Tuning.shufflePartitionsFor(Tuning.dirBytes(sfDir)).toString
       case n      => n
     }
-    // AQE's runtime re-planning pays at real scale (unknown sizes, skew);
-    // at bench scale its per-query re-plan latency exceeds its benefit
-    // (measured ~10%). Correctness is partition-count-independent by the
-    // exact-arithmetic contract, so this only moves time, not results
-    // (Verify runs with AQE ON either way).
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // AQE default is SIZE-DERIVED (r13, measured both ways same-session):
+    // at sf0.1 (~17.5 MB compressed) AQE LOSES 33% (48.6 s off vs 64.7 on
+    // — per-query re-plan latency dominates ~0.5 s queries: c60 +2.0 s,
+    // c25 +1.9, c15 +1.8), while on the 10× fair-layout replicas
+    // (~175 MB) AQE WINS 19% (52.6 on vs 64.8 off — runtime coalescing
+    // and join re-planning pay exactly where Catalyst mis-estimates
+    // post-shuffle sizes: c15 −3.4 s, c25 −2.8, c68 −1.9, b11 −1.6).
+    // The crossover sits between the two measured points; 64 MiB is
+    // their log-midpoint (√(17.5·175) ≈ 55 MB). At 100 TB this derives
+    // ON, which is also Spark's own default. Correctness is
+    // partition-count-independent by the exact-arithmetic contract, so
+    // the knob only moves time, not results (Verify runs with AQE ON
+    // either way); SPARK_GRAFT_AQE=true|false still pins it for A/Bs.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "auto") match {
+      case "auto" => (Tuning.dirBytes(sfDir) >= (64L << 20)).toString
+      case v      => v
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -418,6 +429,7 @@ object Bench {
     val loadWarningOut = finalLoadWarning(warn1min, warn5min, loadLimit,
       load0, extFrac)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""aqe":$aqe,"shuffle_partitions":$shuffle,""" +
       s""""passes":$passes,"pass_times":$raw,"loadavg_start":"$load0",""" +
       s""""loadavg_end":"$load1","loadavg_at_launch":"$loadAtLaunch",""" +
       s""""load_waited_sec":$loadWaited,"load_warning":$loadWarningOut,""" +

@@ -35,6 +35,12 @@ import graft.queries.{ExtOps, Tables}
   * | c11_multimodal | typed `mapPartitions` binary decode — imperative per-partition logic, not a relational expression |
   * | c12_ann_ivf, c31_semdedup, c34_cluster_profile, c56_diverse_sample, c65_label_outliers, c66_knn_agreement | driver-side Lloyd k-means training loop (literal-centroid codebook collected per round); Spark SQL has no iteration |
   * | c15_dedup_groups, c25_canonical_docs | connected components by min-label propagation run to FIXPOINT. Spark 4.1 DOES parse `WITH RECURSIVE`, but only with UNION ALL (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`, probed on this build) — on the SYMMETRIC near-dup edge set a UNION ALL closure walks cycles forever (and a depth-bounded variant enumerates paths, exponential in clique size), so a cycle-safe transitive closure is still inexpressible as text; DuckDB's oracle uses recursive UNION (set semantics), which is exactly the part Spark lacks |
+  *
+  * Probe currency: the UNION-limitation probe above binds to the
+  * installed jar. r13 check: still spark-sql_2.13-4.1.2 — no version
+  * bump since the r12 probe, so the 12-query excuse table stands
+  * unchanged. Re-run the probe (a literal `WITH RECURSIVE … UNION`
+  * parse attempt) the first round the jar under /opt/spark/jars moves.
   */
 object SqlEntry {
 

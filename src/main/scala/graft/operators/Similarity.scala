@@ -592,6 +592,11 @@ object Similarity {
     val (base, cents) = trainedLit(emb, nCells, lloydIters, trainMod)
     // Final assignment feeds three consumers (both pair sides + the per-
     // cell census) — materialize once so the scan+projection runs once.
+    // r13 checkpoint audit: measured a WASH at 10× (0.455 s vs 0.449
+    // without — ScanShapeAb ckptab); kept because `assigned` has no
+    // exchange beneath it, so without the checkpoint each consumer
+    // re-reads the embedding parquet — at 100 TB that is 3× the scan
+    // I/O, the one cost the bench-scale wash cannot see.
     val assigned = withCell(base, cents).localCheckpoint(true)
     val pairs = assigned
       .select(col("cell"), col("vec_id").as("va"), col("ie").as("ia"), col("nv").as("na"))

@@ -61,6 +61,13 @@ object CorpusRank {
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
       // Symmetrize: e(u,v) = c(u,v) + c(v,u). Materialized once — the
       // edge table is reused by all rounds AND the degree readout.
+      // Kept under the r13 checkpoint audit with a measured 6% cost
+      // (ScanShapeAb ckptab at 10×: 7.01 s vs 6.60 s without — the
+      // rounds' identical subplans would dedup via ReusedExchange):
+      // the checkpoints BOUND PLAN DEPTH — without them round k's
+      // optimized plan embeds rounds 1..k−1, so analysis/optimization
+      // cost grows with the round count even though execution dedups;
+      // a production run raising Rounds must not cliff on the planner.
       val e = bi.select(col("u"), col("v"), col("c"))
         .union(bi.select(col("v").as("u"), col("u").as("v"), col("c")))
         .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))

@@ -610,9 +610,15 @@ object ExtOps {
               n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
         .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
         .distinct()
-        // Materialized once (the c49/c55 discipline): eval + both train
-        // references would otherwise re-run the 8-gram scan 3×.
-        .localCheckpoint(true)
+        // NOT checkpointed (r13, measured): the three consumers (eval,
+        // train df-cap, train postings) share the distinct's shuffle via
+        // ReusedExchange — the canonical subplans are identical, so the
+        // 8-gram scan and the dedup exchange run ONCE per action with or
+        // without materialization. The r12-era localCheckpoint paid an
+        // eager full-row cache write for work Spark never repeated:
+        // ScanShapeAb ckptab at 10× measured 4.43 s (checkpoint) vs
+        // 3.79 s (reuse) — the same full-row-cache-vs-pruned-work trap
+        // as c70's exchange (PERF.md r13).
       val evalN = ng.filter(col("doc_id") % 97 === 0)
       val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
       val trainN = trainN0.join(
