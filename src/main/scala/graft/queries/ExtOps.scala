@@ -248,13 +248,27 @@ object ExtOps {
       val dist =
         if (Tuning.rowGroupCount(s"$dir/lineitem.parquet") >= 8L) vals
         else vals.repartition(col("flag"), col("v")).localCheckpoint(true)
-      // one exact (count, min, max) pass over `dist` (the checkpoint on
-      // the small branch, the pruned scan on the raw branch) derives
-      // the bucket shift (Tuning.bucketShift scaladoc); env override is
-      // the A/B dial. Three tiny numbers to the driver — plan
-      // parameterization, not data collection.
-      val st = dist.agg(count(lit(1)).as("n"),
-        min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+      // FUSED stats+digest pass (r13): the digest does not depend on
+      // the bucket shift, so it rides the same aggregate that derives
+      // the shift's (count, min, max) — one scan and one AQE re-plan
+      // barrier fewer than the r12 shape (4 passes → 3; the AQE-on 10×
+      // A/B that motivated it: c70 3.77 s AQE-off vs 4.74 on, the
+      // suite's one AQE loser, each action paying the re-plan latency).
+      // |flags| rows to the driver — plan parameterization plus a
+      // 3-row digest readout, not data collection (the c12 codebook
+      // discipline); the tiny est table is rebuilt as a literal
+      // DataFrame, so downstream joins are unchanged.
+      val digCol = GraftBridge.column(graft.functions.QDigestAgg(
+        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
+        .toAggregateExpression())
+      val fused = dist.groupBy("flag").agg(
+          count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"), digCol.as("est"))
+        .collect()
+      val st = org.apache.spark.sql.Row(
+        fused.map(_.getLong(1)).sum,
+        if (fused.isEmpty) null else fused.map(_.getLong(2)).min,
+        if (fused.isEmpty) null else fused.map(_.getLong(3)).max)
       // The A/B dial is validated here rather than used raw: a garbage
       // value would throw a bare NumberFormatException mid-plan, and a
       // negative one hits Java's shift-count masking (effective shift up
@@ -271,14 +285,15 @@ object ExtOps {
       }.getOrElse(
         if (st.getLong(0) == 0L) 12
         else Tuning.bucketShift(st.getLong(0), st.getLong(1), st.getLong(2)))
-      val digCol = GraftBridge.column(graft.functions.QDigestAgg(
-        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
-        .toAggregateExpression())
-      // single digest pass, tiny (|flags| rows) — pinned for its reuse
-      val est = dist.groupBy("flag").agg(digCol.as("est"))
-        .select(col("flag"),
-          col("est")(0).as("e50"), col("est")(1).as("e90"))
-        .localCheckpoint(true)
+      // the digest readout from the fused pass as a |flags|-row literal
+      // table (no checkpoint needed — it never touches the fact table)
+      val est = {
+        import s.implicits._
+        fused.map { r =>
+          val a = r.getSeq[Long](4)
+          (r.getString(0), a(0), a(1))
+        }.toSeq.toDF("flag", "e50", "e90")
+      }
       // value-bucket histogram: domain-bounded (~|domain|/4096 rows per
       // flag), pinned for its three tiny consumers
       val bcnt = dist.groupBy(col("flag"), expr(s"shiftright(v, $shift)").as("b"))
