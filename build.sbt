@@ -37,5 +37,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g max heap (the box has 128 GiB; -Xmx is a ceiling, not a
+  // reservation). The old 8g default starved ~unique-key partial
+  // aggregates on data-sized legs into Spark's sort-based fallback
+  // while the DuckDB comparator ran under its default memory_limit of
+  // 80% of RAM: d22's level-1 histogram at the 100x replicas measured
+  // 17.7 s at 8g vs 13.5 s at 32g (ScanShapeAb d22int, medians of 3)
+  // — the 10x->100x step drops from ~11x to a sublinear 8.4x for 10x
+  // rows. At sf0.1 the heap never grows past a few GiB either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
