@@ -26,13 +26,16 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
 
   /** (query, max allowed t10/t1). Bands ~3× calibration, floor 10. */
   private val Gated: Seq[(String, Double)] = Seq(
-    "b4_pricing_summary" -> 10.0, // cal 1.6 — scan + hash agg
-    "b13_part_top_supplier" -> 12.0, // cal 2.9 — fact join + TopKPerKey
-    "c1_minhash_lsh" -> 12.0, // cal 1.3 — banded LSH + candidate verify
-    "c9_token_count" -> 10.0, // cal 1.2 — explode + vocab-bounded agg
-    "c14_simhash_neardup" -> 12.0, // cal 1.4 — 65,536-bucket band join
-    "c17_quality_filter" -> 10.0, // cal 2.0 — per-doc scoring scan
-    "c27_contamination" -> 14.0, // cal 2.3 — df-capped 8-gram postings
+    // r13 re-calibration (fresh green run, this session): every band
+    // returns to the 3×cal-floored-at-10 convention — the r12 values
+    // in [12, 18] carried 4–6× headroom over their own calibrations.
+    "b4_pricing_summary" -> 10.0, // cal 1.6–2.5 — scan + hash agg
+    "b13_part_top_supplier" -> 10.0, // cal 2.4–2.9 — fact agg + TopKPerKey
+    "c1_minhash_lsh" -> 10.0, // cal 1.3–1.8 — banded LSH + candidate verify
+    "c9_token_count" -> 10.0, // cal 1.2–1.5 — explode + vocab-bounded agg
+    "c14_simhash_neardup" -> 10.0, // cal 1.4–2.1 — 65,536-bucket band join
+    "c17_quality_filter" -> 10.0, // cal 2.0–2.2 — per-doc scoring scan
+    "c27_contamination" -> 10.0, // cal 2.3–2.9 — df-capped 8-gram postings
     "c51_ts_similar_users" -> 7.5,  // cal 1.9–2.5 (r12 re-calibration,
                                     // two runs, capped+rescue plan);
                                     // band = 3×cal max per the r11
@@ -44,7 +47,7 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
                                     // gate runs at sf0.01 where cal is
                                     // 1.9–2.5 — the band guards this
                                     // measurement, not that one
-    "c55_containment" -> 18.0, // cal 2.6 — df-capped postings self-join
+    "c55_containment" -> 10.0, // cal 2.6–3.2 — df-capped postings self-join
     // cal ~1 at this size: digest partials, the value-bucket histogram
     // and the slice probe all parallelize across the replica's file
     // splits; the r9 rewrite removed the per-flag full sort entirely
@@ -57,7 +60,7 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     // cal 1.1 — filter build is one bit_or aggregate (≤ min(nK, M/32)
     // words shuffle), probes are an equi-join on word index
     "c72_membership_gate" -> 10.0,
-    "d22_table_profile" -> 12.0, // cal 3.7 — stack-unpivot single scan
+    "d22_table_profile" -> 12.0, // cal 3.7–3.8 — stack-unpivot single scan
     "d29_ref_integrity" -> 10.0) // cal 1.9 — FK anti joins
 
   private def skip = sys.env.get("SPARK_GRAFT_SKIP_SCALE_GATE").contains("1")
