@@ -688,7 +688,7 @@ object SqlEntry {
          |    explode(transform(sequence(1, size(toks) - 7),
          |           i -> array_join(slice(toks, i, 8), ' '))) AS g0
          |  FROM t8),
-         |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
+         |ng AS (SELECT DISTINCT doc_id, lang, xxhash64(g0) AS g FROM ng0),
          |evn AS (SELECT doc_id, lang, g FROM ng WHERE doc_id % 97 = 0),
          |trn0 AS (SELECT doc_id, g FROM ng WHERE doc_id % 97 <> 0),
          |gdf AS (SELECT g FROM trn0 GROUP BY g HAVING count(*) <= ${ExtOps.C27_DF_CAP}),
@@ -939,7 +939,7 @@ object SqlEntry {
         |    explode(transform(sequence(1, size(toks) - 7),
         |           i -> array_join(slice(toks, i, 8), ' '))) AS g0
         |  FROM t8),
-        |ng AS (SELECT DISTINCT doc_id, lang, md5(g0) AS g FROM ng0),
+        |ng AS (SELECT DISTINCT doc_id, lang, xxhash64(g0) AS g FROM ng0),
         |dft AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY g),
         |perdoc AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_ng,
         |       CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_dup
@@ -1107,7 +1107,7 @@ object SqlEntry {
         |    explode(transform(sequence(1, size(toks) - 3),
         |           i -> array_join(slice(toks, i, 4), ' '))) AS g0
         |  FROM t4),
-        |shd AS (SELECT DISTINCT doc_id, md5(g0) AS sh FROM shing),
+        |shd AS (SELECT DISTINCT doc_id, xxhash64(g0) AS sh FROM shing),
         |kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
         |         WHERE df <= 256),
         |s2 AS (SELECT shd.doc_id, shd.sh FROM shd JOIN kept USING (sh)),

@@ -328,23 +328,36 @@ object Dedup {
     * threshold is the integer cross-multiply inter·1000 ≥ τ·|A| and the
     * reported score is inter·1000 div |A| — exact at any corpus size.
     */
-  /** `materialize = false` skips the shingle-table checkpoint so plan
-    * tests can inspect the full lineage (the checkpoint hides its
-    * upstream — the TokenNgrams scan — behind an RDD scan); production
-    * keeps it (A/B'd 2.04→1.33 s, PERF.md).
+  /** The shingle key is xxhash64(shingle) — an INTERNAL equality key
+    * only (every output column is a count or doc id, never a hash
+    * value), so the 64-bit non-crypto hash replaces the r12-era md5:
+    * ~20× cheaper per row and 8-byte instead of 16-byte shuffle keys —
+    * measured at the 10× fair layout under the shipped AQE-on config,
+    * 8.03 → 4.92 s end-to-end together with the checkpoint removal
+    * below (ScanShapeAb hashab, both orderings). The oracle keys on its
+    * own md5 — equality classes agree as long as EACH side is
+    * collision-free, which the oracle gate verifies per fixture. A
+    * 64-bit key stays collision-free w.h.p. to ~10⁹ distinct shingles
+    * (birthday: P ≈ n²/2⁶⁵, ~3% at n=10⁹); a corpus past that swaps the
+    * one hash expression back to a 128-bit digest — the key's width is
+    * the only thing the plan cares about.
+    *
+    * `materialize = true` restores the r12-era shingle-table
+    * localCheckpoint; OFF is the default since r13: the distinct's
+    * consumers share its shuffle via ReusedExchange (the c27/c70
+    * full-row-cache-vs-pruned-work lesson, PERF.md r13), re-measured
+    * here at 10×/AQE-on: md5 8.03 s (ckpt) vs 8.00 (reuse), xxh64 5.43
+    * vs 4.92.
     */
   def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50,
-      materialize: Boolean = true): DataFrame = {
-    // Materialized once: the distinct shingle table feeds the df cap,
-    // both postings sides and the sizes — without the checkpoint the
-    // scan + n-gram + md5 projection executes once per reference.
+      materialize: Boolean = false): DataFrame = {
     val sh1 = docs
       .select(col("doc_id"),
         explode(org.apache.spark.sql.GraftBridge.column(
           graft.functions.TokenNgrams(
             org.apache.spark.sql.GraftBridge.expression(col("text")),
             n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
-      .select(col("doc_id"), md5(col("g0").cast("binary")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
       .distinct()
     val sh0 = if (materialize) sh1.localCheckpoint(true) else sh1
     val sh = sh0.join(

@@ -613,17 +613,19 @@ object ExtOps {
     // clean.
     "c27_contamination" -> ((s, dir) => {
       val d = load(s, dir, "documents")
-      // the dedup/join key is md5(ngram), not the ngram text — the b1
-      // discipline: every shuffle (distinct, df count, postings join)
-      // moves 16-byte hashes instead of ~60-byte strings. Identical
-      // results modulo md5 collisions (~2^-128 per pair); the oracle
-      // hashes the same way.
+      // the dedup/join key is xxhash64(ngram), not the ngram text — the
+      // b1 discipline, r13-narrowed from md5: every shuffle (distinct,
+      // df count, postings join) moves 8-byte longs instead of ~60-byte
+      // strings, and the key is INTERNAL only (outputs are lang-level
+      // counts), so the oracle's own md5 key yields the same equality
+      // classes; collision contract in Dedup.shingleContainment's
+      // scaladoc.
       val ng = d.select(col("doc_id"), col("lang"),
           explode(org.apache.spark.sql.GraftBridge.column(
             graft.functions.TokenNgrams(
               org.apache.spark.sql.GraftBridge.expression(col("text")),
               n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
-        .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
+        .select(col("doc_id"), col("lang"), xxhash64(col("g0")).as("g"))
         .distinct()
         // NOT checkpointed (r13, measured): the three consumers (eval,
         // train df-cap, train postings) share the distinct's shuffle via
@@ -1349,8 +1351,15 @@ object ExtOps {
     // spans themselves; this scores every doc for filtering). Per lang:
     // mean fraction ×1000 (one exact-integer division) and docs above
     // the 50% boilerplate line via integer cross-multiply. The n-gram
-    // df table is md5-keyed (16-byte shuffles); each doc's n-grams join
-    // exactly one df row — nothing quadratic, no cap needed.
+    // df table is xxhash64-keyed (8-byte shuffles; a pure INTERNAL
+    // equality key — every output is a count, so the oracle's own md5
+    // key yields the same equality classes; collision contract in
+    // Dedup.shingleContainment's scaladoc); each doc's n-grams join
+    // exactly one df row — nothing quadratic, no cap needed. NOT
+    // checkpointed since r13: the two consumers (df table, per-doc
+    // join) share the distinct's shuffle via ReusedExchange — at
+    // 10×/AQE-on the md5+checkpoint shape measured 5.56 s vs 3.33 for
+    // this one (ScanShapeAb hashab).
     "c57_dup_ngram_fraction" -> ((s, dir) => {
       val ng = load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -1358,11 +1367,8 @@ object ExtOps {
             graft.functions.TokenNgrams(
               org.apache.spark.sql.GraftBridge.expression(col("text")),
               n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
-        .select(col("doc_id"), col("lang"), md5(col("g0").cast("binary")).as("g"))
+        .select(col("doc_id"), col("lang"), xxhash64(col("g0")).as("g"))
         .distinct()
-        // Materialized once: feeds the df table and the per-doc join
-        // (the c27 discipline — same 8-gram scan).
-        .localCheckpoint(true)
       val dfTab = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val perDoc = ng.join(dfTab, "g")
         .groupBy(col("lang"), col("doc_id"))

@@ -462,6 +462,94 @@ object ScanShapeAb {
       report("c31 assigned, checkpoint OFF", time(3)(sem(ckpt = false)))
     }
 
+    // ---- n-gram hash-key A/B (r13): the text trio's biggest absolute
+    // gaps vs DuckDB at 10× (c55 6.3 s, c57 4.3 s, c27 3.4 s) all pay
+    // md5 over every exploded 8-/4-gram. md5 is load-bearing where the
+    // HASH VALUE is replayed by the oracle (content-hash gates, KMV
+    // ranks, c16/c30 sampling) — but in c55/c57/c27 the hash is only an
+    // internal join/dedup KEY and the output depends on equality
+    // classes alone, so a 64-bit xxhash64 key (8-byte shuffles, ~20×
+    // cheaper per row than a crypto digest) gives identical results
+    // modulo collisions on THESE fixtures (verified by the oracle gate
+    // either way). These legs isolate the digest cost and A/B the key
+    // swap plus the c27-lesson checkpoint removal on the same shapes.
+    if (want("hashab")) {
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.Column
+      // match the SHIPPED 10× bench config (AQE auto→on at this size) so
+      // a variant that only wins under AQE-off noise can't ship
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val docs = load(spark, dir, "documents")
+      def grams(n: Int) = docs
+        .select(col("doc_id"), col("lang"),
+          explode(GraftBridge.column(graft.functions.TokenNgrams(
+            GraftBridge.expression(col("text")),
+            n = n, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+      report("8-grams explode+count",
+        time(3)(grams(8).agg(count(lit(1))).collect()))
+      report("8-grams md5+distinct+count",
+        time(3)(grams(8)
+          .select(col("doc_id"), md5(col("g0").cast("binary")).as("g"))
+          .distinct().agg(count(lit(1))).collect()))
+      report("8-grams xxh64+distinct+count",
+        time(3)(grams(8)
+          .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+          .distinct().agg(count(lit(1))).collect()))
+      // c57 shape, parameterized (hash key × checkpoint)
+      def c57(hash: Column => Column, ckpt: Boolean): DataFrame = {
+        val ng0 = grams(8)
+          .select(col("doc_id"), col("lang"), hash(col("g0")).as("g"))
+          .distinct()
+        val ng = if (ckpt) ng0.localCheckpoint(true) else ng0
+        val dfTab = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val perDoc = ng.join(dfTab, "g")
+          .groupBy(col("lang"), col("doc_id"))
+          .agg(count(lit(1)).as("n_ng"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ng")).as("sum_ngrams"), sum(col("n_dup")).as("sum_dup"),
+            expr("CAST(CAST(sum(n_dup) AS DECIMAL(38,0)) * 1000" +
+              " div sum(n_ng) AS BIGINT)").as("dup_fraction_x1000"),
+            sum(when(col("n_dup") * 2 >= col("n_ng"), 1L).otherwise(0L))
+              .as("n_boilerplate_docs"))
+          .orderBy(col("lang"))
+      }
+      def md5k(c: Column) = md5(c.cast("binary"))
+      def xxk(c: Column) = xxhash64(c)
+      report("c57 md5 + ckpt (declared)", time(3)(c57(md5k, ckpt = true).collect()))
+      report("c57 md5, no ckpt", time(3)(c57(md5k, ckpt = false).collect()))
+      report("c57 xxh64 + ckpt", time(3)(c57(xxk, ckpt = true).collect()))
+      report("c57 xxh64, no ckpt", time(3)(c57(xxk, ckpt = false).collect()))
+      // c55 shape (shingleContainment), parameterized the same way
+      def c55(hash: Column => Column, ckpt: Boolean): DataFrame = {
+        val sh1 = grams(4)
+          .select(col("doc_id"), hash(col("g0")).as("sh"))
+          .distinct()
+        val sh0 = if (ckpt) sh1.localCheckpoint(true) else sh1
+        val sh = sh0.join(
+          sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= Dedup.ShingleDfCap).select(col("sh")),
+          "sh")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("da"), col("sh"))
+        val b = sh.select(col("doc_id").as("db"), col("sh"))
+        a.join(b, "sh").filter(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50)
+      }
+      report("c55 md5 + ckpt (declared)", time(3)(c55(md5k, ckpt = true).collect()))
+      report("c55 md5, no ckpt", time(3)(c55(md5k, ckpt = false).collect()))
+      report("c55 xxh64 + ckpt", time(3)(c55(xxk, ckpt = true).collect()))
+      report("c55 xxh64, no ckpt", time(3)(c55(xxk, ckpt = false).collect()))
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+
     // ---- c70 pass decomposition (r12): where do the ~4.6 s at 10× go?
     // The declared plan is ONE hash exchange + localCheckpoint, then 4
     // cached columnar passes (stats, digest, histogram, slice). Legs
