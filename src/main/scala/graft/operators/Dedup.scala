@@ -90,12 +90,23 @@ object Dedup {
     * fewest-stages local plan at the same time. Results are
     * bit-identical to [[verifyJaccard]] over [[tokenPostings]]
     * (DedupSpec asserts).
+    *
+    * r13: the token arrays carried through the verify joins hold
+    * xxhash64(token) LONGS, not the token strings — Jaccard needs only
+    * set sizes, so the element value is a pure INTERNAL equality key
+    * (the shingleContainment collision contract applies; the oracle
+    * intersects raw token text). 8-byte flat elements shuffle and
+    * intersect for less than UTF8String pointers: the verify leg
+    * measured 2.84 → 1.32 s at the 10× fair layout (ScanShapeAb
+    * hashab), and c1/c15/c25 all ride this path.
     */
   def minhashVerified(docs: DataFrame, sampleMod: Int): DataFrame = {
     val toks = docs.filter(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"),
-        array_remove(array_distinct(split(col("text"), " ")), "").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("sz"))
+        array_remove(array_distinct(split(col("text"), " ")), "").as("t0"))
+      .select(col("doc_id"),
+        transform(col("t0"), t => xxhash64(t)).as("toks"),
+        size(col("t0")).cast("long").as("sz"))
     val cands = lshCandidates(minhashBanded(docs, sampleMod))
     cands
       .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"), col("sz").as("sa")), "da")

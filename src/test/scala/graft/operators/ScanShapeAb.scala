@@ -547,6 +547,36 @@ object ScanShapeAb {
       report("c55 md5, no ckpt", time(3)(c55(md5k, ckpt = false).collect()))
       report("c55 xxh64 + ckpt", time(3)(c55(xxk, ckpt = true).collect()))
       report("c55 xxh64, no ckpt", time(3)(c55(xxk, ckpt = false).collect()))
+      // ---- the c1/c15/c25 verify join: exact Jaccard over candidate
+      // pairs carries each side's full distinct-token ARRAY through two
+      // joins and runs array_intersect per pair. Same equality-key
+      // question: tokens as xxhash64 longs (8-byte elements, flat
+      // compares) vs raw strings (UTF8String pointers). Jaccard needs
+      // only set SIZES, so outputs are value-independent.
+      def verify(hashToks: Boolean): Long = {
+        val base = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            array_remove(array_distinct(split(col("text"), " ")), "").as("t0"))
+        val toks = (if (hashToks)
+            base.select(col("doc_id"),
+              transform(col("t0"), t => xxhash64(t)).as("toks"))
+          else base.select(col("doc_id"), col("t0").as("toks")))
+          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("sz"))
+        val cands = Dedup.lshCandidates(Dedup.minhashBanded(docs, 5))
+        cands
+          .join(toks.select(col("doc_id").as("da"), col("toks").as("ta"),
+            col("sz").as("sa")), "da")
+          .join(toks.select(col("doc_id").as("db"), col("toks").as("tb"),
+            col("sz").as("sb")), "db")
+          .select(col("da"), col("db"),
+            size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+            col("sa"), col("sb"))
+          .filter(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")) >= 0.98)
+          .count()
+      }
+      report("c15 verify, string toks", time(3)(verify(hashToks = false)))
+      report("c15 verify, xxh64 toks", time(3)(verify(hashToks = true)))
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
 
