@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
   *    256 keys, making candidate generation Σ|bucket|² quadratic in
   *    user count with only a 1/256 constant — the 4096-value bands
   *    restore the 1/|keyspace| constant the scale argument needs.)
-  *  - verify: exact L1 distance on candidates via a union-of-signed-
-  *    contributions aggregate (missing hours contribute their full
-  *    magnitude — a plain relational spelling both engines run
-  *    identically).
+  *  - verify: exact L1 distance on candidates over dense 24-long profile
+  *    arrays via the [[graft.functions.LongArrayL1]] codegen loop —
+  *    one row per candidate (absent hours are exact zeros, so the value
+  *    equals the sparse union-of-signed-contributions formulation the
+  *    DuckDB oracle runs, where missing hours contribute their full
+  *    magnitude).
   *
   * At 100 TB the fine profile table is |users|·96 rows of longs and the
   * banded join is bounded by band-bucket sizes of ~N/4096 — the same
@@ -146,23 +148,66 @@ object TimeSeries {
     * take the exact all-pairs branch instead (see
     * [[BruteForceUserCap]]). Output: (da, db, l1_cents).
     */
+  /** SQL text for one 48-bit signature half over the per-user quarter
+    * map `qm` and total `tot` — bit (q − base) set iff quarter q is
+    * PRESENT and v·96 > tot, exactly [[signature96]]'s rule (the
+    * explicit IS NOT NULL keeps the absent-quarter bit 0 even for a
+    * non-positive total, matching the no-row semantics of the sparse
+    * spelling).
+    */
+  private def sigHalfSql(from: Int, to: Int): String =
+    s"aggregate(sequence($from, $to), CAST(0 AS BIGINT), (acc, q) -> acc | " +
+      "IF(element_at(qm, q) IS NOT NULL AND element_at(qm, q) * 96 > tot, " +
+      s"shiftleft(CAST(1 AS BIGINT), q - $from), CAST(0 AS BIGINT)))"
+
   def topKSimilarPairs(events: DataFrame, k: Int,
       bruteCap: Long = BruteForceUserCap): DataFrame = {
-    val qprof = quarterProfile(events).localCheckpoint(true)
-    val prof = qprof
-      .groupBy(col("user_id"), expr("qh div 4").as("hour"))
-      .agg(sum(col("v")).as("v"))
-    val sig = signature96(qprof).localCheckpoint(true)
-    val banded = sig.selectExpr("user_id",
+    // ONE per-user row carries everything downstream needs — the 96-bit
+    // signature halves (lo/hi), the dense 24-hour verify vector (pv,
+    // absent hours exact zeros) and the 24-bit hour-PRESENCE mask — all
+    // derived from the per-user quarter map in TWO exchanges total
+    // (events → (user, qh) → user). The r13 rewrite: the previous shape
+    // derived the hourly profile, the signature (a join back of the
+    // per-user total) and the rescue key in SEPARATE aggregates — five
+    // n·96-row-scale exchanges; the signature leg alone measured 4.4 s
+    // at 10× (ScanShapeAb c51parts). The (pmask, pv) pair is BIJECTIVE
+    // with the sparse (hour, v) set — pv carries the values, pmask
+    // distinguishes "absent" from "present with v = 0" — so grouping on
+    // it is exactly the equal-profile equivalence the rescue needs (same
+    // classes as the oracle's canonical sorted "HH:v" string key;
+    // rescue-set equality asserted in ScanShapeAb, delta 0). The
+    // checkpoint is user-dimension-sized (n rows × ~250 B), not
+    // data-sized, and has six consumers (brute-branch count, banding,
+    // bucket census, rescue, both verify sides) that would otherwise
+    // each re-run the per-user aggregation above the reused exchange.
+    val uprof = quarterProfile(events)
+      .groupBy(col("user_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("qh").cast("int"), col("v")))).as("qm"),
+        sum(col("v")).as("tot"))
+      .select(col("user_id"),
+        expr(sigHalfSql(0, 47)).as("lo"),
+        expr(sigHalfSql(48, 95)).as("hi"),
+        expr("transform(sequence(0, 23), h -> " +
+          "coalesce(element_at(qm, 4 * h), CAST(0 AS BIGINT)) + " +
+          "coalesce(element_at(qm, 4 * h + 1), CAST(0 AS BIGINT)) + " +
+          "coalesce(element_at(qm, 4 * h + 2), CAST(0 AS BIGINT)) + " +
+          "coalesce(element_at(qm, 4 * h + 3), CAST(0 AS BIGINT)))").as("pv"),
+        expr("aggregate(sequence(0, 23), CAST(0 AS BIGINT), (acc, h) -> acc | " +
+          "IF(element_at(qm, 4 * h) IS NOT NULL OR element_at(qm, 4 * h + 1) IS NOT NULL OR " +
+          "element_at(qm, 4 * h + 2) IS NOT NULL OR element_at(qm, 4 * h + 3) IS NOT NULL, " +
+          "shiftleft(CAST(1 AS BIGINT), h), CAST(0 AS BIGINT)))").as("pmask"))
+      .localCheckpoint(true)
+    val banded = uprof.selectExpr("user_id",
       "stack(8, " +
         "0, lo & 4095, 1, (lo >> 12) & 4095, 2, (lo >> 24) & 4095, 3, (lo >> 36) & 4095, " +
         "4, hi & 4095, 5, (hi >> 12) & 4095, 6, (hi >> 24) & 4095, 7, (hi >> 36) & 4095" +
         ") AS (band_id, bv)")
-    val cand = if (sig.count() <= bruteCap) {
+    val cand = if (uprof.count() <= bruteCap) {
       // bounded by construction: both sides ≤ bruteCap rows, so the
       // nested-loop product is ≤ cap²/2 pairs on one broadcast
-      sig.select(col("user_id").as("da"))
-        .join(sig.select(col("user_id").as("db")), col("da") < col("db"))
+      uprof.select(col("user_id").as("da"))
+        .join(uprof.select(col("user_id").as("db")), col("da") < col("db"))
     } else {
       // df-cap the buckets BEFORE the self-join (see BandBucketCap)
       val kept = banded.join(
@@ -178,36 +223,33 @@ object TimeSeries {
         .filter(col("da") < col("db"))
         .select(col("da"), col("db"))
       // equal-profile rescue (see BandBucketCap scaladoc): group users
-      // by their exact hourly profile — spelled as a canonical sorted
-      // "HH:v" string so DuckDB groups identically (2-digit hour keeps
-      // lexicographic = numeric order) — and pair CONSECUTIVE members.
-      // Linear in group size; candidates verify through the same exact
-      // L1 leg, so a would-be hash trick needs no collision argument:
-      // the profile string IS the key.
-      val pkey = prof.groupBy(col("user_id")).agg(
-        array_join(array_sort(collect_list(concat(
-          lpad(col("hour").cast("string"), 2, "0"), lit(":"), col("v")))),
-          ",").as("pk"))
-      val ranked = pkey.withColumn("rn", row_number().over(
-        Window.partitionBy(col("pk")).orderBy(col("user_id"))))
-      val eqCand = ranked.select(col("pk"), col("rn"), col("user_id").as("da"))
-        .join(ranked.select(col("pk"), (col("rn") - 1).as("rn"),
-          col("user_id").as("db")), Seq("pk", "rn"))
+      // by their exact hourly profile — the dense (pmask, pv) key, the
+      // same equivalence classes the oracle's canonical sorted "HH:v"
+      // string groups by (bijective, see uprof) — and pair CONSECUTIVE
+      // members (lag over user_id order). Linear in group size;
+      // candidates verify through the same exact L1 leg.
+      val eqCand = uprof.select(col("user_id").as("db"),
+          lag(col("user_id"), 1).over(
+            Window.partitionBy(col("pmask"), col("pv"))
+              .orderBy(col("user_id"))).as("da"))
+        .filter(col("da").isNotNull)
         .select(col("da"), col("db"))
       bandCand.unionByName(eqCand).distinct()
     }
-    // L1 over possibly-sparse 24-dim vectors: contributions +va and -vb
-    // summed per (pair, hour) then |·| summed per pair — hours present
-    // on one side only contribute their magnitude, no dense pivot.
-    val a = cand.join(prof.select(col("user_id").as("da"), col("hour"), col("v")), "da")
-      .select(col("da"), col("db"), col("hour"), col("v").as("x"))
-    val b = cand.join(prof.select(col("user_id").as("db"), col("hour"), col("v")), "db")
-      .select(col("da"), col("db"), col("hour"), (-col("v")).as("x"))
-    a.unionByName(b)
-      .groupBy(col("da"), col("db"), col("hour"))
-      .agg(sum(col("x")).as("d"))
-      .groupBy(col("da"), col("db"))
-      .agg(sum(abs(col("d"))).as("l1_cents"))
+    // Exact L1 on candidates: each side joins its dense profile once and
+    // a single LongArrayL1 codegen loop produces the distance — one row
+    // per candidate end to end (the r13 rewrite; the sparse
+    // union-of-signed-contributions spelling this replaced shuffled 48
+    // (pair, hour) rows per candidate through two hash aggregates and
+    // dominated the 10× wall clock). Absent hours are exact zeros in pv,
+    // so the distance is bit-identical to the sparse formulation the
+    // DuckDB oracle still runs.
+    cand.join(uprof.select(col("user_id").as("da"), col("pv").as("pa")), "da")
+      .join(uprof.select(col("user_id").as("db"), col("pv").as("pb")), "db")
+      .select(col("da"), col("db"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.LongArrayL1(
+          org.apache.spark.sql.GraftBridge.expression(col("pa")),
+          org.apache.spark.sql.GraftBridge.expression(col("pb")))).as("l1_cents"))
       .orderBy(col("l1_cents"), col("da"), col("db"))
       .limit(k)
   }

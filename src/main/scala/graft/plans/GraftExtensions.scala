@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CountMinSketchAgg, LongArrayDot, MinHashBands, QDigestAgg, SimHash64, TokenNgrams}
+import graft.functions.{CountMinSketchAgg, LongArrayDot, LongArrayL1, MinHashBands, QDigestAgg, SimHash64, TokenNgrams}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDot)
+    ext.injectFunction(GraftExtensions.longArrayL1)
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashBands)
     ext.injectFunction(GraftExtensions.tokenNgrams)
@@ -49,6 +50,15 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 2, "long_array_dot(a, b) takes exactly two arguments")
       LongArrayDot(args.head, args(1))
+    })
+
+  /** (name, info, builder) for `long_array_l1(array<bigint>, array<bigint>)`. */
+  val longArrayL1: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("long_array_l1"),
+    new ExpressionInfo(classOf[LongArrayL1].getName, "long_array_l1"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "long_array_l1(a, b) takes exactly two arguments")
+      LongArrayL1(args.head, args(1))
     })
 
   /** (name, info, builder) for `simhash64(string)`. */

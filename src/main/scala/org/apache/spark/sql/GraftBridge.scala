@@ -30,6 +30,7 @@ object GraftBridge {
     */
   def registerFunctions(spark: SparkSession): Unit =
     Seq(graft.plans.GraftExtensions.longArrayDot,
+      graft.plans.GraftExtensions.longArrayL1,
       graft.plans.GraftExtensions.simhash64,
       graft.plans.GraftExtensions.minhashBands,
       graft.plans.GraftExtensions.tokenNgrams,

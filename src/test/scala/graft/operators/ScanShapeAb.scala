@@ -668,6 +668,104 @@ object ScanShapeAb {
         })
     }
 
+    // ---- c51 legs (r13): sparse-vs-dense L1 verify + rescue key A/B ----
+    // The pre-r13 shape expanded every candidate pair into 48 (pair, hour)
+    // contribution rows through two hash aggregates and keyed the
+    // equal-profile rescue on a per-user sorted "HH:v" string; the shipped
+    // shape carries dense 24-long arrays + the LongArrayL1 codegen loop
+    // and keys the rescue on the bijective (pmask, pv) pair. Both
+    // spellings produce identical rows (asserted here as well as by the
+    // oracle) — the legs price the difference.
+    if (want("c51parts")) {
+      import graft.operators.TimeSeries
+      val ev = load(spark, dir, "events")
+      report("c51 quarter profile", time(3)(TimeSeries.quarterProfile(ev).count()))
+      val qprof = TimeSeries.quarterProfile(ev).localCheckpoint(true)
+      val prof = qprof.groupBy(col("user_id"), expr("qh div 4").as("hour"))
+        .agg(sum(col("v")).as("v"))
+      report("c51 signature96", time(3)(TimeSeries.signature96(qprof).count()))
+      val sig = TimeSeries.signature96(qprof).localCheckpoint(true)
+      val banded = sig.selectExpr("user_id",
+        "stack(8, " +
+          "0, lo & 4095, 1, (lo >> 12) & 4095, 2, (lo >> 24) & 4095, 3, (lo >> 36) & 4095, " +
+          "4, hi & 4095, 5, (hi >> 12) & 4095, 6, (hi >> 24) & 4095, 7, (hi >> 36) & 4095" +
+          ") AS (band_id, bv)")
+      val kept = banded.join(
+        banded.groupBy(col("band_id"), col("bv"))
+          .agg(count(lit(1)).as("bp"))
+          .filter(col("bp") <= TimeSeries.BandBucketCap)
+          .select(col("band_id"), col("bv")),
+        Seq("band_id", "bv"))
+      val bandCand = kept
+        .select(col("band_id"), col("bv"), col("user_id").as("da"))
+        .join(kept.select(col("band_id"), col("bv"), col("user_id").as("db")),
+          Seq("band_id", "bv"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"))
+      report("c51 band candidates", time(3)(bandCand.count()))
+      // old rescue: sorted "HH:v" string key + rank self-join
+      val pkey = prof.groupBy(col("user_id")).agg(
+        array_join(array_sort(collect_list(concat(
+          lpad(col("hour").cast("string"), 2, "0"), lit(":"), col("v")))),
+          ",").as("pk"))
+      val rankedOld = pkey.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("user_id"))))
+      val eqOld = rankedOld.select(col("pk"), col("rn"), col("user_id").as("da"))
+        .join(rankedOld.select(col("pk"), (col("rn") - 1).as("rn"),
+          col("user_id").as("db")), Seq("pk", "rn"))
+        .select(col("da"), col("db"))
+      report("c51 rescue, string key", time(3)(eqOld.count()))
+      // new rescue: dense (pmask, pv) key + lag
+      val parr = prof.groupBy(col("user_id")).agg(
+          map_from_entries(collect_list(struct(col("hour").cast("int"), col("v")))).as("m"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(hour AS INT))")).as("pmask"))
+        .select(col("user_id"), col("pmask"), expr(
+          "transform(sequence(0, 23), h -> coalesce(element_at(m, h), CAST(0 AS BIGINT)))")
+          .as("pv"))
+      val eqNew = parr.select(col("user_id").as("db"),
+          lag(col("user_id"), 1).over(
+            Window.partitionBy(col("pmask"), col("pv"))
+              .orderBy(col("user_id"))).as("da"))
+        .filter(col("da").isNotNull)
+        .select(col("da"), col("db"))
+      report("c51 rescue, dense key", time(3)(eqNew.count()))
+      val cand = bandCand.unionByName(eqOld).distinct().localCheckpoint(true)
+      println(s"[scanshape] c51 candidates after distinct: ${cand.count()}")
+      // old verify: 48 contribution rows per pair, two hash aggregates
+      def verifySparse(): Unit = {
+        val a = cand.join(prof.select(col("user_id").as("da"), col("hour"), col("v")), "da")
+          .select(col("da"), col("db"), col("hour"), col("v").as("x"))
+        val b = cand.join(prof.select(col("user_id").as("db"), col("hour"), col("v")), "db")
+          .select(col("da"), col("db"), col("hour"), (-col("v")).as("x"))
+        a.unionByName(b)
+          .groupBy(col("da"), col("db"), col("hour"))
+          .agg(sum(col("x")).as("d"))
+          .groupBy(col("da"), col("db"))
+          .agg(sum(abs(col("d"))).as("l1_cents"))
+          .orderBy(col("l1_cents"), col("da"), col("db"))
+          .limit(20).collect()
+      }
+      // new verify: two profile joins + LongArrayL1
+      def verifyDense(): Unit = {
+        import org.apache.spark.sql.GraftBridge
+        cand.join(parr.select(col("user_id").as("da"), col("pv").as("pa")), "da")
+          .join(parr.select(col("user_id").as("db"), col("pv").as("pb")), "db")
+          .select(col("da"), col("db"),
+            GraftBridge.column(graft.functions.LongArrayL1(
+              GraftBridge.expression(col("pa")),
+              GraftBridge.expression(col("pb")))).as("l1_cents"))
+          .orderBy(col("l1_cents"), col("da"), col("db"))
+          .limit(20).collect()
+      }
+      report("c51 verify, sparse 48/pair", time(3)(verifySparse()))
+      report("c51 verify, dense L1", time(3)(verifyDense()))
+      report("c51 full (as declared)",
+        time(3)(graft.SparkEntry.queries("c51_ts_similar_users")(spark, dir).collect()))
+      // parity: rescue sets and verify outputs identical between spellings
+      val dRescue = eqOld.exceptAll(eqNew).count() + eqNew.exceptAll(eqOld).count()
+      println(s"[scanshape] c51 rescue-set delta (must be 0): $dRescue")
+    }
+
     spark.stop()
   }
 }
