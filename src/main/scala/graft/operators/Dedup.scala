@@ -362,14 +362,28 @@ object Dedup {
     */
   def shingleContainment(docs: DataFrame, tauX1000: Int, k: Int = 50,
       materialize: Boolean = false): DataFrame = {
+    // Per-doc shingle-SET semantics via array_distinct INSIDE the row
+    // (late r13): a (doc_id, sh) duplicate can only come from the same
+    // shingle repeating within one document, so deduplicating the
+    // n-gram array before explode is exactly the old corpus-wide
+    // `.distinct()` — minus its full n-gram-table exchange + hash
+    // aggregate, the largest shuffle in the query. Interleaved A/B at
+    // 10× (ScanShapeAb c55ab, 5 alternating passes): 7.73 → 3.90 s
+    // median, with run-to-run spread collapsing too (6.7–8.7 → 3.8–4.0);
+    // table build alone 0.95 → 0.19 s. The trade is a second
+    // scan+explode (census side no longer shares the distinct's
+    // exchange), which costs ~0.14 s at sf0.1 (1.20 → 1.34) and is why
+    // c27/c57 — whose downstreams are lighter relative to their 8-gram
+    // scans — measured a wash and KEEP their corpus distinct. Same
+    // xxhash64 collision contract as below: string dedup vs hash dedup
+    // diverge only on an intra-doc 64-bit collision.
     val sh1 = docs
       .select(col("doc_id"),
-        explode(org.apache.spark.sql.GraftBridge.column(
+        explode(array_distinct(org.apache.spark.sql.GraftBridge.column(
           graft.functions.TokenNgrams(
             org.apache.spark.sql.GraftBridge.expression(col("text")),
-            n = 4, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
+            n = 4, maxStarts = Int.MaxValue, skipEmpty = true)))).as("g0"))
       .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
-      .distinct()
     val sh0 = if (materialize) sh1.localCheckpoint(true) else sh1
     val sh = sh0.join(
       sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))

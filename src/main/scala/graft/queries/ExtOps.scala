@@ -620,6 +620,20 @@ object ExtOps {
       // counts), so the oracle's own md5 key yields the same equality
       // classes; collision contract in Dedup.shingleContainment's
       // scaladoc.
+      // The corpus-wide distinct stays ON PURPOSE (late-r13 A/B): it is
+      // the shared materialization point its THREE consumers (eval side,
+      // train df census, train postings) reuse via ReusedExchange — the
+      // c55-style array_distinct-in-row spelling removes the exchange
+      // but re-runs the text scan + 8-gram explode per consumer
+      // (measured a wash at 10×, 2.74 vs 2.86 s; at 100 TB three scans
+      // of the widest column lose to one exchange — the c31 lesson).
+      // NOT checkpointed (r13, measured): the consumers share the
+      // distinct's shuffle via ReusedExchange — the 8-gram scan and the
+      // dedup exchange run ONCE per action with or without
+      // materialization; the r12-era localCheckpoint paid an eager
+      // full-row cache write for work Spark never repeated (ScanShapeAb
+      // ckptab at 10×: 4.43 s checkpoint vs 3.79 reuse — the c70
+      // full-row-cache-vs-pruned-work trap).
       val ng = d.select(col("doc_id"), col("lang"),
           explode(org.apache.spark.sql.GraftBridge.column(
             graft.functions.TokenNgrams(
@@ -627,15 +641,6 @@ object ExtOps {
               n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
         .select(col("doc_id"), col("lang"), xxhash64(col("g0")).as("g"))
         .distinct()
-        // NOT checkpointed (r13, measured): the three consumers (eval,
-        // train df-cap, train postings) share the distinct's shuffle via
-        // ReusedExchange — the canonical subplans are identical, so the
-        // 8-gram scan and the dedup exchange run ONCE per action with or
-        // without materialization. The r12-era localCheckpoint paid an
-        // eager full-row cache write for work Spark never repeated:
-        // ScanShapeAb ckptab at 10× measured 4.43 s (checkpoint) vs
-        // 3.79 s (reuse) — the same full-row-cache-vs-pruned-work trap
-        // as c70's exchange (PERF.md r13).
       val evalN = ng.filter(col("doc_id") % 97 === 0)
       val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
       val trainN = trainN0.join(
@@ -1361,6 +1366,9 @@ object ExtOps {
     // 10×/AQE-on the md5+checkpoint shape measured 5.56 s vs 3.33 for
     // this one (ScanShapeAb hashab).
     "c57_dup_ngram_fraction" -> ((s, dir) => {
+      // The corpus distinct stays (the c27 reasoning: it is the shared
+      // materialization point for the df census and the per-doc join —
+      // removing it re-scans the text column per consumer).
       val ng = load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(org.apache.spark.sql.GraftBridge.column(

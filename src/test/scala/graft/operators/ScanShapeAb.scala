@@ -766,6 +766,72 @@ object ScanShapeAb {
       println(s"[scanshape] c51 rescue-set delta (must be 0): $dRescue")
     }
 
+    // ---- c55 legs (r13): within-row array_distinct vs corpus distinct ----
+    // A (doc_id, shingle-hash) duplicate can only arise within one doc,
+    // so the per-doc set semantics can run as array_distinct inside the
+    // n-gram row (no shuffle) instead of a corpus-wide distinct (a full
+    // n-gram-table exchange + hash aggregate). Legs time the shingle
+    // table build both ways and the full query; set equality asserted.
+    if (want("c55parts")) {
+      import org.apache.spark.sql.GraftBridge
+      val docs = load(spark, dir, "documents")
+      def grams = GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = 4, maxStarts = Int.MaxValue, skipEmpty = true))
+      val shOld = docs.select(col("doc_id"), explode(grams).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+        .distinct()
+      val shNew = docs.select(col("doc_id"), explode(array_distinct(grams)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+      report("c55 shingles, corpus distinct", time(3)(shOld.count()))
+      report("c55 shingles, array_distinct", time(3)(shNew.count()))
+      println(s"[scanshape] c55 shingle-set delta (must be 0): " +
+        (shOld.exceptAll(shNew).count() + shNew.exceptAll(shOld).count()))
+      report("c55 full (as declared)",
+        time(3)(graft.SparkEntry.queries("c55_containment")(spark, dir).collect()))
+    }
+
+    // Interleaved full-query A/B (the ConfAb protocol — box drift lands
+    // evenly): corpus-distinct shingle table vs array_distinct-in-row.
+    if (want("c55ab")) {
+      import org.apache.spark.sql.GraftBridge
+      val docs = load(spark, dir, "documents")
+      def grams = GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = 4, maxStarts = Int.MaxValue, skipEmpty = true))
+      def full(sh1: DataFrame): Unit = {
+        val sh = sh1.join(
+          sh1.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= Dedup.ShingleDfCap).select(col("sh")),
+          "sh")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("da"), col("sh"))
+        val b = sh.select(col("doc_id").as("db"), col("sh"))
+        a.join(b, "sh").filter(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50).collect()
+      }
+      def shOld = docs.select(col("doc_id"), explode(grams).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("sh")).distinct()
+      def shNew = docs.select(col("doc_id"), explode(array_distinct(grams)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+      full(shOld); full(shNew) // warm both
+      val passes = 5
+      val (tOld, tNew) = (Array.ofDim[Double](passes), Array.ofDim[Double](passes))
+      for (p <- 0 until passes) {
+        val t0 = System.nanoTime(); full(shOld); tOld(p) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); full(shNew); tNew(p) = (System.nanoTime() - t1) / 1e9
+      }
+      def fmt(a: Array[Double]) = a.map(t => f"$t%.2f").mkString(" ")
+      println(f"[scanshape] c55ab distinct:       ${fmt(tOld)} median ${tOld.sorted.apply(passes / 2)}%.2f")
+      println(f"[scanshape] c55ab array_distinct: ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
+    }
+
     spark.stop()
   }
 }
