@@ -421,25 +421,21 @@ object Dedup {
     * engine-portable, so the DuckDB oracle replays the selection
     * bit-for-bit.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .select(col("doc_id"), GraftBridge.column(graft.functions.TokenNgrams(
-        GraftBridge.expression(col("text")),
-        n = k, maxStarts = Int.MaxValue, skipEmpty = true)).as("gs"))
-      .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
-        posexplode(col("gs")))
-      .select(col("doc_id"), col("ng"), col("pos").cast("long").as("pos"),
-        md5(col("col").cast("binary")).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams.withColumn("wmin", min(col("h")).over(win))
-      // window STARTS only: pos 0 … ng−w (0-based); short docs keep the
-      // single truncated window at pos 0.
-      .filter(col("pos") <= greatest(lit(0L), col("ng") - w))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
-  }
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 8): DataFrame =
+    // ONE kernel pass per document (late r13): tokenize → shingle → md5
+    // → sliding min → per-doc distinct all inside
+    // [[graft.functions.WinnowFingerprints]], replacing the relational
+    // spelling (posexplode → md5 → per-doc window min → filter starts →
+    // corpus distinct) whose WindowExec sorted the corpus-sized
+    // (doc_id, pos) shingle table and whose distinct exchanged it.
+    // Bit-identity with the relational spelling — which the DuckDB
+    // oracle still runs — is asserted per fixture in WinnowOpsSpec
+    // (and transitively by the c68 oracle row); a (doc_id, fp)
+    // duplicate can only arise within one document, so the in-kernel
+    // distinct is exactly the old corpus-wide one (the c55 argument).
+    docs.select(col("doc_id"),
+      explode(GraftBridge.column(graft.functions.WinnowFingerprints(
+        GraftBridge.expression(col("text")), k, w))).as("fp"))
 
   def shingleJaccard(docs: DataFrame, sampleMod: Int, k: Int = 20): DataFrame = {
     // Positions capped at 2047 (matches the oracle's constant range — a

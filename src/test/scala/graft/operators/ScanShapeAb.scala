@@ -832,6 +832,42 @@ object ScanShapeAb {
       println(f"[scanshape] c55ab array_distinct: ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
     }
 
+    // ---- c68 legs (r13): winnow kernel vs relational window plan ----
+    if (want("c68ab")) {
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.expressions.Window
+      val docs = load(spark, dir, "documents")
+      def relFps = {
+        val grams = docs
+          .select(col("doc_id"), GraftBridge.column(graft.functions.TokenNgrams(
+            GraftBridge.expression(col("text")),
+            n = 4, maxStarts = Int.MaxValue, skipEmpty = true)).as("gs"))
+          .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+            posexplode(col("gs")))
+          .select(col("doc_id"), col("ng"), col("pos").cast("long").as("pos"),
+            md5(col("col").cast("binary")).as("h"))
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, 7)
+        grams.withColumn("wmin", min(col("h")).over(win))
+          .filter(col("pos") <= greatest(lit(0L), col("ng") - 8))
+          .select(col("doc_id"), col("wmin").as("fp"))
+          .distinct()
+      }
+      def kernelFps = graft.operators.Dedup.winnowFingerprints(docs)
+      relFps.count(); kernelFps.count() // warm both
+      val passes = 5
+      val (tOld, tNew) = (Array.ofDim[Double](passes), Array.ofDim[Double](passes))
+      for (p <- 0 until passes) {
+        val t0 = System.nanoTime(); relFps.count(); tOld(p) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); kernelFps.count(); tNew(p) = (System.nanoTime() - t1) / 1e9
+      }
+      def fmt(a: Array[Double]) = a.map(t => f"$t%.2f").mkString(" ")
+      println(f"[scanshape] c68ab fp window plan: ${fmt(tOld)} median ${tOld.sorted.apply(passes / 2)}%.2f")
+      println(f"[scanshape] c68ab fp kernel:      ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
+      report("c68 full (as declared)",
+        time(3)(graft.SparkEntry.queries("c68_winnow_pairs")(spark, dir).collect()))
+    }
+
     spark.stop()
   }
 }
