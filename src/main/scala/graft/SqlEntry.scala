@@ -241,7 +241,7 @@ object SqlEntry {
     "b1b_prefix_dedup" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |         md5(array_join(slice(split(text, ' '), 1, 4), ' ')) AS h
+        |         md5(array_join(slice(split(text, ' ', 5), 1, 4), ' ')) AS h
         |  FROM documents)
         |SELECT h, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS exemplar,
         |       listagg(CAST(doc_id AS STRING), ',')
@@ -789,7 +789,7 @@ object SqlEntry {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "c58_cross_source_overlap" ->
       """WITH hp AS (SELECT DISTINCT source,
-        |    md5(array_join(slice(split(text, ' '), 1, 4), ' ')) AS h
+        |    md5(array_join(slice(split(text, ' ', 5), 1, 4), ' ')) AS h
         |  FROM documents),
         |he AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
         |pp AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -1910,13 +1910,15 @@ object SqlEntry {
     // Spark spellings of the oracle's digit-decode///<</bit_or
     "c72_membership_gate" ->
       """WITH dk AS (SELECT doc_id, lang,
-        |        md5(CAST(array_join(slice(split(text, ' '), 1, 4), ' ') AS BINARY)) AS k
+        |        md5(CAST(array_join(slice(split(text, ' ', 5), 1, 4), ' ') AS BINARY)) AS k
         |      FROM documents WHERE text IS NOT NULL),
-        |pos AS (SELECT doc_id, md5(CAST(concat(CAST(j AS STRING), '|', k) AS BINARY)) AS h
-        |        FROM dk CROSS JOIN (SELECT explode(sequence(0, 4)) AS j)),
-        |pwm AS (SELECT doc_id,
-        |          CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % 1048576 AS p
-        |        FROM pos),
+        |hx AS (SELECT doc_id, md5(CAST(k AS BINARY)) AS h FROM dk),
+        |hh AS (SELECT doc_id,
+        |         CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS h1,
+        |         CAST(conv(substring(h, 16, 15), 16, 10) AS BIGINT) | CAST(1 AS BIGINT) AS h2
+        |       FROM hx),
+        |pwm AS (SELECT doc_id, (h1 + j * h2) % 1048576 AS p
+        |        FROM hh CROSS JOIN (SELECT explode(sequence(0, 4)) AS j)),
         |wm AS (SELECT doc_id, shiftright(p, 5) AS w,
         |              shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT)) AS m FROM pwm),
         |bits AS (SELECT w, bit_or(m) AS bits FROM wm

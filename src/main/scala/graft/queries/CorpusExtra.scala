@@ -36,7 +36,8 @@ object CorpusExtra {
           .agg(countDistinct(col("h")).as(cnt))
       }
       val prefix = pairCounts(docs.select(col("source"),
-        md5(array_join(slice(split(col("text"), " "), 1, 4), " ").cast("binary")).as("h"))
+        // limit-5 split: only the 4-token prefix is kept (b1b rule)
+        md5(array_join(slice(split(col("text"), " ", 5), 1, 4), " ").cast("binary")).as("h"))
         .distinct(), "n_shared_prefix")
       val exact = pairCounts(docs.select(col("source"),
         md5(col("text").cast("binary")).as("h")).distinct(), "n_shared_exact")
@@ -422,17 +423,21 @@ object CorpusExtra {
          |ORDER BY eu.source_a, eu.source_b""".stripMargin
     },
     "c72_membership_gate" -> {
-      // Positional hex decode of the first 15 md5 digits (60 bits,
-      // positive) — the c45/c71 technique, here for bit positions.
+      // Positional hex decode of 15 md5 digits from `from` (60 bits,
+      // positive) — the c45/c71 technique, here for the two double-
+      // hashing halves (BloomStore.positionsOf: p_j = (h1+j·(h2|1))%M).
       def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
-      val p60 = (1 to 15).map(i => s"${digit(i)} * ${1L << (4 * (15 - i))}")
+      def p60(from: Int) = (from until from + 15)
+        .map(i => s"${digit(i)} * ${1L << (4 * (from + 14 - i))}")
         .mkString("\n         + ")
       s"""WITH dk AS (SELECT doc_id, lang,
          |        md5(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')) AS k
          |      FROM documents WHERE text IS NOT NULL),
-         |pos AS (SELECT doc_id, md5(CAST(j AS VARCHAR) || '|' || k) AS h
-         |        FROM dk CROSS JOIN (SELECT unnest(range(0, 5)) AS j)),
-         |pwm AS (SELECT doc_id, CAST($p60 AS BIGINT) % 1048576 AS p FROM pos),
+         |hx AS (SELECT doc_id, md5(k) AS h FROM dk),
+         |hh AS (SELECT doc_id, CAST(${p60(1)} AS BIGINT) AS h1,
+         |              (CAST(${p60(16)} AS BIGINT) | 1) AS h2 FROM hx),
+         |pwm AS (SELECT doc_id, (h1 + j * h2) % 1048576 AS p
+         |        FROM hh CROSS JOIN (SELECT unnest(range(0, 5)) AS j)),
          |wm AS (SELECT doc_id, p // 32 AS w,
          |              (1::BIGINT << CAST(p % 32 AS INT)) AS m FROM pwm),
          |bits AS (SELECT w, bit_or(m) AS bits FROM wm

@@ -47,7 +47,9 @@ object GroupB {
     "b1b_prefix_dedup" -> ((s, dir) => {
       load(s, dir, "documents")
         .select(col("doc_id"),
-          md5(array_join(slice(split(col("text"), " "), 1, 4), " ").cast("binary")).as("h"))
+          // limit-5 split: only the 4-token prefix is kept — don't
+          // tokenize the rest of the document (MembershipStream rule)
+          md5(array_join(slice(split(col("text"), " ", 5), 1, 4), " ").cast("binary")).as("h"))
         .groupBy(col("h"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar"),
           concat_ws(",", sort_array(collect_list(col("doc_id").cast("string")))).as("doc_ids"))

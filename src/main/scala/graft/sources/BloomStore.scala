@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * carries the OR of the set bit masks in that word. Everything about
   * it is Spark-first and oracle-replayable:
   *
-  *   - the [[K]] bit positions of a key are md5-derived 60-bit integers
-  *     mod [[MBits]] (the c42/c45 discipline — any engine that can hash
-  *     can recompute them, so DuckDB replays the WHOLE filter);
+  *   - the [[K]] bit positions of a key derive from ONE md5 by double
+  *     hashing — two 60-bit hex halves h1/h2, position j =
+  *     (h1 + j·(h2|1)) mod [[MBits]] (the c42/c45 hex-decode
+  *     discipline — any engine that can hash can recompute them, so
+  *     DuckDB replays the WHOLE filter; see [[positionsOf]]);
   *   - building is one `bit_or` aggregate — OR is idempotent,
   *     commutative and duplicate-insensitive, so partials combine
   *     map-side and the shuffle carries at most min(n·K, MBits/32)
@@ -67,18 +69,30 @@ object BloomStore {
     math.max(1L, math.ceil(m / 32.0).toLong) * 32L
   }
 
-  /** The j-th bit position of a key: md5("<j>|<key>") first 15 hex
-    * digits (60 bits, positive) mod `mBits`.
+  /** The K bit positions of a key, by double hashing (Kirsch &
+    * Mitzenmacher, "Less Hashing, Same Performance", ESA 2006): ONE
+    * md5 of the key yields two independent 60-bit halves h1 (hex
+    * digits 1–15) and h2 (16–30), and position j = (h1 + j·h2') mod
+    * mBits with h2' = h2|1. The OR-1 makes the stride odd, so at the
+    * power-of-two default the K positions are pairwise DISTINCT (an
+    * even stride could fold them together and silently shrink the
+    * effective K; it also removes the h2 ≡ 0 degenerate where all
+    * positions collapse to h1). K-M prove the asymptotic FP rate
+    * matches K independent hashes, and the r13 A/B measured the
+    * md5-per-j predecessor at 5× the hash cost for the same contract.
+    * Overflow-safe: h1 + 4·h2' < 5·2^60 < 2^63. Like mBits, the
+    * position arithmetic is part of the persisted-store format —
+    * changing it orphans stored bits.
     */
-  private def position(j: Int, key: Column, mBits: Long): Column =
-    conv(substring(md5(concat(lit(s"$j|"), key).cast("binary")), 1, 15), 16, 10)
-      .cast("long") % mBits
-
-  /** The K bit positions of a key as an array column. */
   private def positionsOf(key: Column, mBits: Long): Column = {
     require(mBits > 0 && mBits % 32 == 0,
       s"mBits must be a positive multiple of the 32-bit word width: $mBits")
-    array((0 until K).map(j => position(j, key, mBits)): _*)
+    // h1/h2 repeat textually per array slot; codegen's subexpression
+    // elimination evaluates the md5 once per row.
+    val h = md5(key.cast("binary"))
+    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
+    array((0 until K).map(j => (h1 + lit(j.toLong) * h2) % mBits): _*)
   }
 
   /** w = p div 32 and the single-bit mask of a position expression,

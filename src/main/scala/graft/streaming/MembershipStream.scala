@@ -27,9 +27,15 @@ import graft.sources.BloomStore
   */
 object MembershipStream {
 
-  /** The b1b 4-token-prefix template key c72 gates on. */
+  /** The b1b 4-token-prefix template key c72 gates on. The split is
+    * LIMITED to 5 fields: only the first 4 tokens are kept, so
+    * tokenizing the other ~50 of an average document (and at real
+    * scale, thousands) into throwaway array slots is pure allocation —
+    * limit 5 leaves the remainder unsplit in the 5th slot the slice
+    * drops. First-4 semantics are identical at any token count.
+    */
   def templateKey: Column =
-    md5(array_join(slice(split(col("text"), " "), 1, 4), " ").cast("binary"))
+    md5(array_join(slice(split(col("text"), " ", 5), 1, 4), " ").cast("binary"))
 
   /** Input rows + `bloom_hit` (works identically on a batch frame —
     * the spec's model).
