@@ -331,24 +331,48 @@ object GroupB {
     }),
 
     "b12_waiting_suppliers" -> ((s, dir) => {
-      val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val late = load(s, dir, "lineitem")
-        .join(load(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+      // Q21 as ONE orderkey backbone instead of semi+anti self-joins
+      // (r13). The EXISTS/NOT-EXISTS pair is a per-order predicate:
+      // a late row survives iff its order has ≥ 2 distinct suppliers
+      // (someone else to wait ON) and exactly 1 distinct LATE supplier
+      // (this one — any other late supplier kills the anti join). Both
+      // are order-level counts, so the whole query collapses to
+      // lineitem⋈orders → per-(order,supplier) late-row counts →
+      // per-order supplier census — and because the join exchanges on
+      // orderkey, BOTH aggregates ride that same partitioning (groupBy
+      // keys containing the join key need no new exchange): 1 lineitem
+      // scan + 2 exchanges total, where the self-join spelling scanned
+      // lineitem 3× and exchanged ~6× (its `late` subplan was built
+      // twice). The oracle keeps the EXISTS spelling — the rewrite's
+      // equivalence is exactly what it pins. Same-session 10× A/B
+      // (ScaleSmoke conditions): 9.4 → 4.3 s; sf0.1 1.25 → 0.83 s.
+      // shuffle_hash, not broadcast: a broadcast orders side leaves the
+      // join output file-partitioned, so BOTH aggregates below would
+      // re-exchange (measured 7.9 s at 10×); shuffling the join on
+      // orderkey hands the aggregates their distribution for free —
+      // and is the only join shape orders admits at 100 TB anyway.
+      val flagged = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(load(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-      val lateOthers = late.select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
-      val waiting = late
-        .join(others, col("l_orderkey") === col("o2_orderkey") &&
-          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
-          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val perPair = flagged
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_rows"))
+      val waiting = perPair
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+          max(when(col("n_late_rows") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(col("n_late_rows")).as("sum_late_rows"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       waiting
         .join(load(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-          col("l_suppkey") === col("s_suppkey"))
+          col("late_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("sum_late_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),

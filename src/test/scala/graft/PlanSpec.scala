@@ -215,12 +215,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "nation must broadcast into supplier/customer")
   }
 
-  test("b12 waiting suppliers: EXISTS/NOT EXISTS run as semi/anti joins on orderkey") {
+  test("b12 waiting suppliers: one orderkey backbone — the per-order aggregates " +
+      "ride the shuffled join's partitioning, no semi/anti self-joins") {
     val p = plan("b12_waiting_suppliers")
-    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
-    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "the suppkey inequality must ride the orderkey equi-join, not a product")
+    assert(p.contains("ShuffledHashJoin"),
+      "lineitem⋈orders must shuffle on orderkey (a broadcast orders side " +
+        "strands the downstream aggregates without a useful distribution " +
+        "and cannot exist at 100 TB anyway)")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "the EXISTS/NOT-EXISTS pair is order-level arithmetic (≥2 distinct " +
+        "suppliers, exactly 1 late) — self-joins re-scan lineitem 3×")
+    // the backbone exchange feeds join + BOTH aggregates: lineitem,
+    // orders, and the final tiny s_name rollup are the only shuffles
+    assert(p.split("\\+- Exchange|:- Exchange").length - 1 <= 3,
+      "the (orderkey,suppkey) and (orderkey) aggregates must reuse the " +
+        "join's hash partitioning, not re-exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("c27 contamination: train-side n-gram postings are df-capped") {
