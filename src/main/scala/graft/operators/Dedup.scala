@@ -349,9 +349,20 @@ object Dedup {
     * own md5 — equality classes agree as long as EACH side is
     * collision-free, which the oracle gate verifies per fixture. A
     * 64-bit key stays collision-free w.h.p. to ~10⁹ distinct shingles
-    * (birthday: P ≈ n²/2⁶⁵, ~3% at n=10⁹); a corpus past that swaps the
-    * one hash expression back to a 128-bit digest — the key's width is
-    * the only thing the plan cares about.
+    * (birthday: P ≈ n²/2⁶⁵, ~3% at n=10⁹). THE 100 TB CONTRACT, stated
+    * so the approximation is a recorded decision: at ~10¹² distinct
+    * shingles the expected number of colliding key PAIRS is n²/2⁶⁵ ≈
+    * 2.7·10⁴ — ~10⁴ spurious shingle-equalities spread across 10¹²
+    * keys. A collision can only ADD to an intersection count, never
+    * remove (two genuinely-equal shingles always hash equal), so for
+    * the threshold queries riding this key (c55's ≥ 80% containment,
+    * c57's ≥ 50% boilerplate line, c27's df-capped overlap counts) the
+    * perturbation is one-sided and ≤ 10⁴/10¹² ≈ 10⁻⁸ relative — far
+    * below the integer threshold granularity; a borderline pair can
+    * only cross INTO the report, and the odds any single doc pair gains
+    * even one phantom shared shingle are ~10⁻⁸. A corpus past that
+    * tolerance swaps the one hash expression back to a 128-bit digest
+    * — the key's width is the only thing the plan cares about.
     *
     * `materialize = true` restores the r12-era shingle-table
     * localCheckpoint; OFF is the default since r13: the distinct's

@@ -425,7 +425,7 @@ object CorpusExtra {
     "c72_membership_gate" -> {
       // Positional hex decode of 15 md5 digits from `from` (60 bits,
       // positive) — the c45/c71 technique, here for the two double-
-      // hashing halves (BloomStore.positionsOf: p_j = (h1+j·(h2|1))%M).
+      // hashing halves (BloomStore.withPositions: p_j = (h1+j·(h2|1))%M).
       def digit(i: Int) = s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
       def p60(from: Int) = (from until from + 15)
         .map(i => s"${digit(i)} * ${1L << (4 * (from + 14 - i))}")

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *     hashing — two 60-bit hex halves h1/h2, position j =
   *     (h1 + j·(h2|1)) mod [[MBits]] (the c42/c45 hex-decode
   *     discipline — any engine that can hash can recompute them, so
-  *     DuckDB replays the WHOLE filter; see [[positionsOf]]);
+  *     DuckDB replays the WHOLE filter; see [[withPositions]]);
   *   - building is one `bit_or` aggregate — OR is idempotent,
   *     commutative and duplicate-insensitive, so partials combine
   *     map-side and the shuffle carries at most min(n·K, MBits/32)
@@ -51,6 +51,21 @@ object BloomStore {
   val MBits: Long = 1L << 20
   val K = 5
 
+  /** Position-arithmetic scheme tag — the SECOND half of the persisted
+    * format (the `_mbits` sidecar pins only the size). The r13 move
+    * from md5-per-j to Kirsch–Mitzenmacher double hashing changed the
+    * BIT LAYOUT of stored words; a store written under one scheme and
+    * probed under another silently returns false negatives — the one
+    * thing the Bloom contract forbids. So the scheme is versioned like
+    * the size: the first successful append pins this tag in a `_scheme`
+    * sidecar, and appends/reads against a store whose tag differs — or
+    * whose batches predate versioning, where the layout CANNOT be
+    * verified — are rejected loudly, mirroring the mismatched-mBits
+    * rejection. A pre-versioning store known to be this scheme can be
+    * adopted by writing the tag to `_scheme` by hand.
+    */
+  val Scheme = "km-md5-v2"
+
   /** Filter size for `expectedKeys` keys at `targetFp` false-positive
     * rate under the store's fixed [[K]] hashes — callers should not
     * have to invert the Bloom arithmetic by hand. Solves
@@ -82,17 +97,28 @@ object BloomStore {
     * md5-per-j predecessor at 5× the hash cost for the same contract.
     * Overflow-safe: h1 + 4·h2' < 5·2^60 < 2^63. Like mBits, the
     * position arithmetic is part of the persisted-store format —
-    * changing it orphans stored bits.
+    * changing it orphans stored bits, which is why [[Scheme]] versions
+    * it.
+    *
+    * The md5 and its two halves are materialized as real (hidden)
+    * columns in SEPARATE projections before the array is built:
+    * CollapseProject refuses to inline a non-cheap alias consumed more
+    * than once, so the one-md5-per-key cost is a property of the PLAN,
+    * not of whole-stage codegen's subexpression elimination — it holds
+    * in interpreted and fallback paths too (ADVICE r13).
     */
-  private def positionsOf(key: Column, mBits: Long): Column = {
+  private def withPositions(df: DataFrame, key: Column, mBits: Long,
+      out: String): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0,
       s"mBits must be a positive multiple of the 32-bit word width: $mBits")
-    // h1/h2 repeat textually per array slot; codegen's subexpression
-    // elimination evaluates the md5 once per row.
-    val h = md5(key.cast("binary"))
-    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
-    val h2 = conv(substring(h, 16, 15), 16, 10).cast("long").bitwiseOR(lit(1L))
-    array((0 until K).map(j => (h1 + lit(j.toLong) * h2) % mBits): _*)
+    val hc = "__bloom_h"; val h1c = "__bloom_h1"; val h2c = "__bloom_h2"
+    df.withColumn(hc, md5(key.cast("binary")))
+      .withColumn(h1c, conv(substring(col(hc), 1, 15), 16, 10).cast("long"))
+      .withColumn(h2c,
+        conv(substring(col(hc), 16, 15), 16, 10).cast("long").bitwiseOR(lit(1L)))
+      .withColumn(out, array((0 until K).map(j =>
+        (col(h1c) + lit(j.toLong) * col(h2c)) % mBits): _*))
+      .drop(hc, h1c, h2c)
   }
 
   /** w = p div 32 and the single-bit mask of a position expression,
@@ -112,8 +138,8 @@ object BloomStore {
     * aggregate. Null keys contribute nothing.
     */
   def bitsOf(rows: DataFrame, key: Column, mBits: Long = MBits): DataFrame =
-    rows.filter(key.isNotNull)
-      .select(explode(positionsOf(key, mBits)).as("p"))
+    withPositions(rows.filter(key.isNotNull), key, mBits, "__ps")
+      .select(explode(col("__ps")).as("p"))
       .select(wOf("p").as("w"), mOf("p").as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
 
@@ -125,8 +151,8 @@ object BloomStore {
     */
   def probe(rows: DataFrame, id: Column, key: Column, bits: DataFrame,
       mBits: Long = MBits): DataFrame =
-    rows.filter(key.isNotNull)
-      .select(id.as("id"), explode(positionsOf(key, mBits)).as("p"))
+    withPositions(rows.filter(key.isNotNull), key, mBits, "__ps")
+      .select(id.as("id"), explode(col("__ps")).as("p"))
       .select(col("id"), wOf("p").as("w"), mOf("p").as("m"))
       .join(bits, Seq("w"), "left")
       .groupBy(col("id"))
@@ -146,7 +172,7 @@ object BloomStore {
     */
   def probeJoined(rows: DataFrame, key: Column, bits: DataFrame,
       mBits: Long = MBits): DataFrame = {
-    val withP = rows.withColumn("__ps", positionsOf(key, mBits))
+    val withP = withPositions(rows, key, mBits, "__ps")
     val joined = (0 until K).foldLeft(withP) { (df, j) =>
       val b = bits.select(col("w").as(s"__w$j"), col("bits").as(s"__b$j"))
       df.withColumn(s"__wj$j", wOf(s"__ps[$j]"))
@@ -182,7 +208,9 @@ object BloomStore {
     // sidecar" until a valid-size retry re-pins.
     require(mBits > 0 && mBits % 32 == 0,
       s"mBits must be a positive multiple of 32, got $mBits")
+    requireScheme(path)
     pinMBits(path, mBits)
+    pinScheme(path)
     BatchDirs.append(bitsOf(rows, key, mBits), path)
   }
 
@@ -224,18 +252,64 @@ object BloomStore {
     * one is rejected rather than silently re-labelled.
     */
   private def pinMBits(path: String, mBits: Long): Unit = {
-    val f = java.nio.file.Paths.get(path, "_mbits")
     val hasBatches = BatchDirs.list(path).nonEmpty
     if (hasBatches) {
       val stored = mBitsOf(path) // MBits for a pre-sidecar store
       require(stored == mBits,
         s"store at $path was built with mBits=$stored; appending with " +
           s"mBits=$mBits would corrupt the position arithmetic")
-      if (java.nio.file.Files.exists(f)) return
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_mbits"))) return
     }
+    writeSidecar(path, "_mbits", mBits.toString)
+  }
+
+  /** The scheme tag a persisted store's words were written under, or
+    * None for a store with no `_scheme` sidecar (empty, or written
+    * before scheme versioning).
+    */
+  def schemeOf(path: String): Option[String] = {
+    val f = java.nio.file.Paths.get(path, "_scheme")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(java.nio.file.Files.readString(f).trim)
+  }
+
+  /** Reject a populated store whose position-arithmetic scheme is not
+    * the one this code computes — probing or appending across schemes
+    * manufactures silent false negatives (see [[Scheme]]). A store with
+    * no committed batches is unconstrained: whatever was pinned never
+    * produced bits, so the current scheme simply (re-)pins at append.
+    */
+  private def requireScheme(path: String): Unit =
+    if (BatchDirs.list(path).nonEmpty) schemeOf(path) match {
+      case Some(Scheme) => ()
+      case Some(other) => throw new IllegalStateException(
+        s"store at $path was written under position scheme '$other'; this " +
+          s"build computes '$Scheme' — probing or appending would return " +
+          "false negatives. Rebuild the store (or migrate it offline).")
+      case None => throw new IllegalStateException(
+        s"store at $path holds batches but predates scheme versioning — " +
+          s"its bit layout cannot be verified against '$Scheme'. Rebuild " +
+          "it, or tag a store KNOWN to be this scheme by writing the tag " +
+          "to its _scheme sidecar.")
+    }
+
+  /** Pin the scheme tag at (or after) the first successful size pin —
+    * same binding rule as [[pinMBits]]: only committed batches make it
+    * immutable; [[requireScheme]] has already vetted a populated store.
+    */
+  private def pinScheme(path: String): Unit =
+    if (schemeOf(path) != Some(Scheme)) writeSidecar(path, "_scheme", Scheme)
+
+  /** Atomic sidecar publish shared by both pins: hidden temp + ATOMIC
+    * move, so a crash mid-write leaves a stale temp, never a truncated
+    * sidecar.
+    */
+  private def writeSidecar(path: String, name: String, value: String): Unit = {
+    val f = java.nio.file.Paths.get(path, name)
     java.nio.file.Files.createDirectories(f.getParent)
-    val tmp = java.nio.file.Files.createTempFile(f.getParent, "._mbits", ".tmp")
-    java.nio.file.Files.writeString(tmp, mBits.toString)
+    val tmp = java.nio.file.Files.createTempFile(f.getParent, s".$name", ".tmp")
+    java.nio.file.Files.writeString(tmp, value)
     java.nio.file.Files.move(tmp, f,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -249,9 +323,14 @@ object BloomStore {
   private def mergeWords(raw: DataFrame): DataFrame =
     raw.groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
 
-  /** The merged filter across all batch dirs. */
-  def words(spark: SparkSession, path: String): DataFrame =
+  /** The merged filter across all batch dirs. Verifies the store's
+    * position scheme first — reading words written under a different
+    * scheme would probe as false negatives ([[Scheme]]).
+    */
+  def words(spark: SparkSession, path: String): DataFrame = {
+    requireScheme(path)
     mergeWords(spark.read.option("recursiveFileLookup", "true").parquet(path))
+  }
 
   /** Fold all batch dirs into one — safe under crashes AND concurrent
     * appends per [[BatchDirs.compact]] (enumerate once, merge exactly

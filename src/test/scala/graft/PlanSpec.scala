@@ -226,8 +226,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the EXISTS/NOT-EXISTS pair is order-level arithmetic (≥2 distinct " +
         "suppliers, exactly 1 late) — self-joins re-scan lineitem 3×")
     // the backbone exchange feeds join + BOTH aggregates: lineitem,
-    // orders, and the final tiny s_name rollup are the only shuffles
-    assert(p.split("\\+- Exchange|:- Exchange").length - 1 <= 3,
+    // orders, and the final tiny s_name rollup are the only shuffles.
+    // Counted with a regex over the raw node name, NOT split-on-prefix:
+    // split drops a trailing match and misses an Exchange rendered
+    // without a tree-branch prefix, silently weakening the upper bound.
+    assert("Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllMatchIn(p).size <= 3,
       "the (orderkey,suppkey) and (orderkey) aggregates must reuse the " +
         "join's hash partitioning, not re-exchange")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -166,6 +166,39 @@ class BloomStoreSpec extends AnyFunSuite with SparkSpec {
       "a default-size append re-pins the pre-sidecar store at MBits")
   }
 
+  test("scheme versioning: first append pins _scheme; a populated store " +
+      "under a foreign or missing tag rejects both append and words") {
+    val path = Files.createTempDirectory("bloom-scheme").toString + "/f"
+    val side = java.nio.file.Paths.get(path, "_scheme")
+    BloomStore.append(docs.filter(col("doc_id") % 2 === 0), key, path)
+    assert(BloomStore.schemeOf(path) == Some(BloomStore.Scheme),
+      "the first successful append must pin the position scheme")
+    // a store written under the r12-era md5-per-j arithmetic: same
+    // _mbits, different bit layout — the silent-false-negative case
+    Files.writeString(side, "md5j-v1")
+    intercept[IllegalStateException] { BloomStore.words(spark, path) }
+    intercept[IllegalStateException] {
+      BloomStore.append(docs.filter(col("doc_id") % 2 =!= 0), key, path)
+    }
+    // batches but NO tag (pre-versioning store): the layout cannot be
+    // verified, so it must also reject — not silently assume
+    Files.delete(side)
+    intercept[IllegalStateException] { BloomStore.words(spark, path) }
+    intercept[IllegalStateException] {
+      BloomStore.append(docs.filter(col("doc_id") % 2 =!= 0), key, path)
+    }
+    // hand-tagging a store KNOWN to be this scheme re-adopts it
+    Files.writeString(side, BloomStore.Scheme)
+    BloomStore.append(docs.filter(col("doc_id") % 2 =!= 0), key, path)
+    val probed = hits(BloomStore.probe(docs, col("doc_id"), key,
+      BloomStore.words(spark, path)))
+    assert(probed.values.forall(identity),
+      "the re-adopted store keeps the no-false-negative contract")
+    BloomStore.compact(spark, path)
+    assert(BloomStore.schemeOf(path) == Some(BloomStore.Scheme),
+      "compaction must not touch the scheme sidecar")
+  }
+
   test("append in halves equals one-shot; replay and compaction are no-ops") {
     val path = Files.createTempDirectory("bloom-store").toString + "/f"
     BloomStore.append(docs.filter(col("doc_id") % 2 === 0), key, path)
