@@ -198,7 +198,7 @@ object Bench {
     * separately from the query total (DuckDB has no comparator for
     * process fan-out); the figure of merit is files/sec.
     */
-  private def benchExec(spark: SparkSession, nFiles: Int): String = {
+  private[graft] def benchExec(spark: SparkSession, nFiles: Int): String = {
     val src = java.nio.file.Files.createTempDirectory("bench-exec-src")
     val dstRoot = java.nio.file.Files.createTempDirectory("bench-exec-dst")
     try {
@@ -225,7 +225,7 @@ object Bench {
     * figure of merit is MB/s of bytes pumped through the 3-thread
     * process I/O loop, not processes/sec.
     */
-  private def benchExecBytes(spark: SparkSession, nFiles: Int, mbEach: Int): String = {
+  private[graft] def benchExecBytes(spark: SparkSession, nFiles: Int, mbEach: Int): String = {
     val src = java.nio.file.Files.createTempDirectory("bench-execb-src")
     val dstRoot = java.nio.file.Files.createTempDirectory("bench-execb-dst")
     try {
@@ -297,6 +297,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+    // Flag-gated bucketed fact backbone (sources.Bucketed, r14):
+    // SPARK_GRAFT_BUCKETED=1 builds lineitem/orders bucketed+sorted on
+    // orderkey once (outside the timed window — the one-time write cost
+    // is stamped separately) and every query's Tables.load resolves the
+    // pair to the co-located layout. Default OFF: the official pair
+    // reads the same raw parquet DuckDB reads; this leg measures the
+    // standing 100 TB layout rule (bench_scale.json).
+    val bucketed = graft.sources.Bucketed.enabled(spark)
+    val bucketBuildSec = if (bucketed) {
+      spark.conf.set(graft.sources.Bucketed.FlagConf, "true")
+      val s = graft.sources.Bucketed.ensureBackbone(spark, sfDir)
+      System.err.println(f"[bench] bucketed backbone built in $s%.2f s")
+      s
+    } else 0.0
 
     // Contention guard (r4/r5 verdicts: two rounds of artifacts captured
     // at loadavg > 1 made the perf evidence untrustworthy). If the box
@@ -430,6 +445,7 @@ object Bench {
       load0, extFrac)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""aqe":$aqe,"shuffle_partitions":$shuffle,""" +
+      s""""bucketed":$bucketed,"bucket_build_sec":${fmt(bucketBuildSec, 2)},""" +
       s""""passes":$passes,"pass_times":$raw,"loadavg_start":"$load0",""" +
       s""""loadavg_end":"$load1","loadavg_at_launch":"$loadAtLaunch",""" +
       s""""load_waited_sec":$loadWaited,"load_warning":$loadWarningOut,""" +

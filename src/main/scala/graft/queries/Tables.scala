@@ -37,6 +37,18 @@ object Tables {
   def invalidate(): Unit = loaded.synchronized(loaded.clear())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Flag-gated bucketed fact backbone (sources.Bucketed, r14): when
+    // the layout is enabled AND built for this dir, lineitem/orders
+    // resolve to their orderkey-bucketed catalog tables — every
+    // orderkey join downstream reads co-located buckets with no
+    // Exchange, no query spelling changes. Same rows, same schema;
+    // default OFF so the oracle-paired runs read the identical raw
+    // parquet. Not memoized: spark.table is a catalog lookup, and the
+    // flag may be toggled per-run within one session (A/B legs).
+    if (graft.sources.Bucketed.enabled(spark)) {
+      val bt = graft.sources.Bucketed.backboneTable(spark, dir, name)
+      if (bt.isDefined) return bt.get
+    }
     val perSession = loaded.synchronized {
       var m = loaded.get(spark)
       if (m == null) {

@@ -43,4 +43,77 @@ object Bucketed {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** The standing fact-backbone LAYOUT RULE (r14, from the r13 A/B —
+    * ScanShapeAb `bucketab`: b9 1.98 → 0.85 s, b12 3.10 → 1.82 s on the
+    * same 10× rows): every repeatedly-joined fact table ships bucketed
+    * and bucket-sorted on its dominant join key. For the TPC-H-shaped
+    * star that is the lineitem/orders pair on orderkey — the one
+    * fact-to-fact edge every order-level query crosses. The write
+    * shuffle is paid once and repays after ~3 queries (PERF.md r13).
+    */
+  val Backbone: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey")
+
+  /** Session conf that turns the backbone layout on for
+    * [[graft.queries.Tables.load]] (also settable via the
+    * `SPARK_GRAFT_BUCKETED=1` environment for forked harness JVMs).
+    * Default OFF: the official bench pair reads the same raw parquet
+    * DuckDB reads — the bucketed leg is measured separately
+    * (bench_scale.json) because it changes the STORAGE layout, not the
+    * plan over equal inputs.
+    */
+  val FlagConf = "spark.graft.bucketedBackbone"
+
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(FlagConf).map(_.toBoolean)
+      .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")
+        .map(v => v == "1" || v.equalsIgnoreCase("true")))
+      .getOrElse(false)
+
+  /** Catalog name of a backbone table for (dir, name): deterministic per
+    * source dir so a session reuses a layout it already built. (The
+    * in-memory catalog scopes the name to the session; the files live
+    * under the warehouse dir.)
+    */
+  def tableName(dir: String, name: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("_+", "_").stripPrefix("_").takeRight(40)
+    s"graft_bkt_${name}_$slug"
+  }
+
+  /** Build the backbone layout for a source dir — idempotent per
+    * session (skips tables already in the catalog). `buckets = 0`
+    * derives the count from the session shuffle partitions: at
+    * local[32] that is one bucket per core; at 100 TB size it so one
+    * bucket of lineitem fits an executor (~8192 for 12 GB buckets).
+    * Returns the seconds spent writing (0.0 when everything existed) so
+    * harness legs can report the one-time cost next to the per-query
+    * wins it buys.
+    */
+  def ensureBackbone(spark: SparkSession, dir: String, buckets: Int = 0): Double = {
+    val b = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t0 = System.nanoTime()
+    var wrote = false
+    Backbone.foreach { case (name, key) =>
+      val t = tableName(dir, name)
+      if (!spark.catalog.tableExists(t)) {
+        wrote = true
+        writeBucketed(graft.queries.Tables.load(spark, dir, name), t, key, b)
+      }
+    }
+    if (wrote) (System.nanoTime() - t0) / 1e9 else 0.0
+  }
+
+  /** The bucketed backbone table for (dir, name) if the layout has been
+    * built this session, else None (callers fall back to raw parquet).
+    */
+  def backboneTable(spark: SparkSession, dir: String,
+      name: String): Option[DataFrame] =
+    Backbone.get(name).collect {
+      case _ if spark.catalog.tableExists(tableName(dir, name)) =>
+        spark.table(tableName(dir, name))
+    }
 }

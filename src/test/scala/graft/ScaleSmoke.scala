@@ -197,6 +197,37 @@ object ScaleSmoke {
     report(s"c31_semdedup (8~$cellsN)", s1, s10)
     }
 
+    // Bucketed fact-backbone leg (r14 — the shipped layout rule,
+    // sources.Bucketed): pay the orderkey write shuffle once at the
+    // scaled size, then re-run the fact-join cohort with Tables.load
+    // resolving lineitem/orders to the co-located layout. The numbers
+    // to read against the raw x10 column above: the delta is what every
+    // repeatedly-joined 100 TB corpus buys by shipping bucketed.
+    if (only.forall(_.exists(p => "bucketed".startsWith(p)))) {
+      import graft.sources.Bucketed
+      val cohort = Seq("b9_local_supplier_volume", "b12_waiting_suppliers",
+        "b13_part_top_supplier", "b5_top_revenue", "b11_nation_volume")
+      setShuffle(dst)
+      val wSec = Bucketed.ensureBackbone(spark, dst)
+      println(f"[scale] bucketed: backbone write (once) $wSec%6.2fs")
+      spark.conf.set(Bucketed.FlagConf, "true")
+      try for (q <- cohort) {
+        val fn = SparkEntry.queries(q)
+        fn(spark, dst).collect()
+        val tb = bestOf(2)(fn(spark, dst).collect())
+        println(f"[scale] $q%-24s x10 bucketed=$tb%7.2fs")
+      } finally spark.conf.unset(Bucketed.FlagConf)
+    }
+
+    // Exec-operator leg (r14, verdict item 9): the reference's core
+    // operator gets a standing throughput number in every smoke log —
+    // 10k × 1 KB files through `cat` (files/s) and 32 × 64 MiB through
+    // `cat` (MB/s) — so query-surface work can't silently regress it.
+    if (only.forall(_.exists(p => "exec".startsWith(p)))) {
+      println(s"[scale] exec leg: ${Bench.benchExec(spark, 10000)}")
+      println(s"[scale] exec bytes leg: ${Bench.benchExecBytes(spark, 32, 64)}")
+    }
+
     if (results.nonEmpty) {
       val sorted = results.sortBy(-_._4)
       println(f"[scale] worst ratio: ${sorted.head._1} at ${sorted.head._4}%.1f")
