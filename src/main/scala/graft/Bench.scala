@@ -277,7 +277,16 @@ object Bench {
       case "auto" => (Tuning.dirBytes(sfDir) >= (64L << 20)).toString
       case v      => v
     }
-    val spark = SparkSession.builder()
+    // Generic conf passthrough for A/B sweeps (r14): SPARK_GRAFT_CONF=
+    // "key=value;key2=value2" lands verbatim in the builder, so a
+    // trio-targeted reader/codegen knob can be measured without a code
+    // change. Unset (the driver's invocation) adds nothing.
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); (k, v)
+        }).getOrElse(Seq.empty)
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
@@ -293,7 +302,10 @@ object Bench {
       // long-lived production cluster would size this to its workload
       // for exactly the same reason.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .getOrCreate()
+    // extraConf LAST so a sweep knob can override any default above
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -446,6 +458,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""aqe":$aqe,"shuffle_partitions":$shuffle,""" +
       s""""bucketed":$bucketed,"bucket_build_sec":${fmt(bucketBuildSec, 2)},""" +
+      s""""extra_conf":"${sys.env.getOrElse("SPARK_GRAFT_CONF", "")}",""" +
       s""""passes":$passes,"pass_times":$raw,"loadavg_start":"$load0",""" +
       s""""loadavg_end":"$load1","loadavg_at_launch":"$loadAtLaunch",""" +
       s""""load_waited_sec":$loadWaited,"load_warning":$loadWarningOut,""" +

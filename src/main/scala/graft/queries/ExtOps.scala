@@ -245,6 +245,14 @@ object ExtOps {
       // parallelizer on the input that needs it most. Row groups are
       // what both engines actually parallelize across; the footer
       // read is O(files) metadata I/O Spark's planner does anyway.
+      // r14 note (verdict item 7, A/B'd and REJECTED): pinning AQE off
+      // around the internal passes — motivated by r13's "c70 is the one
+      // AQE loser" — was measured on the current shapes at 10× and LOST
+      // (base/AQE-on 5.87 s vs whole-session AQE-off 7.33; the pinned
+      // hybrid read 5.87 — no better than no pin). The r13 AQE-off win
+      // predated the size-derived AQE default and the 32g heap; on
+      // today's shapes AQE-on wins c70 outright, so no pin ships
+      // (ab14_trio_* artifacts, PERF.md r14).
       val dist =
         if (Tuning.rowGroupCount(s"$dir/lineitem.parquet") >= 8L) vals
         else vals.repartition(col("flag"), col("v")).localCheckpoint(true)
@@ -620,27 +628,33 @@ object ExtOps {
       // counts), so the oracle's own md5 key yields the same equality
       // classes; collision contract in Dedup.shingleContainment's
       // scaladoc.
-      // The corpus-wide distinct stays ON PURPOSE (late-r13 A/B): it is
-      // the shared materialization point its THREE consumers (eval side,
-      // train df census, train postings) reuse via ReusedExchange — the
-      // c55-style array_distinct-in-row spelling removes the exchange
-      // but re-runs the text scan + 8-gram explode per consumer
-      // (measured a wash at 10×, 2.74 vs 2.86 s; at 100 TB three scans
-      // of the widest column lose to one exchange — the c31 lesson).
-      // NOT checkpointed (r13, measured): the consumers share the
-      // distinct's shuffle via ReusedExchange — the 8-gram scan and the
-      // dedup exchange run ONCE per action with or without
-      // materialization; the r12-era localCheckpoint paid an eager
-      // full-row cache write for work Spark never repeated (ScanShapeAb
-      // ckptab at 10×: 4.43 s checkpoint vs 3.79 reuse — the c70
-      // full-row-cache-vs-pruned-work trap).
+      // The late-r13 A/B kept the corpus-wide distinct as the shared
+      // materialization point because its consumers could only share it
+      // via ReusedExchange; the r14 shape below supersedes that trade:
+      // the ONE corpus scan feeds ONE explicit g-keyed exchange all
+      // consumers ride (no re-scan per consumer — the c31 lesson holds),
+      // and the dedup no longer needs an exchange at all. Still NOT
+      // checkpointed (r13, measured): a localCheckpoint pays an eager
+      // full-row cache write for work Spark never repeats (ScanShapeAb
+      // ckptab, the c70 full-row-cache-vs-pruned-work trap).
+      // r14 (the c57 riding discipline): (doc,g) dedup happens IN-ROW —
+      // hash the n-gram array to longs and array_distinct inside the
+      // scan projection (a doc's duplicate grams only live in its own
+      // row; same intra-doc collision contract as c55) — then ONE
+      // repartition by g serves every gram-keyed stage: the filters
+      // preserve the partitioning, and the df census + postings join +
+      // contamination join all ride it, where the r13 shape paid a
+      // corpus-wide (doc,lang,g) dedup exchange + post-shuffle dedup
+      // hash tables + a re-exchange by g. 10× clean pair (ab14*
+      // artifacts): 3.21 s (r13) → 1.45 = 1.4× the DuckDB min, from
+      // 3.1×.
       val ng = d.select(col("doc_id"), col("lang"),
-          explode(org.apache.spark.sql.GraftBridge.column(
-            graft.functions.TokenNgrams(
+          explode(array_distinct(transform(
+            org.apache.spark.sql.GraftBridge.column(graft.functions.TokenNgrams(
               org.apache.spark.sql.GraftBridge.expression(col("text")),
-              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
-        .select(col("doc_id"), col("lang"), xxhash64(col("g0")).as("g"))
-        .distinct()
+              n = 8, maxStarts = Int.MaxValue, skipEmpty = true)),
+            x => xxhash64(x)))).as("g"))
+        .repartition(col("g"))
       val evalN = ng.filter(col("doc_id") % 97 === 0)
       val trainN0 = ng.filter(col("doc_id") % 97 =!= 0)
       val trainN = trainN0.join(
@@ -1360,28 +1374,59 @@ object ExtOps {
     // equality key — every output is a count, so the oracle's own md5
     // key yields the same equality classes; collision contract in
     // Dedup.shingleContainment's scaladoc); each doc's n-grams join
-    // exactly one df row — nothing quadratic, no cap needed. NOT
-    // checkpointed since r13: the two consumers (df table, per-doc
-    // join) share the distinct's shuffle via ReusedExchange — at
-    // 10×/AQE-on the md5+checkpoint shape measured 5.56 s vs 3.33 for
-    // this one (ScanShapeAb hashab).
+    // exactly one df row — nothing quadratic, no cap needed. Never
+    // checkpointed (r13 measured the md5+checkpoint shape at 5.56 s vs
+    // 3.33 for exchange reuse at 10×/AQE-on, ScanShapeAb hashab; the
+    // r14 riding shape below replaces the reused dedup exchange with
+    // one explicit g-keyed exchange).
     "c57_dup_ngram_fraction" -> ((s, dir) => {
-      // The corpus distinct stays (the c27 reasoning: it is the shared
-      // materialization point for the df census and the per-doc join —
-      // removing it re-scans the text column per consumer).
-      val ng = load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(org.apache.spark.sql.GraftBridge.column(
-            graft.functions.TokenNgrams(
-              org.apache.spark.sql.GraftBridge.expression(col("text")),
-              n = 8, maxStarts = Int.MaxValue, skipEmpty = true))).as("g0"))
-        .select(col("doc_id"), col("lang"), xxhash64(col("g0")).as("g"))
-        .distinct()
-      val dfTab = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val perDoc = ng.join(dfTab, "g")
-        .groupBy(col("lang"), col("doc_id"))
-        .agg(count(lit(1)).as("n_ng"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      // Two-scan shape (r14, A/B'd in ScanShapeAb c57two vs the r13
+      // df-join shape and an intermediate riding shape — PERF.md r14):
+      // (doc, g) dedup happens IN-ROW (array_distinct over the hashed
+      // n-gram array — a doc's duplicate grams only live in its own
+      // row, so this IS the per-doc distinct; same intra-doc
+      // 64-bit-collision contract as c55, Dedup.shingleContainment
+      // scaladoc). The decomposition n_dup = n_ng − n_uniq then removes
+      // BOTH posting-sized stages the df-join spelling paid: n_ng comes
+      // straight off the scan (one row per doc), and n_uniq rides the
+      // single g-keyed exchange's census (df==1 grams ARE the unique
+      // ones, and each carries its one posting's doc_id through min()),
+      // so after the exchange nothing posting-sized moves again —
+      // the old shape re-exchanged all joined postings by (lang, doc).
+      // Trade: the TokenNgrams kernel runs twice (two scans); measured
+      // cheaper than the 30M-row per-doc exchange it buys away.
+      // 10× clean-pair ladder (ab14* artifacts): r13 df-join 3.37 s →
+      // riding+post-shuffle-dedup 3.96 (worse — the dedup tables cost
+      // more than the saved exchange) → in-row dedup + df join 2.33 →
+      // this two-scan shape 1.64 s = 2.0× the DuckDB min, from 4.1×.
+      def hashes = array_distinct(transform(
+        org.apache.spark.sql.GraftBridge.column(graft.functions.TokenNgrams(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          n = 8, maxStarts = Int.MaxValue, skipEmpty = true)),
+        x => xxhash64(x)))
+      val d = load(s, dir, "documents")
+      // scan 1: one row per doc, n_ng in-row — NO shuffle touches it.
+      // n_ng = 0 docs are excluded exactly as the posting formulation
+      // excluded them (they contribute no rows there either).
+      val docLevel = d.select(col("lang"), col("doc_id"),
+          size(hashes).cast("long").as("n_ng"))
+        .filter(col("n_ng") > 0)
+      // scan 2: the postings, one g-keyed exchange; the df census rides
+      // it, and df==1 grams carry their single posting's doc through
+      // min() — so n_uniq (grams belonging to ONLY this doc) comes out
+      // of the census with no posting-sized re-exchange. n_dup is then
+      // n_ng − n_uniq, and the per-doc join moves |docs| rows, not
+      // |postings|. (Keyed on doc_id alone — unique per doc — so a
+      // NULL lang can never drop a join row; lang rides docLevel.)
+      val ng = d.select(col("doc_id"), explode(hashes).as("g"))
+        .repartition(col("g"))
+      val uniq = ng.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+      val perDoc = docLevel.join(uniq, Seq("doc_id"), "left")
+        .select(col("lang"), col("doc_id"), col("n_ng"),
+          (col("n_ng") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
       perDoc.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_ng")).as("sum_ngrams"), sum(col("n_dup")).as("sum_dup"),

@@ -48,6 +48,16 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
                                     // 1.9–2.5 — the band guards this
                                     // measurement, not that one
     "c55_containment" -> 10.0, // cal 2.6–3.2 — df-capped postings self-join
+    // r14 additions (verdict item 6): the committed r13 smoke read d32
+    // at 5.9 IN-SUITE but 1.0–2.1 isolated — jitter this size belongs
+    // in an asserted band, not an eyeballed log. b12 joins with its r13
+    // orderkey-backbone rewrite (aggregates riding the join exchange).
+    "b12_waiting_suppliers" -> 10.0, // cal 1.0 (r14, this session) —
+                                     // one lineitem⋈orders backbone,
+                                     // both aggs ride its partitioning
+    "d32_ols_trend" -> 10.0, // cal 1.1 (r14, this session; the r13 smoke's
+                             // in-suite 5.9 was suite jitter) — two
+                             // key-bounded shuffles, 5 exact sums
     // cal ~1 at this size: digest partials, the value-bucket histogram
     // and the slice probe all parallelize across the replica's file
     // splits; the r9 rewrite removed the per-flag full sort entirely

@@ -225,6 +225,98 @@ object ScanShapeAb {
     }
     if (want("d22u5")) report("d22 5-way union, no stack",
       time(3)(d22u5().collect()))
+    // candidate C (r14, verdict item 2): only the DISTINCT counts ride
+    // the stacked 5N-row path — n/min/max for all 5 columns come from
+    // ONE stack-free flat aggregate over the raw scan (15 agg exprs,
+    // zero shuffle mass), and the histogram's level-1 becomes a pure
+    // dedup with no per-value count buffer. If this washes vs the
+    // shipped d22int, the residual IS the 5N-row hash-dedup itself
+    // (the per-row JVM agg path), not the riders it carries.
+    // (A/B only: an all-null column would lose its row here — the
+    // shipped shape keeps it via the histogram's null row.)
+    def d22flat(): DataFrame = {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity")
+      val li = load(spark, dir, "lineitem")
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(col(c)).as(s"n$i"),
+        min(col(c).cast("double")).as(s"lo$i"),
+        max(col(c).cast("double")).as(s"hi$i")) }
+      val flat = li.agg(aggs.head, aggs.tail: _*)
+      def pick(p: String) = array((0 until 5).map(i => col(s"$p$i")): _*)
+      li.selectExpr(
+          """stack(5,
+            | 0, CAST(l_orderkey AS DOUBLE),
+            | 1, CAST(l_partkey AS DOUBLE),
+            | 2, CAST(l_suppkey AS DOUBLE),
+            | 3, CAST(l_linenumber AS DOUBLE),
+            | 4, CAST(l_quantity AS DOUBLE)) AS (cid, v)""".stripMargin)
+        .where(col("v").isNotNull)
+        .distinct()
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_distinct"))
+        .crossJoin(broadcast(flat))
+        .select(element_at(array(cols.map(lit): _*), col("cid") + 1).as("col_name"),
+          element_at(pick("n"), col("cid") + 1).as("n"), col("n_distinct"),
+          element_at(pick("lo"), col("cid") + 1).as("vmin"),
+          element_at(pick("hi"), col("cid") + 1).as("vmax"))
+        .orderBy(col("col_name"))
+    }
+    if (want("d22flat")) report("d22 flat riders + dedup-only hist",
+      time(3)(d22flat().collect()))
+
+    // ---- c57 two-scan variant (r14, verdict item 5 follow-up): the
+    // shipped r14 shape still exchanges the 30M joined postings by
+    // (lang, doc) for the per-doc fraction. This leg computes n_ng
+    // per doc IN-ROW on a second scan (size(array_distinct(...)) — one
+    // row per doc, no shuffle) and n_dup as n_ng − n_uniq, where
+    // n_uniq rides the gram exchange (df==1 grams carry their single
+    // posting's (doc, lang) through the census via min()). Trade: a
+    // second text scan + kernel pass buys away the 30M-row per-doc
+    // exchange.
+    if (want("c57two") || want("c57ship")) {
+      import org.apache.spark.sql.GraftBridge
+      def hashes = array_distinct(transform(
+        GraftBridge.column(graft.functions.TokenNgrams(
+          GraftBridge.expression(col("text")),
+          n = 8, maxStarts = Int.MaxValue, skipEmpty = true)),
+        x => xxhash64(x)))
+      def c57two(): DataFrame = {
+        val d = load(spark, dir, "documents")
+        val docLevel = d.select(col("lang"), col("doc_id"),
+            size(hashes).as("n_ng"))
+          .filter(col("n_ng") > 0)
+        val ng = d.select(col("doc_id"), col("lang"),
+            explode(hashes).as("g"))
+          .repartition(col("g"))
+        val uniq = ng.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"),
+            min(col("lang")).as("l0"))
+          .filter(col("df") === 1)
+          .groupBy(col("l0").as("lang"), col("d0").as("doc_id"))
+          .agg(count(lit(1)).as("n_uniq"))
+        val perDoc = docLevel.join(uniq, Seq("lang", "doc_id"), "left")
+          .select(col("lang"), col("doc_id"), col("n_ng"),
+            (col("n_ng") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ng")).as("sum_ngrams"), sum(col("n_dup")).as("sum_dup"),
+            expr("CAST(CAST(sum(n_dup) AS DECIMAL(38,0)) * 1000" +
+              " div sum(n_ng) AS BIGINT)").as("dup_fraction_x1000"),
+            sum(when(col("n_dup") * 2 >= col("n_ng"), 1L).otherwise(0L))
+              .as("n_boilerplate_docs"))
+          .orderBy(col("lang"))
+      }
+      if (want("c57ship")) report("c57 shipped (riding shape)",
+        time(3)(graft.SparkEntry.queries("c57_dup_ngram_fraction")(spark, dir).collect()))
+      if (want("c57two")) {
+        // equivalence first (cheap at any size): same rows as shipped
+        val a = c57two().collect().map(_.toString).toSeq
+        val b = graft.SparkEntry.queries("c57_dup_ngram_fraction")(spark, dir)
+          .collect().map(_.toString).toSeq
+        require(a == b, s"c57two diverged from shipped:\n$a\nvs\n$b")
+        report("c57 two-scan (no perDoc exch)", time(3)(c57two().collect()))
+      }
+    }
 
     // ---- b9/b10 decomposition + the Bucketed structural lever (r13,
     // verdict item 3): the fact-join cohort's 10× residual (b9 1.73 vs
