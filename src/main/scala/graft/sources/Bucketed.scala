@@ -29,7 +29,15 @@ object Bucketed {
       table: String,
       key: String,
       buckets: Int): Unit =
-    df.write
+    // ONE file per bucket: without the repartition, every input
+    // partition writes its own file into each bucket, and a multi-file
+    // bucket loses its sortBy guarantee on read — Spark then re-Sorts
+    // both sides of the "co-located" SortMergeJoin, silently refunding
+    // half the layout's win. Repartitioning by the bucket hash first
+    // makes writer task = bucket, so reads keep both the partitioning
+    // AND the in-bucket order (BucketedSpec asserts no Sort).
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
@@ -101,6 +109,17 @@ object Bucketed {
       val t = tableName(dir, name)
       if (!spark.catalog.tableExists(t)) {
         wrote = true
+        // A previous SESSION's layout can leave files under the
+        // warehouse with no catalog entry (the in-memory catalog dies
+        // with its session) and saveAsTable refuses to adopt an
+        // existing location — clear it first: the layout is a
+        // rebuildable derived cache, never a source of truth.
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))),
+          t.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         writeBucketed(graft.queries.Tables.load(spark, dir, name), t, key, b)
       }
     }

@@ -30,6 +30,9 @@ class BucketedSpec extends AnyFunSuite with SparkSpec {
         assert(planStr.contains("SortMergeJoin"))
         assert(!planStr.contains("Exchange"),
           s"bucketed join must not shuffle either side:\n$planStr")
+        assert(!planStr.contains("Sort "),
+          s"one-file-per-bucket sortBy must survive the read — a Sort " +
+            s"here means multi-file buckets lost the order:\n$planStr")
         // and it still computes the right thing
         val n = joined.count()
         assert(n == Tables.load(spark, dir, "lineitem").count(),
