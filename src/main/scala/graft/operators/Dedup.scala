@@ -388,24 +388,56 @@ object Dedup {
     // scans — measured a wash and KEEP their corpus distinct. Same
     // xxhash64 collision contract as below: string dedup vs hash dedup
     // diverge only on an intra-doc 64-bit collision.
-    val sh1 = docs
+    // r14 shape (ScanShapeAb c55v4, row-identity require()d before
+    // timing): the r13 spelling referenced the df-join subtree three
+    // times (sizes + both self-join sides) and — the real waste — sent
+    // every df=1 posting (the overwhelming majority) through BOTH sides
+    // of the pair join only to produce da==db rows the filter discards.
+    // Here the pair machinery runs ONLY on postings whose shingle has
+    // df in [2, cap]: census, the shared-keys semi join and both
+    // self-join sides all ride ONE sh-keyed exchange (every operator's
+    // required distribution is hashpartitioning(sh) — ReusedExchange
+    // collapses them), so what crosses the wire twice is the genuinely
+    // SHARED posting set, not the corpus. Sizes leave the posting path
+    // entirely (the c57 decomposition discipline): size_a = the in-row
+    // distinct-shingle count (a second TokenNgrams scan over the pruned
+    // text column — measured cheaper than a posting-mass groupBy) minus
+    // the doc's few df>cap postings, which fall out of the same census.
+    // 10× A/B (AQE-off, same session): shipped-r13 3.68–8.74 s across
+    // runs vs 1.73 s for this shape; the collect_list-array variant of
+    // the same idea read 2.97 s (ObjectHashAggregate tax) and the
+    // self-pair-sizes variant 6.28 s (df=1 self-pairs through the pair
+    // exchange) — both rejected, spellings preserved in ScanShapeAb.
+    val sh1x = docs
       .select(col("doc_id"),
         explode(array_distinct(org.apache.spark.sql.GraftBridge.column(
           graft.functions.TokenNgrams(
             org.apache.spark.sql.GraftBridge.expression(col("text")),
             n = 4, maxStarts = Int.MaxValue, skipEmpty = true)))).as("g0"))
       .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
-    val sh0 = if (materialize) sh1.localCheckpoint(true) else sh1
-    val sh = sh0.join(
-      sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ShingleDfCap).select(col("sh")),
-      "sh")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("da"), col("sh"))
-    val b = sh.select(col("doc_id").as("db"), col("sh"))
-    a.join(b, "sh").filter(col("da") =!= col("db"))
+    val sh1 = if (materialize) sh1x.localCheckpoint(true) else sh1x
+    val census = sh1.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val shared = census
+      .filter(col("df") >= 2 && col("df") <= ShingleDfCap)
+      .select(col("sh"))
+    val p2 = sh1.join(shared, "sh")
+    val pairs = p2.select(col("doc_id").as("da"), col("sh"))
+      .join(p2.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") =!= col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+    val docLevel = docs.select(col("doc_id"),
+      size(array_distinct(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.TokenNgrams(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          n = 4, maxStarts = Int.MaxValue, skipEmpty = true))))
+        .cast("long").as("n_sh"))
+    val capCnt = sh1.join(
+        census.filter(col("df") > ShingleDfCap).select(col("sh")), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cap"))
+    val sizes = docLevel.join(capCnt, Seq("doc_id"), "left")
+      .select(col("doc_id").as("da"),
+        (col("n_sh") - coalesce(col("n_cap"), lit(0L))).as("size_a"))
+    pairs.join(sizes, "da")
       .filter(col("inter") * 1000 >= lit(tauX1000.toLong) * col("size_a"))
       .select(col("da"), col("db"), col("inter"), col("size_a"),
         expr("inter * 1000 div size_a").as("containment_x1000"))

@@ -924,6 +924,225 @@ object ScanShapeAb {
       println(f"[scanshape] c55ab array_distinct: ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
     }
 
+    // ---- c55 legs (r14): kill the triple-executed df-join subtree ----
+    // The shipped shape references the df-join subtree THREE times
+    // (sizes + both self-join sides): the exchanges reuse, but the join
+    // CPU runs 3x and the posting set streams through it each time. Two
+    // candidate shapes, both proven row-identical before timing:
+    //  self — keep the join, drop the da=!=db filter so (d,d) rows carry
+    //         size_d through the SAME (da,db) aggregate; sizes becomes a
+    //         filter over the pair table instead of a third subtree
+    //         execution (cost: Σdf extra join-output rows, map-side
+    //         combined to ~|docs| per partition).
+    //  grp  — aggregate postings into per-shingle doc arrays (the df cap
+    //         becomes size(ds) <= cap — no census join at all) and
+    //         expand every ordered (da,db) pair in-row, self-pairs
+    //         included: ZERO posting-sized joins; the posting set
+    //         crosses the wire exactly once.
+    if (want("c55r14")) {
+      import org.apache.spark.sql.GraftBridge
+      val docs = load(spark, dir, "documents")
+      def grams = GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = 4, maxStarts = Int.MaxValue, skipEmpty = true))
+      def sh1 = docs.select(col("doc_id"),
+          explode(array_distinct(grams)).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+      // shared tail: sizes ride the pair table's (d,d) rows
+      def finish(pairs: DataFrame): DataFrame = {
+        val sizes = pairs.filter(col("da") === col("db"))
+          .select(col("da"), col("inter").as("size_a"))
+        pairs.filter(col("da") =!= col("db"))
+          .join(sizes, "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50)
+      }
+      def selfShape: DataFrame = {
+        val s0 = sh1
+        val sh = s0.join(
+          s0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= Dedup.ShingleDfCap).select(col("sh")),
+          "sh")
+        val a = sh.select(col("doc_id").as("da"), col("sh"))
+        val b = sh.select(col("doc_id").as("db"), col("sh"))
+        finish(a.join(b, "sh")
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter")))
+      }
+      def grpShape: DataFrame = {
+        val grp = sh1.groupBy(col("sh"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= Dedup.ShingleDfCap)
+        finish(grp
+          .select(explode(col("ds")).as("da"), col("ds"))
+          .select(col("da"), explode(col("ds")).as("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter")))
+      }
+      val shipped = Dedup.shingleContainment(docs, 800, 50)
+        .collect().map(_.toString).toSeq
+      val aSelf = selfShape.collect().map(_.toString).toSeq
+      val aGrp = grpShape.collect().map(_.toString).toSeq
+      require(aSelf == shipped, "c55 self-pair shape diverged from shipped")
+      require(aGrp == shipped, "c55 grouped-expand shape diverged from shipped")
+      report("c55 shipped", time(3)(
+        Dedup.shingleContainment(docs, 800, 50).collect()))
+      report("c55 self-pair sizes", time(3)(selfShape.collect()))
+      report("c55 grouped expand", time(3)(grpShape.collect()))
+    }
+
+    // ---- c55 v4 (r14): slash the pair work to the SHARED postings ----
+    // Measured above: self-pair routing and whole-corpus collect_list
+    // both lose to the shipped shape. The actual waste in ALL of them:
+    // df=1 shingles (the overwhelming majority) ride both sides of the
+    // pair machinery only to produce da==db rows the filter discards.
+    // v4: (a) sizes leave the posting path entirely — size_a =
+    // in-row distinct-shingle count (c57's n_ng trick, second kernel
+    // scan) minus a tiny capped-shingle correction; (b) pair work runs
+    // only on postings whose shingle has df in [2, cap] — everything
+    // (census, the shared-keys join, the per-shingle doc arrays) rides
+    // ONE sh-keyed exchange, and the expansion input is the genuinely
+    // shared posting set, not the corpus.
+    if (want("c55v4")) {
+      import org.apache.spark.sql.GraftBridge
+      val docs = load(spark, dir, "documents")
+      def grams = GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = 4, maxStarts = Int.MaxValue, skipEmpty = true))
+      def v4(viaArrays: Boolean): DataFrame = {
+        val sh1 = docs.select(col("doc_id"),
+            explode(array_distinct(grams)).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+        val census = sh1.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val shared = census
+          .filter(col("df") >= 2 && col("df") <= Dedup.ShingleDfCap)
+          .select(col("sh"))
+        val p2 = sh1.join(shared, "sh")
+        val rawPairs =
+          if (viaArrays) {
+            // p2 is already hashpartitioned by sh: the array agg and
+            // the expansion add NO exchange and p2 executes once.
+            p2.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
+              .select(explode(col("ds")).as("da"), col("ds"))
+              .select(col("da"), explode(col("ds")).as("db"))
+              .filter(col("da") =!= col("db"))
+          } else {
+            p2.select(col("doc_id").as("da"), col("sh"))
+              .join(p2.select(col("doc_id").as("db"), col("sh")), "sh")
+              .filter(col("da") =!= col("db"))
+          }
+        val pairs = rawPairs.groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("inter"))
+        // sizes: in-row distinct count minus the capped-shingle postings
+        val docLevel = docs.select(col("doc_id"),
+          size(array_distinct(grams)).cast("long").as("n_sh"))
+        val capCnt = sh1.join(
+            census.filter(col("df") > Dedup.ShingleDfCap).select(col("sh")),
+            "sh")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cap"))
+        val sizes = docLevel.join(capCnt, Seq("doc_id"), "left")
+          .select(col("doc_id").as("da"),
+            (col("n_sh") - coalesce(col("n_cap"), lit(0L))).as("size_a"))
+        pairs.join(sizes, "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50)
+      }
+      // the r13 shape, inline (Dedup.shingleContainment ships v4 now)
+      def r13Shape: DataFrame = {
+        val sh1 = docs.select(col("doc_id"),
+            explode(array_distinct(grams)).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+        val sh = sh1.join(
+          sh1.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= Dedup.ShingleDfCap).select(col("sh")),
+          "sh")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("da"), col("sh"))
+        val b = sh.select(col("doc_id").as("db"), col("sh"))
+        a.join(b, "sh").filter(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50)
+      }
+      val shipped = Dedup.shingleContainment(docs, 800, 50)
+        .collect().map(_.toString).toSeq
+      val vArr = v4(viaArrays = true).collect().map(_.toString).toSeq
+      val vJoin = v4(viaArrays = false).collect().map(_.toString).toSeq
+      val vR13 = r13Shape.collect().map(_.toString).toSeq
+      require(vArr == shipped, "c55 v4-arrays diverged from shipped")
+      require(vJoin == shipped, "c55 v4-join diverged from shipped")
+      require(vR13 == shipped, "c55 r13 shape diverged from shipped")
+      // interleaved (ConfAb protocol): box drift lands on both arms
+      Dedup.shingleContainment(docs, 800, 50).collect(); r13Shape.collect()
+      val passes = 5
+      val (tNew, tOld) = (Array.ofDim[Double](passes), Array.ofDim[Double](passes))
+      for (p <- 0 until passes) {
+        val t0 = System.nanoTime()
+        Dedup.shingleContainment(docs, 800, 50).collect()
+        tNew(p) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); r13Shape.collect()
+        tOld(p) = (System.nanoTime() - t1) / 1e9
+      }
+      def fmt(a: Array[Double]) = a.map(t => f"$t%.2f").mkString(" ")
+      println(f"[scanshape] c55v4 r13 3x-df-join: ${fmt(tOld)} median ${tOld.sorted.apply(passes / 2)}%.2f")
+      println(f"[scanshape] c55v4 shipped (v4):   ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
+      report("c55 v4 arrays (rejected)", time(3)(v4(true).collect()))
+    }
+
+    // Lean interleaved pair for the committed number: ONLY the two arms
+    // (row identity is c55v4's require, proven in the same session
+    // protocol) — the heavy equivalence collects above perturb the JVM
+    // for several passes (measured: first interleaved passes read 3-10x
+    // the settled ones right after four corpus-wide collects).
+    if (want("c55pair")) {
+      import org.apache.spark.sql.GraftBridge
+      val docs = load(spark, dir, "documents")
+      def grams = GraftBridge.column(graft.functions.TokenNgrams(
+        GraftBridge.expression(col("text")),
+        n = 4, maxStarts = Int.MaxValue, skipEmpty = true))
+      def r13Shape: DataFrame = {
+        val sh1 = docs.select(col("doc_id"),
+            explode(array_distinct(grams)).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("sh"))
+        val sh = sh1.join(
+          sh1.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= Dedup.ShingleDfCap).select(col("sh")),
+          "sh")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("da"), col("sh"))
+        val b = sh.select(col("doc_id").as("db"), col("sh"))
+        a.join(b, "sh").filter(col("da") =!= col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("da"), col("sz").as("size_a")), "da")
+          .filter(col("inter") * 1000 >= lit(800L) * col("size_a"))
+          .select(col("da"), col("db"), col("inter"), col("size_a"),
+            expr("inter * 1000 div size_a").as("containment_x1000"))
+          .orderBy(col("containment_x1000").desc, col("da"), col("db"))
+          .limit(50)
+      }
+      Dedup.shingleContainment(docs, 800, 50).collect(); r13Shape.collect()
+      val passes = 5
+      val (tNew, tOld) = (Array.ofDim[Double](passes), Array.ofDim[Double](passes))
+      for (p <- 0 until passes) {
+        val t0 = System.nanoTime()
+        Dedup.shingleContainment(docs, 800, 50).collect()
+        tNew(p) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); r13Shape.collect()
+        tOld(p) = (System.nanoTime() - t1) / 1e9
+      }
+      def fmt(a: Array[Double]) = a.map(t => f"$t%.2f").mkString(" ")
+      println(f"[scanshape] c55pair r13:     ${fmt(tOld)} median ${tOld.sorted.apply(passes / 2)}%.2f")
+      println(f"[scanshape] c55pair shipped: ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
+    }
+
     // ---- c68 legs (r13): winnow kernel vs relational window plan ----
     if (want("c68ab")) {
       import org.apache.spark.sql.GraftBridge
