@@ -420,7 +420,15 @@ object Dedup {
     val shared = census
       .filter(col("df") >= 2 && col("df") <= ShingleDfCap)
       .select(col("sh"))
-    val p2 = sh1.join(shared, "sh")
+    // shuffle_hash pinned (the b12 broadcast-kills-the-ride lesson,
+    // re-measured here): AQE sees `shared` under the broadcast
+    // threshold and converts this join, which discards p2's
+    // hashpartitioning(sh) and forces BOTH self-join sides through
+    // fresh corpus-wide exchanges — bench-default A/B read 3.2 s
+    // broadcast vs 1.8 s pinned at 10×. At 100 TB the pin is the only
+    // admissible shape anyway: `shared` is the pair-forming shingle
+    // vocabulary and scales with the corpus.
+    val p2 = sh1.join(shared.hint("shuffle_hash"), "sh")
     val pairs = p2.select(col("doc_id").as("da"), col("sh"))
       .join(p2.select(col("doc_id").as("db"), col("sh")), "sh")
       .filter(col("da") =!= col("db"))
@@ -432,7 +440,8 @@ object Dedup {
           n = 4, maxStarts = Int.MaxValue, skipEmpty = true))))
         .cast("long").as("n_sh"))
     val capCnt = sh1.join(
-        census.filter(col("df") > ShingleDfCap).select(col("sh")), "sh")
+        census.filter(col("df") > ShingleDfCap).select(col("sh"))
+          .hint("shuffle_hash"), "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cap"))
     val sizes = docLevel.join(capCnt, Seq("doc_id"), "left")
       .select(col("doc_id").as("da"),

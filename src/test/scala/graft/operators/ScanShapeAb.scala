@@ -1143,6 +1143,38 @@ object ScanShapeAb {
       println(f"[scanshape] c55pair shipped: ${fmt(tNew)} median ${tNew.sorted.apply(passes / 2)}%.2f")
     }
 
+    // c55 under AQE on vs off, interleaved in ONE session (AQE is a
+    // runtime session conf): the bench-default (AQE-on) cross-session
+    // medians flapped 3.2-6.3 s while the AQE-off arm above read a flat
+    // 1.74 — locate whether the penalty is AQE itself or box noise,
+    // and dump the final adaptive plan for the diagnosis.
+    if (want("c55aqe")) {
+      def run(): Unit =
+        graft.operators.Dedup.shingleContainment(
+          load(spark, dir, "documents"), 800, 50).collect()
+      def setAqe(on: Boolean): Unit =
+        spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+      setAqe(true); run(); setAqe(false); run() // warm both
+      val passes = 5
+      val (tOn, tOff) = (Array.ofDim[Double](passes), Array.ofDim[Double](passes))
+      for (p <- 0 until passes) {
+        setAqe(true)
+        val t0 = System.nanoTime(); run(); tOn(p) = (System.nanoTime() - t0) / 1e9
+        setAqe(false)
+        val t1 = System.nanoTime(); run(); tOff(p) = (System.nanoTime() - t1) / 1e9
+      }
+      def fmt(a: Array[Double]) = a.map(t => f"$t%.2f").mkString(" ")
+      println(f"[scanshape] c55aqe AQE on:  ${fmt(tOn)} median ${tOn.sorted.apply(passes / 2)}%.2f")
+      println(f"[scanshape] c55aqe AQE off: ${fmt(tOff)} median ${tOff.sorted.apply(passes / 2)}%.2f")
+      setAqe(true)
+      val q = graft.operators.Dedup.shingleContainment(
+        load(spark, dir, "documents"), 800, 50)
+      q.collect()
+      println("[scanshape] c55 final adaptive plan:\n" +
+        q.queryExecution.executedPlan.toString.take(8000))
+      setAqe(false)
+    }
+
     // ---- c68 legs (r13): winnow kernel vs relational window plan ----
     if (want("c68ab")) {
       import org.apache.spark.sql.GraftBridge
