@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Group B — the extension query surface (SURVEY §2.3 Group B): TPC-H-ish
   * analytics plus the first slice of the LLM-data-pipeline operators over
-  * `documents`. Every aggregate over the testdata's float64 measures goes
-  * through exact decimal arithmetic (see [[Tables.dec2]]/[[Tables.fac4]])
-  * so results are bit-identical to the DuckDB oracle regardless of
-  * partitioning.
+  * `documents`. Every aggregate over the testdata's float64 measures runs
+  * exact arithmetic — scaled-long on hot fact scans ([[Tables.s2]]),
+  * decimal elsewhere ([[Tables.dec2]]/[[Tables.fac4]]) — so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning (the two
+  * spellings produce identical doubles while per-group scaled sums stay
+  * below 2^53; see the s2 scaladoc).
   */
 object GroupB {
-  import Tables.{dec2, fac4, load}
+  import Tables.{dec2, fac4, load, s2}
 
   /** b2's document-frequency cap: tokens posting in more docs than this
     * are treated as stop words (dropped from the token universe). An
@@ -115,11 +117,15 @@ object GroupB {
     // accumulates primitive longs inside whole-stage codegen instead of
     // BigDecimal. One shuffle of 6 rows/task (map-side partials).
     "b4_pricing_summary" -> ((s, dir) => {
-      val qtyC = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      val priceC = expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      val discF = expr("CAST(CAST(1 - l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT)")
+      // ROUND spelling, not DECIMAL-cast: same exact scaled integers
+      // per row (Tables.s2 scaladoc), but the decimal×100 product has
+      // precision > 18 and boxes a BigDecimal per fact row — these four
+      // run on every scanned lineitem.
+      val qtyC = expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+      val priceC = expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+      val discF = expr("CAST(ROUND((1 - l_discount) * 10000) AS BIGINT)")
       val chargeF = expr(
-        "CAST(CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(10,4)) * 10000 AS BIGINT)")
+        "CAST(ROUND((1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)")
       load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .select(col("l_returnflag"), col("l_linestatus"), qtyC.as("q"), priceC.as("p"),
@@ -148,8 +154,8 @@ object GroupB {
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg((sum(s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount")))
+          .cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         // Timestamps cross the engine boundary as strings: Spark parquet is
@@ -168,7 +174,7 @@ object GroupB {
     // join is the right plan. Quantity sums ride the b4 scaled-long
     // contract.
     "b8_big_orders" -> ((s, dir) => {
-      val qtyC = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val qtyC = expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
       val big = load(s, dir, "lineitem")
         .select(col("l_orderkey"), qtyC.as("q"))
         .groupBy(col("l_orderkey"))
@@ -204,14 +210,14 @@ object GroupB {
         .select(col("o_orderkey"), col("o_custkey"))
       val li = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          (s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount"))).as("rev"))
       val supp = load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg((sum(col("rev")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -221,15 +227,15 @@ object GroupB {
     // divides two exactly-converted doubles (IEEE division is correctly
     // rounded, so the quotient is bit-identical cross-engine).
     "b10_promo_share" -> ((s, dir) => {
-      val rev = (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev")
+      val rev = (s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount"))).as("rev")
       val li = load(s, dir, "lineitem").select(col("l_partkey"), rev)
       val part = load(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_type"))
       li.join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0))).cast("double")
-            .as("promo_revenue"),
-          sum(col("rev")).cast("double").as("total_revenue"))
+          (sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L)))
+            .cast("double") / lit(10000.0)).as("promo_revenue"),
+          (sum(col("rev")).cast("double") / lit(10000.0)).as("total_revenue"))
         .select(col("p_brand"), col("promo_revenue"), col("total_revenue"),
           (col("promo_revenue") / col("total_revenue")).as("promo_share"))
         .orderBy(col("p_brand"))
@@ -271,12 +277,12 @@ object GroupB {
       val li = load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
-          (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev"))
+          (s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount"))).as("rev"))
       li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg((sum(col("rev")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 

@@ -14,25 +14,36 @@ import org.apache.spark.sql.functions._
   * (b21), NOT-IN as left-anti (b23, b27) — because the shape, not the
   * constant, is what the optimizer and the 100 TB plan audit care about.
   *
-  * Determinism: the [[Tables.dec2]]/[[Tables.fac4]] exact-decimal
-  * contract everywhere a double is aggregated; where a sum can exceed
-  * 2^53 scaled (profit/value totals), the result STAYS a scaled BIGINT
-  * (micros) instead of converting to double — both engines sum
+  * Determinism: exact scaled-long arithmetic ([[Tables.s2]]) everywhere
+  * a double is aggregated — same rationals and identical final doubles
+  * as the oracle's exact-decimal formulation while per-group scaled
+  * sums stay < 2^53 (the s2 scaladoc carries the proof), without the
+  * per-fact-row BigDecimal the decimal spelling paid. Where a sum can
+  * exceed 2^53 scaled (profit/value totals), the result STAYS a scaled
+  * BIGINT (micros) instead of converting to double — both engines sum
   * integers exactly at any scale (the c36 discipline).
   */
 object TpchRest {
-  import Tables.{dec2, fac4, load}
+  import Tables.{load, s2}
 
-  /** revenue = extendedprice · (1 − discount), exact decimal (29,6). */
-  private def rev = (dec2(col("l_extendedprice")) * fac4(lit(1) - col("l_discount"))).as("rev")
+  /** revenue = extendedprice · (1 − discount), exact scale-4 BIGINT
+    * (cents × discount-hundredths — [[Tables.s2]]): same rationals as
+    * the oracle's decimal formulation, identical final doubles while
+    * per-group sums stay < 2^53, but primitive long codegen per fact
+    * row instead of a precision-29 BigDecimal. Consumers divide the
+    * final double by 1e4.
+    */
+  private def rev = (s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount"))).as("rev")
 
   /** The same revenue as an exact BIGINT in currency micros (cents ×
     * discount-factor ×10⁴) — for sums that must stay integer-exact past
-    * 2^53 (the c36 spelling).
+    * 2^53 (the c36 spelling). ROUND recovers the exact scaled integers
+    * without the per-row BigDecimal the DECIMAL-cast spelling paid
+    * (Tables.s2 scaladoc).
     */
   private def revMicros =
-    expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-           | * CAST(CAST(1 - l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT)""".stripMargin)
+    expr("""CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           | * CAST(ROUND((1 - l_discount) * 10000) AS BIGINT)""".stripMargin)
 
   private def ts(d: String) = lit(java.sql.Timestamp.valueOf(s"$d 00:00:00"))
 
@@ -67,11 +78,14 @@ object TpchRest {
     "b15_forecast_revenue" -> ((s, dir) =>
       load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-        .filter(fac4(col("l_discount")) >= expr("CAST(0.05 AS DECIMAL(10,4))") &&
-          fac4(col("l_discount")) <= expr("CAST(0.07 AS DECIMAL(10,4))"))
-        .filter(dec2(col("l_quantity")) < expr("CAST(24 AS DECIMAL(18,2))"))
-        .agg(sum(dec2(col("l_extendedprice")) * fac4(col("l_discount"))).cast("double")
-            .as("revenue"),
+        // Discount/quantity compared as exact scaled longs (0.05 is not
+        // a binary double; ROUND(x·100) recovers the exact 2-decimal
+        // value — Tables.s2 — so both engines select identical rows,
+        // without the per-row decimal boxing this full-scan filter paid).
+        .filter(s2(col("l_discount")).between(5, 7))
+        .filter(s2(col("l_quantity")) < 2400)
+        .agg((sum(s2(col("l_extendedprice")) * s2(col("l_discount")))
+            .cast("double") / lit(10000.0)).as("revenue"),
           count(lit(1)).as("n_items"))),
 
     // B16 — national market share (TPC-H Q8 shape): NATION_3's share of
@@ -107,9 +121,9 @@ object TpchRest {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(suppNation, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"))
-        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(lit(0)))
-            .cast("double").as("nation_revenue"),
-          sum(col("rev")).cast("double").as("total_revenue"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(lit(0L)))
+            .cast("double") / lit(10000.0)).as("nation_revenue"),
+          (sum(col("rev")).cast("double") / lit(10000.0)).as("total_revenue"))
         .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
           (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
         .orderBy(col("o_year"))
@@ -133,8 +147,8 @@ object TpchRest {
       // profit_micros = rev_micros − retail_cents · qty_x100 · 100
       // (cents·qty-hundredths ×100 = micros; all factors exact ints).
       val profit = (revMicros -
-        expr("""CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               | * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 100""".stripMargin))
+        expr("""CAST(ROUND(p_retailprice * 100) AS BIGINT)
+               | * CAST(ROUND(l_quantity * 100) AS BIGINT) * 100""".stripMargin))
         .as("profit_micros")
       load(s, dir, "lineitem")
         .join(part, col("l_partkey") === col("p_partkey"))
@@ -165,7 +179,7 @@ object TpchRest {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .agg((sum(col("rev")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -298,8 +312,8 @@ object TpchRest {
       val li = load(s, dir, "lineitem")
         .join(part, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
-          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qx100"),
-          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("px100"))
+          expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").as("qx100"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("px100"))
         // Referenced by the per-part average AND the probe: materialize
         // the brand-filtered slice (~1/25 of lineitem) once instead of
         // scanning lineitem twice.
@@ -321,16 +335,17 @@ object TpchRest {
       val part = load(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_size"))
       val li = load(s, dir, "lineitem")
-        .select(col("l_partkey"), dec2(col("l_quantity")).as("qty"), rev)
+        .select(col("l_partkey"), s2(col("l_quantity")).as("q100"), rev)
       val m1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-        col("qty") >= 1 && col("qty") <= 11
+        col("q100") >= 100 && col("q100") <= 1100
       val m2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-        col("qty") >= 10 && col("qty") <= 20
+        col("q100") >= 1000 && col("q100") <= 2000
       val m3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
-        col("qty") >= 20 && col("qty") <= 30
+        col("q100") >= 2000 && col("q100") <= 3000
       li.join(part, col("l_partkey") === col("p_partkey"))
         .filter(m1 || m2 || m3)
-        .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .agg((sum(col("rev")).cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
     }),
 
     // B26 — potential part promotion (TPC-H Q20 shape): EUROPE-region
@@ -347,7 +362,7 @@ object TpchRest {
         .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
         .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
         .select(col("l_suppkey"),
-          expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qx100"))
+          expr("CAST(ROUND(l_quantity * 100) AS BIGINT)").as("qx100"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("qx100")).as("sum_qx100"))
         .filter(col("sum_qx100") > 50L * 100)
@@ -370,7 +385,7 @@ object TpchRest {
     // pre-pruned by the balance filter, so the exchange carries only
     // candidate rich customers.
     "b27_idle_rich_customers" -> ((s, dir) => {
-      val cents = expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val cents = expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
       val cust = load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
       // avg positive balance, cross-multiplied: bal · n > sum  ⟺  bal > avg.

@@ -1175,6 +1175,97 @@ object ScanShapeAb {
       setAqe(false)
     }
 
+    // ---- revlong (r14): scaled-long revenue arithmetic vs Decimal ----
+    // The b9/b10 decomposition priced ~0.6 s of each into "li scan +
+    // revenue expr". That expr is dec2(price) * fac4(1-disc): two
+    // double->Decimal conversions and a precision-29 multiply, which
+    // Spark backs with java.math.BigDecimal (Long-backed Decimal stops
+    // at precision 18) — an allocation per fact row. Candidate: exact
+    // cents/hundredths as BIGINTs via ROUND (the data carries exactly
+    // 2 decimals; double*100 is within 1e-9 of the true integer, so
+    // round() recovers it exactly and identically in any IEEE engine),
+    // then pure long multiply+sum in whole-stage codegen.
+    // `revlong` measures under the harness default (AQE off);
+    // `revlongaqe` repeats under AQE on — the shipped bench default at
+    // 10× — since AQE's runtime coalescing can hide or expose the
+    // per-row constant differently.
+    if (want("revlong") || want("revlongaqe")) {
+      if (legs("revlongaqe"))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val liRaw = load(spark, dir, "lineitem")
+      val revDec = (dec2(col("l_extendedprice")) *
+        fac4(lit(1) - col("l_discount"))).as("rev")
+      val revLong = (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)") *
+        expr("CAST(ROUND((1 - l_discount) * 100) AS BIGINT)")).as("rev")
+      report("rev agg-only (decimal)",
+        time(3)(liRaw.select(revDec).agg(sum(col("rev"))).collect()))
+      report("rev agg-only (long s4)",
+        time(3)(liRaw.select(revLong).agg(sum(col("rev"))).collect()))
+      // b10 full, both spellings (grouped, joined with part)
+      def b10(rev: org.apache.spark.sql.Column, toDouble: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+        val lir = liRaw.select(col("l_partkey"), rev)
+        val part = load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        lir.join(part, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            toDouble(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0))))
+              .as("promo_revenue"),
+            toDouble(sum(col("rev"))).as("total_revenue"))
+          .select(col("p_brand"), col("promo_revenue"), col("total_revenue"),
+            (col("promo_revenue") / col("total_revenue")).as("promo_share"))
+          .orderBy(col("p_brand"))
+      }
+      val decRows = b10(revDec, _.cast("double")).collect()
+      val longRows = b10(revLong, c => c.cast("double") / lit(1e4)).collect()
+      require(decRows.length == longRows.length, "b10 revlong row count mismatch")
+      decRows.zip(longRows).foreach { case (a, b) =>
+        require(a.getString(0) == b.getString(0) &&
+          math.abs(a.getDouble(1) - b.getDouble(1)) <= math.abs(a.getDouble(1)) * 1e-12 &&
+          math.abs(a.getDouble(2) - b.getDouble(2)) <= math.abs(a.getDouble(2)) * 1e-12,
+          s"b10 revlong mismatch: $a vs $b")
+      }
+      report("b10 full (decimal)",
+        time(3)(b10(revDec, _.cast("double")).collect()))
+      report("b10 full (long s4)",
+        time(3)(b10(revLong, c => c.cast("double") / lit(1e4)).collect()))
+      // b9 full, both spellings
+      def b9rev(rev: org.apache.spark.sql.Column, toDouble: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        val asianNations = load(spark, dir, "nation")
+          .join(load(spark, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = load(spark, dir, "customer")
+          .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val lir = liRaw.select(col("l_orderkey"), col("l_suppkey"), rev)
+        val supp = load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(lir, col("o_orderkey") === col("l_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(toDouble(sum(col("rev"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }
+      val d9 = b9rev(revDec, _.cast("double")).collect()
+      val l9 = b9rev(revLong, c => c.cast("double") / lit(1e4)).collect()
+      require(d9.length == l9.length, "b9 revlong row count mismatch")
+      d9.zip(l9).foreach { case (a, b) =>
+        require(a.getString(0) == b.getString(0) &&
+          math.abs(a.getDouble(1) - b.getDouble(1)) <= math.abs(a.getDouble(1)) * 1e-12,
+          s"b9 revlong mismatch: $a vs $b")
+      }
+      report("b9 full (decimal)", time(3)(b9rev(revDec, _.cast("double")).collect()))
+      report("b9 full (long s4)",
+        time(3)(b9rev(revLong, c => c.cast("double") / lit(1e4)).collect()))
+    }
+
     // ---- c68 legs (r13): winnow kernel vs relational window plan ----
     if (want("c68ab")) {
       import org.apache.spark.sql.GraftBridge
