@@ -50,7 +50,7 @@ object TimeSeries {
   def quarterProfile(events: DataFrame): DataFrame =
     events.select(col("user_id"),
         expr("(unix_micros(ts) div 900000000) % 96").as("qh"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
       .groupBy(col("user_id"), col("qh"))
       .agg(sum(col("vc")).as("v"))
 
@@ -62,7 +62,7 @@ object TimeSeries {
   def hourlyProfile(events: DataFrame): DataFrame =
     events.select(col("user_id"),
         expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
       .groupBy(col("user_id"), col("hour"))
       .agg(sum(col("vc")).as("v"))
 

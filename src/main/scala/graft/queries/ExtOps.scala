@@ -67,7 +67,7 @@ object ExtOps {
     // associative; value sums ride the b4 scaled-long contract).
     "c13_salted_agg" -> ((s, dir) => {
       val ev = load(s, dir, "events")
-        .withColumn("v", expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+        .withColumn("v", expr("CAST(ROUND(value * 1000000) AS BIGINT)"))
       Skew.saltedSum(ev, col("event_type"), Map("sv" -> col("v")), 16)
         .select(col("key").as("event_type"),
           (col("sv").cast("double") / 1.0e6).as("sum_value"), col("n"))
@@ -83,7 +83,7 @@ object ExtOps {
     "c29_salted_join" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .select(col("event_type"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
       val stats = ev.groupBy(col("event_type"))
         .agg(sum(col("vc")).as("tot"), count(lit(1)).as("n"))
       Skew.saltedJoin(ev, stats, "event_type", 16)
@@ -218,7 +218,7 @@ object ExtOps {
       val bound = lit(bits.toLong) * expr(s"n DIV $k") + lit(1L)
       val vals = load(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("v"))
       // The exchange+checkpoint is the SINGLE-FILE parallelizer ONLY.
       // The r12 decomposition (ScanShapeAb c70parts) showed that on a
       // multi-file input both halves of it LOSE: the exchange of the 6M
@@ -1144,8 +1144,8 @@ object ExtOps {
         .select(col("o_orderkey"), col("o_orderdate"))
       val bloom = RuntimeFilter.bloomFor(urgent, "o_orderkey")
       val pd = expr(
-        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-          | * CAST(CAST(1 - l_discount AS DECIMAL(10,4)) * 10000 AS BIGINT)""".stripMargin)
+        """CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          | * CAST(ROUND((1 - l_discount) * 10000) AS BIGINT)""".stripMargin)
       val li = load(s, dir, "lineitem").select(col("l_orderkey"), pd.as("pd"))
       RuntimeFilter.prefilter(li, col("l_orderkey"), bloom)
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
@@ -1591,7 +1591,7 @@ object ExtOps {
     // promise, pinned TRUE (the c24 contract — see the Spark side).
     "c70_quantile_sketch" ->
       """WITH vals AS (SELECT l_returnflag AS flag,
-        |                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
         |              FROM lineitem),
         |counts AS (SELECT flag, v, count(*) AS c FROM vals GROUP BY 1, 2),
         |cum AS (SELECT flag, v,
@@ -2201,7 +2201,7 @@ object ExtOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "c29_salted_join" ->
       """WITH ev AS (SELECT event_type,
-        |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |              CAST(ROUND(value * 100) AS BIGINT) AS vc
         |            FROM events),
         |st AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS tot,
         |              CAST(count(*) AS BIGINT) AS n
@@ -2424,7 +2424,7 @@ object ExtOps {
     "c51_ts_similar_users" ->
       """WITH qprof AS (
         |  SELECT user_id, (epoch_us(ts) // 900000000) % 96 AS qh,
-        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |         CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |prof AS (
         |  SELECT user_id, qh // 4 AS hour, CAST(sum(v) AS BIGINT) AS v

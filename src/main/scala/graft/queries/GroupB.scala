@@ -324,7 +324,7 @@ object GroupB {
         .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(expr(
-          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
           .as("rev_c"),
           count(lit(1)).as("n_items"))
       val w = Window.partitionBy(col("l_partkey"))

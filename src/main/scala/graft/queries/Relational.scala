@@ -61,7 +61,7 @@ object Relational {
         // sum (scaled total < 2^53), primitive-speed aggregation (cf. b4)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("bn"),
-          sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
             .as("bc"))
       // coalesce: on EMPTY input the grand-total row of a direct rollup
       // carries count(*) = 0, but sum(bn) over the empty pre-aggregate
@@ -190,7 +190,7 @@ object Relational {
       val base = load(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("bn"),
-          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
             .as("bc"))
       // coalesce: empty-input identity with the direct cube (see d2)
       base.cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -215,7 +215,7 @@ object Relational {
       load(s, dir, "events")
         .filter(col("user_id") % 100 === 0)
         .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("ts_us"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
         .withColumn("trail_sum_c", sum(col("vc")).over(w))
         .withColumn("trail_n", count(lit(1)).over(w))
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -432,7 +432,7 @@ object Relational {
       load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("bn"),
-          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("bq"))
+          sum(expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).as("bq"))
         .createOrReplaceTempView("d27_base")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
@@ -456,7 +456,7 @@ object Relational {
     "d26_attribution" -> ((s, dir) => {
       val ev = load(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val sess = ev
@@ -743,7 +743,7 @@ object Relational {
     // a7 discipline); products stay < 2^63 up to ~10⁹ customers × 10⁹
     // cents — upcast to decimal beyond that.
     "d13_big_spenders" -> ((s, dir) => {
-      val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val cents = expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
       val per = load(s, dir, "orders")
         .select(col("o_custkey"), cents.as("tc"))
         .groupBy(col("o_custkey"))
@@ -768,7 +768,7 @@ object Relational {
         .rowsBetween(-2, Window.currentRow)
       load(s, dir, "events")
         .filter(col("user_id") % 100 === 0)
-        .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("vc", expr("CAST(ROUND(value * 100) AS BIGINT)"))
         .withColumn("mov_sum_c", sum(col("vc")).over(w))
         .withColumn("mov_n", count(lit(1)).over(w))
         .select(col("user_id"), col("event_id"),
@@ -788,7 +788,7 @@ object Relational {
     "d15_correlation" -> ((s, dir) => {
       val base = load(s, dir, "events")
         .select(col("event_type"),
-          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"),
           get_json_object(col("props"), "$.k").cast("long").as("y"))
       val sums = base.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -840,7 +840,7 @@ object Relational {
         .select(col("n_name"),
           ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
             .cast("long").as("x"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
         .groupBy(col("n_name"), col("x"))
         .agg(sum(col("cents")).as("y"))
       val sums = monthly.groupBy(col("n_name"))

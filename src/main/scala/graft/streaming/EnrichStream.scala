@@ -25,7 +25,7 @@ object EnrichStream {
   def typeStats(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("vc"))
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
       .groupBy(col("event_type"))
       .agg(sum(col("vc")).as("tot"), count(lit(1)).as("n"))
 
@@ -34,7 +34,7 @@ object EnrichStream {
     */
   def enriched(events: DataFrame, stats: DataFrame): DataFrame =
     events
-      .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("vc", expr("CAST(ROUND(value * 100) AS BIGINT)"))
       .join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"), col("vc"),
         (col("vc") * col("n") > col("tot")).as("above_avg"))
