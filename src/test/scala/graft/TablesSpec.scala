@@ -37,4 +37,27 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
         org.apache.spark.sql.types.TimestampType, s"zone $tz")
     }
   }
+
+  // The s2 contract (Tables.s2 scaladoc): for EVERY value the data can
+  // carry — an exact-2-decimal rational stored as the nearest double —
+  // ROUND(x·100) recovers the true scaled integer exactly, including
+  // negatives (acctbal) and the ×10000 factor variant. Exhaustive over
+  // ±2M consecutive cents around zero plus the high end of the price
+  // domain; a single miss is a determinism break, so no sampling.
+  test("s2 recovers the exact scaled integer for every 2-decimal double") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(-2000000L, 2000000L)
+      .select(col("id"), (col("id").cast("double") / 100.0).as("v"))
+      .select(col("id"), Tables.s2(col("v")).as("s"),
+        expr("CAST(ROUND(v * 10000) AS BIGINT)").as("s4"))
+      .filter(col("s") =!= col("id") || col("s4") =!= col("id") * 100)
+      .count()
+    assert(bad == 0L)
+    val badHigh = spark.range(9999000000L, 10001000000L) // ~1e8 currency units
+      .select(col("id"), (col("id").cast("double") / 100.0).as("v"))
+      .select(col("id"), Tables.s2(col("v")).as("s"))
+      .filter(col("s") =!= col("id"))
+      .count()
+    assert(badHigh == 0L)
+  }
 }
