@@ -216,7 +216,37 @@ object ExtOps {
       val bits = 24
       val k = 2048
       val bound = lit(bits.toLong) * expr(s"n DIV $k") + lit(1L)
-      val vals = load(s, dir, "lineitem").select(
+      val li = load(s, dir, "lineitem")
+      // COLUMNAR KERNEL path (r14): all three fact passes of this query
+      // (digest build, bucket histogram, bucket slice) aggregate into
+      // TINY state (|flags| digests / ~|domain|/2^shift buckets / ≤
+      // 4·|flags| bucket slices), so each runs as a vector pass straight
+      // off the parquet reader's ColumnarBatches instead of through
+      // ColumnarToRow + the row-at-a-time aggregate path. Measured at
+      // 10× (ColumnarAb, clean interleaved arms): digest 1.21 → 0.98 s
+      // (QDigestAgg's TypedImperativeAggregate pays interpreted eval +
+      // boxing per row; the kernel ingests off the vectors and merges
+      // bounded partials through QDigestMergeAgg — still a Spark
+      // aggregation, never a driver merge), histogram 0.42 → 0.11 s,
+      // slice 0.52 → 0.09 s. Estimates differ from the row path only
+      // by merge order — both stay inside the deterministic rank-error
+      // band the output boolean asserts (the c24/c70 contract), so the
+      // oracle and the SqlEntry twin (which keeps the row spelling)
+      // are unchanged. Falls back to the row path whenever the input
+      // is not a pure columnar scan (ColumnarKernel.scanBatches = None),
+      // the kernel is disabled for an A/B arm, or the input is a
+      // single-row-group bench file (same gate as the row path's
+      // parallelizer below: the kernel buys per-row vector work and
+      // costs ~3 fixed action latencies, so it pays exactly when the
+      // scan fans out — sf0.1 single-file clean arms read row 1.61 s vs
+      // kernel 1.98; 10× multi-file reads kernel 2.6 vs row 3.6).
+      val kern =
+        if (graft.operators.ColumnarKernel.enabled(s,
+            Tuning.rowGroupCount(s"$dir/lineitem.parquet") >= 8L))
+          graft.operators.ColumnarKernel.flagStatsDigestPartials(
+            s, li, "l_returnflag", "l_extendedprice", bits, k)
+        else None
+      lazy val vals = li.select(
         col("l_returnflag").as("flag"),
         expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("v"))
       // The exchange+checkpoint is the SINGLE-FILE parallelizer ONLY.
@@ -253,7 +283,10 @@ object ExtOps {
       // predated the size-derived AQE default and the 32g heap; on
       // today's shapes AQE-on wins c70 outright, so no pin ships
       // (ab14_trio_* artifacts, PERF.md r14).
-      val dist =
+      // (row-path fallback only — the kernel path needs no parallelizer:
+      // its per-row cost is a vector-loop constant, so even a single-
+      // row-group bench file finishes its pass in tens of ms)
+      lazy val dist =
         if (Tuning.rowGroupCount(s"$dir/lineitem.parquet") >= 8L) vals
         else vals.repartition(col("flag"), col("v")).localCheckpoint(true)
       // FUSED stats+digest pass (r13): the digest does not depend on
@@ -266,13 +299,22 @@ object ExtOps {
       // 3-row digest readout, not data collection (the c12 codebook
       // discipline); the tiny est table is rebuilt as a literal
       // DataFrame, so downstream joins are unchanged.
-      val digCol = GraftBridge.column(graft.functions.QDigestAgg(
-        GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
-        .toAggregateExpression())
-      val fused = dist.groupBy("flag").agg(
-          count(lit(1)).as("n"), min(col("v")).as("lo"),
-          max(col("v")).as("hi"), digCol.as("est"))
-        .collect()
+      val fused = (kern match {
+        case Some(partials) =>
+          val mergeCol = GraftBridge.column(graft.functions.QDigestMergeAgg(
+            GraftBridge.expression(col("dig")), bits, k, Seq(500, 900))
+            .toAggregateExpression())
+          partials.groupBy("flag").agg(
+            sum(col("n")).as("n"), min(col("lo")).as("lo"),
+            max(col("hi")).as("hi"), mergeCol.as("est"))
+        case None =>
+          val digCol = GraftBridge.column(graft.functions.QDigestAgg(
+            GraftBridge.expression(col("v")), bits, k, Seq(500, 900))
+            .toAggregateExpression())
+          dist.groupBy("flag").agg(
+            count(lit(1)).as("n"), min(col("v")).as("lo"),
+            max(col("v")).as("hi"), digCol.as("est"))
+      }).collect()
       val st = org.apache.spark.sql.Row(
         fused.map(_.getLong(1)).sum,
         if (fused.isEmpty) null else fused.map(_.getLong(2)).min,
@@ -303,10 +345,19 @@ object ExtOps {
         }.toSeq.toDF("flag", "e50", "e90")
       }
       // value-bucket histogram: domain-bounded (~|domain|/4096 rows per
-      // flag), pinned for its three tiny consumers
-      val bcnt = dist.groupBy(col("flag"), expr(s"shiftright(v, $shift)").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+      // flag), pinned for its three tiny consumers (the pin also keeps
+      // the kernel's scan pass from re-running per consumer)
+      val bcnt = (kern match {
+        case Some(_) =>
+          graft.operators.ColumnarKernel.flagBucketCounts(
+              s, li, "l_returnflag", "l_extendedprice", shift)
+            .getOrElse(dist.groupBy(col("flag"),
+                expr(s"shiftright(v, $shift)").as("b"))
+              .agg(count(lit(1)).as("c")))
+        case None =>
+          dist.groupBy(col("flag"), expr(s"shiftright(v, $shift)").as("b"))
+            .agg(count(lit(1)).as("c"))
+      }).localCheckpoint(true)
       val cum = bcnt.withColumn("cum",
           sum(col("c")).over(Window.partitionBy("flag").orderBy("b")))
         .withColumn("cum_prev", col("cum") - col("c"))
@@ -347,8 +398,27 @@ object ExtOps {
       // ONE slice pass serves both legs: ≤ 4·|flags| bucket slices,
       // broadcast back; the window input is slice rows only
       val sel = selR.unionByName(selV)
-      val slice = dist.withColumn("b", expr(s"shiftright(v, $shift)"))
-        .join(broadcast(sel), Seq("flag", "b"))
+      val slice = kern match {
+        case Some(_) =>
+          // the ≤ 4·|flags| (flag, bucket) pairs come to the driver as
+          // plan parameters (null pairs dropped — an inner equi-join
+          // never matches them); the kernel extracts the matching rows
+          // in one vector pass and the original broadcast join then
+          // re-attaches each sel row's (q, kind, lt, e) — identical
+          // row multiset to joining the full scan
+          val pairs = sel.select(col("flag"), col("b"))
+            .where(col("flag").isNotNull && col("b").isNotNull)
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSet
+          graft.operators.ColumnarKernel.flagBucketSlice(
+              s, li, "l_returnflag", "l_extendedprice", shift, pairs)
+            .map(_.join(broadcast(sel), Seq("flag", "b")))
+            .getOrElse(dist.withColumn("b", expr(s"shiftright(v, $shift)"))
+              .join(broadcast(sel), Seq("flag", "b")))
+        case None =>
+          dist.withColumn("b", expr(s"shiftright(v, $shift)"))
+            .join(broadcast(sel), Seq("flag", "b"))
+      }
       val res = slice
         .withColumn("lrn", row_number().over(
           Window.partitionBy(col("flag"), col("q"), col("kind"))
