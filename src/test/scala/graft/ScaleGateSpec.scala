@@ -62,6 +62,10 @@ class ScaleGateSpec extends AnyFunSuite with SparkSpec {
     // and the slice probe all parallelize across the replica's file
     // splits; the r9 rewrite removed the per-flag full sort entirely
     // (PERF.md §r9 — sf0.1-scale smoke ratio 2.3, bench 2.22 → 1.49 s).
+    // r14: the 10-replica side now runs the COLUMNAR KERNEL (≥ 8 row
+    // groups) while the single-file side keeps the row path — the band
+    // therefore also guards the kernel's fixed-latency floor staying
+    // sublinear vs the row baseline (suite green on the kernel default).
     "c70_quantile_sketch" -> 10.0,
     // cal 1.2 — register path is one corpus scan + a corpus-size-
     // independent |sources|²·M pairwise leg; only the exact-shared
