@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
 import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -181,17 +182,18 @@ object ColumnarKernel {
               i += 1
             }
           }
-          val out = new scala.collection.mutable.ArrayBuffer[Row]()
+          val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
           intern.foreach { (s, id) =>
             val any = los(id) != Long.MaxValue
-            out += Row(s, ns(id),
+            out += new GenericInternalRow(Array[Any](
+              if (s == null) null else UTF8String.fromString(s), ns(id),
               if (any) los(id) else null,
               if (any) his(id) else null,
-              if (any) QDigestKernel.serialize(digs(id), k) else null)
+              if (any) QDigestKernel.serialize(digs(id), k) else null))
           }
           out.iterator
         }
-        spark.createDataFrame(rdd, schema)
+        GraftBridge.ofInternalRows(spark, rdd, schema)
     }
 
   /** K2 — per-flag value-bucket histogram at `shift`: the exact rows a
@@ -241,14 +243,21 @@ object ColumnarKernel {
               i += 1
             }
           }
-          val out = new scala.collection.mutable.ArrayBuffer[Row]()
+          // emission is |flags|·|buckets| per partition — ~6M rows at
+          // 100× — so it goes out as InternalRows (the boxed Row
+          // converter path made this emission the pass's dominant cost
+          // at 100×: 63 s vs the row path's 18.6, GraftBridge scaladoc)
+          val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
           intern.foreach { (s, id) =>
-            maps(id).foreachEntry((bk, c) => out += Row(s, bk - 1L, c))
-            if (nullV(id) > 0) out += Row(s, null, nullV(id))
+            val u = if (s == null) null else UTF8String.fromString(s)
+            maps(id).foreachEntry((bk, c) =>
+              out += new GenericInternalRow(Array[Any](u, bk - 1L, c)))
+            if (nullV(id) > 0)
+              out += new GenericInternalRow(Array[Any](u, null, nullV(id)))
           }
           out.iterator
         }
-        spark.createDataFrame(rdd, schema)
+        GraftBridge.ofInternalRows(spark, rdd, schema)
           .groupBy(col("flag"), col("b")).agg(sum(col("c")).as("c"))
     }
 
@@ -275,10 +284,9 @@ object ColumnarKernel {
           StructField("b", LongType, nullable = false),
           StructField("v", LongType, nullable = false)))
         val rdd = batches.mapPartitions { it =>
-          val out = new scala.collection.mutable.ArrayBuffer[Row]()
+          val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
           var lastU: UTF8String = null
           var lastSet: Set[Long] = null
-          var lastS: String = null
           while (it.hasNext) {
             val b = it.next()
             val f = b.column(fI); val p = b.column(vI)
@@ -289,13 +297,13 @@ object ColumnarKernel {
                 val u = f.getUTF8String(i)
                 if (lastU == null || !u.equals(lastU)) {
                   lastU = u.clone()
-                  lastS = lastU.toString
-                  lastSet = byFlag.getOrElse(lastS, null)
+                  lastSet = byFlag.getOrElse(lastU.toString, null)
                 }
                 if (lastSet != null) {
                   val v = Math.round(p.getDouble(i) * 100)
                   val bk = v >> shift
-                  if (lastSet.contains(bk)) out += Row(lastS, bk, v)
+                  if (lastSet.contains(bk))
+                    out += new GenericInternalRow(Array[Any](lastU, bk, v))
                 }
               }
               i += 1
@@ -303,6 +311,6 @@ object ColumnarKernel {
           }
           out.iterator
         }
-        spark.createDataFrame(rdd, schema)
+        GraftBridge.ofInternalRows(spark, rdd, schema)
     }
 }

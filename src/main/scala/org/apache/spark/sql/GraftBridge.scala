@@ -24,6 +24,23 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Build a DataFrame from already-Catalyst rows, skipping the external
+    * Row→InternalRow converter. The columnar kernels' partial emission
+    * goes through here: at 100× the bucket-histogram kernel emits ~6M
+    * partial rows (|partitions|·|flags|·|buckets|), and the boxed
+    * `createDataFrame(Row)` converter path turned that emission into
+    * the pass's dominant cost (measured r14: c70 at 100× read 63 s vs
+    * the row path's 18.6, entirely the converter — PERF.md r14 kernel
+    * section has the post-fix pair). Callers must supply rows matching
+    * the schema exactly (UTF8String for strings, null slots for SQL
+    * NULL).
+    */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * extensions class only applies at session build; a REPL or notebook
     * that already has a session uses this instead).
