@@ -202,4 +202,65 @@ class QDigestAggSpec extends AnyFunSuite with SparkSpec {
     val row = org.apache.spark.sql.catalyst.InternalRow(256L)
     assertThrows[IllegalArgumentException] { agg.update(buf, row) }
   }
+
+  /** The documented fold, reimplemented boxed, as a differential
+    * oracle: deepest level first, ids ascending within a level,
+    * fold-created parents merged into their level's worklist. The r14
+    * primitive in-place rewrite claims BIT-IDENTICAL results to this
+    * order — randomized buffers pin that claim, so a future edit that
+    * silently changes fold order (still "deterministic", still inside
+    * the rank bound) fails here instead of shifting estimates.
+    */
+  private def referenceCompress(entries: Map[Long, Long], k: Int): Map[Long, Long] = {
+    val n = entries.values.sum
+    val t = n / k
+    if (t <= 0) return entries
+    val m = scala.collection.mutable.Map.from(entries)
+    def level(id: Long) = 63 - java.lang.Long.numberOfLeadingZeros(id)
+    val maxLevel = entries.keys.map(level).max
+    val byLevel = Array.fill(maxLevel + 1)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    entries.keys.foreach(id => byLevel(level(id)) += id)
+    var lvl = maxLevel
+    while (lvl >= 1) {
+      for (id <- byLevel(lvl).toArray.sorted if m.contains(id)) {
+        val sib = id ^ 1L
+        val par = id >>> 1
+        val c = m(id)
+        val sc = m.getOrElse(sib, 0L)
+        val pc = m.getOrElse(par, 0L)
+        if (c + sc + pc <= t) {
+          m.remove(id)
+          m.remove(sib)
+          if (pc == 0L) byLevel(lvl - 1) += par
+          m.update(par, c + sc + pc)
+        }
+      }
+      lvl -= 1
+    }
+    m.toMap
+  }
+
+  test("property: primitive compress is bit-identical to the boxed reference fold") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      b <- Gen.choose(4, 12)
+      k <- Gen.choose(8, 64)
+      nVals <- Gen.choose(1, 800)
+      vs <- Gen.listOfN(nVals, Gen.choose(0L, (1L << b) - 1))
+    } yield (b, k, vs)
+    val prop = Prop.forAll(gen) { case (b, k, vs) =>
+      val leafBase = 1L << b
+      val buf = new LongLongCountMap()
+      vs.foreach(v => buf.addTo(leafBase + v, 1L))
+      val expect = referenceCompress(
+        vs.groupBy(identity).map { case (v, g) => (leafBase + v, g.size.toLong) }, k)
+      QDigestAgg.compress(buf, k)
+      var got = Map.empty[Long, Long]
+      buf.foreachEntry((id, c) => got += (id -> c))
+      got == expect
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
 }
