@@ -107,16 +107,8 @@ final case class QDigestAgg(
     else new GenericArrayData(
       QDigestAgg.quantiles(buf, bits, quantilesPermille))
 
-  override def serialize(buf: LongLongCountMap): Array[Byte] = {
-    // Ship partials at steady-state size: a buffer sitting between the
-    // 3k post-compress floor and the 6k trigger halves its shuffle
-    // bytes by folding first. Safe at any time — each fold respects the
-    // same ⌊n/k⌋ invariant the error bound charges against.
-    if (buf.size > 3 * k) QDigestAgg.compress(buf, k)
-    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
-    buf.foreachEntry((id, c) => { bb.putLong(id); bb.putLong(c) })
-    bb.array()
-  }
+  override def serialize(buf: LongLongCountMap): Array[Byte] =
+    QDigestAgg.serializeSteady(buf, k)
 
   override def deserialize(bytes: Array[Byte]): LongLongCountMap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -151,6 +143,24 @@ object QDigestAgg {
     * smaller-memory setting stays.
     */
   private[functions] def compressTrigger(k: Int): Int = 6 * k
+
+  /** THE serialized partial layout (16-byte (id, count) entries at
+    * steady-state ≤ 3k size) — shared by the aggregate's shuffle path
+    * and [[QDigestKernel.serialize]] so the kernel's partial format can
+    * never drift from what [[QDigestMergeAgg]] expects to merge.
+    *
+    * Ship partials at steady-state size: a buffer sitting between the
+    * 3k post-compress floor and the 6k trigger halves its shuffle
+    * bytes by folding first. Safe at any time — each fold respects the
+    * same ⌊n/k⌋ invariant the error bound charges against.
+    */
+  private[functions] def serializeSteady(
+      buf: LongLongCountMap, k: Int): Array[Byte] = {
+    if (buf.size > 3 * k) compress(buf, k)
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    buf.foreachEntry((id, c) => { bb.putLong(id); bb.putLong(c) })
+    bb.array()
+  }
 
   /** heap level of a node id (root = 0, leaves = bits). */
   private def level(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)

@@ -21,15 +21,13 @@ object QDigestKernel {
     */
   def compressTrigger(k: Int): Int = QDigestAgg.compressTrigger(k)
 
-  /** Serialize at steady-state size — same folding rule as the
-    * aggregate's shuffle path.
+  /** Serialize at steady-state size — DELEGATES to the aggregate's own
+    * shuffle-layout routine, so the 16-byte entry format and the fold
+    * rule have exactly one implementation and the kernel's partials can
+    * never drift from what [[QDigestMergeAgg]] deserializes.
     */
-  def serialize(buf: LongLongCountMap, k: Int): Array[Byte] = {
-    if (buf.size > 3 * k) QDigestAgg.compress(buf, k)
-    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
-    buf.foreachEntry((id, c) => { bb.putLong(id); bb.putLong(c) })
-    bb.array()
-  }
+  def serialize(buf: LongLongCountMap, k: Int): Array[Byte] =
+    QDigestAgg.serializeSteady(buf, k)
 
   /** Merge a serialized partial into `into` (compressing on trigger). */
   def mergeInto(into: LongLongCountMap, bytes: Array[Byte], k: Int): Unit = {

@@ -69,10 +69,48 @@ object ColumnarKernel {
       .map(_.trim.toLowerCase) match {
       case Some("true") => true
       case Some("false") => false
-      case _ =>
+      case Some(other) =>
+        // fail loudly: an A/B arm set with "1"/"yes"/"on" silently
+        // falling through to the auto default would test the wrong path
+        throw new IllegalArgumentException(
+          s"spark.graft.columnarKernel must be 'true' or 'false', got '$other'")
+      case None =>
         !sys.env.get("SPARK_GRAFT_NO_KERNEL").exists(_.trim == "1") &&
           autoDefault
     }
+
+  /** Resolved-type gate (r14 ADVICE, medium): the kernels read vectors
+    * with `getUTF8String`/`getDouble`, but [[scanBatches]] gates on plan
+    * SHAPE only — a schema variant (e.g. DECIMAL(12,2) prices, common in
+    * real TPC-H parquet) would engage the kernel and silently read
+    * garbage from the ColumnVector while the row path's CAST handles it.
+    * Each kernel checks its columns' resolved types and returns None on
+    * mismatch, so the caller keeps its row-path spelling.
+    */
+  private def typesOk(
+      table: DataFrame, flagCol: String, valueCol: String): Boolean =
+    table.schema(flagCol).dataType == StringType &&
+      table.schema(valueCol).dataType == DoubleType
+
+  /** Bit-identical twin of the row path's `CAST(ROUND(x*100) AS BIGINT)`:
+    * Spark's ROUND on a double is BigDecimal.valueOf (shortest-decimal)
+    * + HALF_UP. `Math.round` (floor(x+0.5)) agrees everywhere EXCEPT
+    * when the double sits within half an ulp below/above a `.5`
+    * shortest-decimal boundary — so take the fast path unless the
+    * fractional part is within 1e-6 of .5 (covers every half-ulp case
+    * for |x·100| < 2^40; prices·100 stay < 2^31) and defer those rare
+    * rows to the exact BigDecimal spelling. On 2-decimal price data the
+    * slow path never triggers; correctness no longer ASSUMES that
+    * (r14 ADVICE, low).
+    */
+  private[graft] def roundCents(d: Double): Long = {
+    val x = d * 100.0
+    val fl = Math.floor(x)
+    if (Math.abs(x - fl - 0.5) < 1e-6)
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    else Math.round(x)
+  }
 
   /** The scan's columnar batches + name→vector-index map, if `df` is a
     * pure columnar scan (see safety contract above).
@@ -140,7 +178,8 @@ object ColumnarKernel {
       valueCol: String,
       bits: Int,
       k: Int): Option[DataFrame] =
-    scanBatches(table.select(col(flagCol), col(valueCol))).map {
+    if (!typesOk(table, flagCol, valueCol)) None
+    else scanBatches(table.select(col(flagCol), col(valueCol))).map {
       case (batches, idx) =>
         val fI = idx(flagCol); val vI = idx(valueCol)
         val leafBase = 1L << bits
@@ -170,7 +209,7 @@ object ColumnarKernel {
               val id = intern.idOf(if (f.isNullAt(i)) null else f.getUTF8String(i))
               ns(id) += 1
               if (!p.isNullAt(i)) {
-                val v = Math.round(p.getDouble(i) * 100)
+                val v = roundCents(p.getDouble(i))
                 require(v >= 0 && v < leafBase,
                   s"qdigest value $v outside universe [0, $leafBase) — rescale or raise bits")
                 if (v < los(id)) los(id) = v
@@ -207,7 +246,8 @@ object ColumnarKernel {
       flagCol: String,
       valueCol: String,
       shift: Int): Option[DataFrame] =
-    scanBatches(table.select(col(flagCol), col(valueCol))).map {
+    if (!typesOk(table, flagCol, valueCol)) None
+    else scanBatches(table.select(col(flagCol), col(valueCol))).map {
       case (batches, idx) =>
         val fI = idx(flagCol); val vI = idx(valueCol)
         val schema = StructType(Seq(
@@ -231,7 +271,7 @@ object ColumnarKernel {
               val id = intern.idOf(if (f.isNullAt(i)) null else f.getUTF8String(i))
               if (p.isNullAt(i)) nullV(id) += 1
               else {
-                val v = Math.round(p.getDouble(i) * 100)
+                val v = roundCents(p.getDouble(i))
                 // same non-negative domain the digest pass enforces; a
                 // negative bucket would collide with the map's 0-key
                 // empty-slot sentinel after the +1 shift below
@@ -274,7 +314,8 @@ object ColumnarKernel {
       valueCol: String,
       shift: Int,
       sel: Set[(String, Long)]): Option[DataFrame] =
-    scanBatches(table.select(col(flagCol), col(valueCol))).map {
+    if (!typesOk(table, flagCol, valueCol)) None
+    else scanBatches(table.select(col(flagCol), col(valueCol))).map {
       case (batches, idx) =>
         val fI = idx(flagCol); val vI = idx(valueCol)
         val byFlag: Map[String, Set[Long]] =
@@ -300,7 +341,7 @@ object ColumnarKernel {
                   lastSet = byFlag.getOrElse(lastU.toString, null)
                 }
                 if (lastSet != null) {
-                  val v = Math.round(p.getDouble(i) * 100)
+                  val v = roundCents(p.getDouble(i))
                   val bk = v >> shift
                   if (lastSet.contains(bk))
                     out += new GenericInternalRow(Array[Any](lastU, bk, v))

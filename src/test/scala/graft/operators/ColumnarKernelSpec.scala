@@ -165,6 +165,67 @@ class ColumnarKernelSpec extends AnyFunSuite with SparkSpec {
     assert(row2.exists(_._2 == null), "fixture must exercise the null-value bucket")
   }
 
+  test("type gate: a DECIMAL value column falls back to the row path (None)") {
+    // r14 ADVICE (medium): scanBatches gates on plan shape only; a
+    // DECIMAL(12,2) price column would engage getDouble on a decimal
+    // vector and read garbage. The kernels must refuse the schema.
+    val d = java.nio.file.Files.createTempDirectory("colkernel_dec").toString
+    li.select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$d/t.parquet")
+    val dec = spark.read.parquet(s"$d/t.parquet")
+    assert(ColumnarKernel.flagStatsDigestPartials(
+      spark, dec, "l_returnflag", "l_extendedprice", 24, 2048).isEmpty)
+    assert(ColumnarKernel.flagBucketCounts(
+      spark, dec, "l_returnflag", "l_extendedprice", 12).isEmpty)
+    assert(ColumnarKernel.flagBucketSlice(
+      spark, dec, "l_returnflag", "l_extendedprice", 12, Set(("A", 1L))).isEmpty)
+    // an int flag column is refused too
+    val d2 = java.nio.file.Files.createTempDirectory("colkernel_intflag").toString
+    li.select(col("l_linenumber").as("flag"), col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$d2/t.parquet")
+    assert(ColumnarKernel.flagBucketCounts(
+      spark, spark.read.parquet(s"$d2/t.parquet"), "flag", "l_extendedprice", 12).isEmpty)
+  }
+
+  test("enabled(): strict boolean parse, loud failure on anything else") {
+    def withConf[T](v: Option[String])(f: => T): T = {
+      v.foreach(spark.conf.set("spark.graft.columnarKernel", _))
+      try f finally spark.conf.unset("spark.graft.columnarKernel")
+    }
+    assert(withConf(Some("true"))(ColumnarKernel.enabled(spark, false)))
+    assert(!withConf(Some("false"))(ColumnarKernel.enabled(spark, true)))
+    assert(withConf(Some(" TRUE "))(ColumnarKernel.enabled(spark, false)))
+    intercept[IllegalArgumentException] {
+      withConf(Some("1"))(ColumnarKernel.enabled(spark, true))
+    }
+    intercept[IllegalArgumentException] {
+      withConf(Some("yes"))(ColumnarKernel.enabled(spark, true))
+    }
+    assert(withConf(None)(ColumnarKernel.enabled(spark, true)))
+    assert(!withConf(None)(ColumnarKernel.enabled(spark, false)))
+  }
+
+  test("roundCents: bit-identical to SQL CAST(ROUND(x*100) AS BIGINT)") {
+    import spark.implicits._
+    // adversarial values: shortest-decimal .5 boundaries that sit a
+    // half-ulp below/above .5 after ·100, plain 2-decimal prices, and
+    // values whose double·100 drifts (e.g. 0.615*100 = 61.49999...)
+    val vals = Seq(
+      0.005, 0.015, 0.025, 0.615, 0.125, 0.135, 1.005, 2.675,
+      12345.675, 999.995, 0.0, 17.5, 17.505, 8.885, 123.456,
+      0.004999999999, 0.0050000001) ++
+      (0 until 2000).map(i => (i % 997) + (i % 100) / 100.0)
+    val sql = vals.toDF("x")
+      .select(expr("CAST(ROUND(x * 100) AS BIGINT)").as("v"))
+      .collect().map(_.getLong(0)).toSeq
+    val kernel = vals.map(ColumnarKernel.roundCents)
+    assert(kernel == sql,
+      vals.zip(kernel).zip(sql).filter { case ((_, k), s) => k != s }
+        .take(5).map { case ((x, k), s) => s"x=$x kernel=$k sql=$s" }
+        .mkString("; "))
+  }
+
   test("c70 end-to-end: kernel and row paths produce identical rows") {
     val q = graft.SparkEntry.queries("c70_quantile_sketch")
     def run(kernel: Boolean) = {
