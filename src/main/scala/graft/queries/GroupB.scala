@@ -189,12 +189,25 @@ object GroupB {
     }),
 
     // B9 — local supplier volume (TPC-H Q5 shape): the 6-way join.
-    // nation⋈region is genuinely tiny → explicit broadcast; customer and
-    // supplier get NO hint (at 100 TB both are shuffle-join sized and AQE
-    // broadcasts them at bench SFs on its runtime size check — the b8
-    // lesson). The order⋈lineitem backbone shuffles on orderkey once;
-    // the nation-colocation predicate (c_nationkey = s_nationkey) rides
-    // the supplier join, so no extra exchange.
+    // nation⋈region is genuinely tiny → explicit broadcast; supplier
+    // gets NO hint (small enough for the static broadcast threshold at
+    // bench SFs; a shuffle join at 100 TB — AQE's call either way is
+    // cheap because the suppkey join is the LAST fact edge). The
+    // customer join and the orders⋈lineitem backbone are PINNED
+    // shuffle_hash (r15, the b12/c55 discipline): at bench sizes the
+    // date-filtered ord⋈cust side sits right at AQE's broadcast
+    // threshold (~13 MB at 10×), and the runtime flip between broadcast
+    // and shuffle made the query BIMODAL — raw passes 6.6/1.4/4.0 s,
+    // bucketed 2.3/0.8/2.8 at 10× (bench_scale.json r14): two different
+    // plans alternating pass to pass. Neither broadcast is ADMISSIBLE
+    // at 100 TB (customer/5 and the month's ord⋈cust output are both
+    // far past any broadcast budget there), so the pins cost nothing at
+    // scale and buy a deterministic plan at the AQE-off controlled cost
+    // (1.45 s raw / 1.07 s bucketed at 10× — ScanShapeAb) instead of a
+    // 1.4–6.6 s lottery. In the bucketed layout the pinned backbone
+    // still reads lineitem exchange-free (the bucketed scan satisfies
+    // the SHJ's orderkey distribution); only the small ord⋈cust side
+    // shuffles.
     "b9_local_supplier_volume" -> ((s, dir) => {
       val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
       val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
@@ -212,7 +225,8 @@ object GroupB {
         .select(col("l_orderkey"), col("l_suppkey"),
           (s2(col("l_extendedprice")) * s2(lit(1) - col("l_discount"))).as("rev"))
       val supp = load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      ord.join(cust, col("o_custkey") === col("c_custkey"))
+      ord.join(cust.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .hint("shuffle_hash")
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))

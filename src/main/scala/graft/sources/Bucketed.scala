@@ -67,10 +67,12 @@ object Bucketed {
   /** Session conf that turns the backbone layout on for
     * [[graft.queries.Tables.load]] (also settable via the
     * `SPARK_GRAFT_BUCKETED=1` environment for forked harness JVMs).
-    * Default OFF: the official bench pair reads the same raw parquet
-    * DuckDB reads — the bucketed leg is measured separately
-    * (bench_scale.json) because it changes the STORAGE layout, not the
-    * plan over equal inputs.
+    * Library default OFF (a bare session reads raw parquet); graft.Bench
+    * (r15) defaults its HEADLINE arm to the bucketed layout — the
+    * standing 100 TB layout rule — and stamps a raw-parquet arm for the
+    * affected queries beside it for DuckDB-comparator fairness (the
+    * comparator reads raw files). Verify/oracle runs stay raw so the
+    * correctness pair reads identical bytes.
     */
   val FlagConf = "spark.graft.bucketedBackbone"
 
@@ -130,9 +132,23 @@ object Bucketed {
     * built this session, else None (callers fall back to raw parquet).
     */
   def backboneTable(spark: SparkSession, dir: String,
-      name: String): Option[DataFrame] =
-    Backbone.get(name).collect {
+      name: String): Option[DataFrame] = {
+    val t = Backbone.get(name).collect {
       case _ if spark.catalog.tableExists(tableName(dir, name)) =>
         spark.table(tableName(dir, name))
     }
+    if (t.isDefined) touched.set(true)
+    t
+  }
+
+  /** Driver-thread recorder: has any backbone table resolved since the
+    * last [[resetTouched]]? Bench brackets each query's CONSTRUCTION
+    * (Tables.load runs on the driver thread while the DataFrame is
+    * built) with reset/read to discover which queries the layout
+    * actually affects — that set is the raw comparison arm's cohort,
+    * derived from the plans themselves rather than a hand-kept list.
+    */
+  private val touched = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def resetTouched(): Unit = touched.set(false)
+  def wasTouched: Boolean = touched.get()
 }
